@@ -1,0 +1,140 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All JVM-side (built-in functions only — no Python in the hot path); each
+has a DuckDB SQL twin in dygiepp_spark.oracles_text for the parity gate.
+These run over the ``documents`` table (doc_id, text, lang, source,
+n_chars) but accept any (id, text) frame.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from dygiepp_spark.functions.hashing import hash60, md5_hex, seeded
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deterministic toy lists — the point is the *operator* (vectorized
+#: stopword-ratio language scoring), not linguistic coverage.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "zh": ["de", "shi", "he", "zai", "le"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization, empties dropped (reference's token model)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def word_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count."""
+    return df.withColumn("n_tokens", F.size(tokens_col(F.col(text_col))))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish proxy token count: word-pieces estimated as
+    ceil(chars/4) per word, the standard subword budget heuristic.
+    JVM-side: aggregate over the token array."""
+    toks = tokens_col(F.col(text_col))
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("bigint"),
+        ),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punctuation and
+    stopword ratios, uppercase ratio. Pure column arithmetic; ratios are
+    exact integer-over-integer doubles (portable)."""
+    toks = tokens_col(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stop_all)))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias(
+            "punct_ratio"
+        ),
+        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")).alias(
+            "stopword_ratio"
+        ),
+        mean_tok_len.alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0, 1]: penalize too-short docs, extreme
+    punctuation, and zero stopwords. Deterministic integer-ratio math."""
+    q = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 10.0, F.lit(1.0)) * 0.3
+    )
+    return q.withColumn("quality", F.round(score, 6))
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by stopword-hit counting: argmax over per-language
+    stopword hits; tie/zero -> 'und'. One pass over the token array per
+    language (5 small filters — all codegen'd)."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    hits = [
+        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(f"_h_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+    with_hits = df.select("*", *hits)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"_h_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # first language (in fixed order) achieving the max, if max > 0
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"_h_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return with_hits.withColumn("pred_lang", pred).drop(
+        *[f"_h_{lg}" for lg in langs]
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4
+) -> DataFrame:
+    """Document fingerprint: min-hash of character 5-gram shingles of the
+    normalized text (winnowing-lite). Returns (id, fp_0..fp_{k-1}) where
+    fp_i = min over shingles of hash60(seed_i || shingle).
+
+    Implemented as shingle explode + ONE hash aggregation with map-side
+    combine — the shuffle carries only k*60 bits per document.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - 4, F.lit(1))),
+                lambda i: norm.substr(i, F.lit(5)),
+            )
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(hash60(seeded(i, F.col("shingle")))).alias(f"fp_{i}") for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)

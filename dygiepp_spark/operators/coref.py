@@ -1,0 +1,187 @@
+"""Coreference: antecedent candidate generation, cluster formation
+(connected components), and canonicalization (M13-M16, K11).
+
+Reference semantics:
+
+* Antecedent candidates for span i = the previous ``max_antecedents=100``
+  kept spans in document order (lower-triangular index matrix,
+  /root/reference/dygie/models/coref.py:451-506;
+  template.libsonnet:94). In Spark: a *band self-join* —
+  ``a.mention_ix < b.mention_ix AND b.mention_ix - a.mention_ix <= 100``
+  within a conversation.
+* Antecedent decode -> clusters: greedy pointer-following
+  (coref.py:367-439). Pointers only ever go backward, so cluster formation
+  is exactly connected components over the antecedent edge set. We run
+  iterative min-id label propagation (small-star style) to a fixpoint —
+  each round is one join + one aggregate, checkpointed to cut lineage.
+* K11 canonicalization (dw-experiments/shared/coref_to_tsv.py:11-33):
+  cluster exemplar = the LONGEST member span (argmax span length,
+  deterministic tiebreak = first occurrence).
+
+Scale notes: the band join's equi-key is conv_id; per-conversation mention
+counts are bounded by the upstream beam (0.3 spans/word) and chunking, so
+the join fans out at most 100x per row. Label propagation converges in
+O(log(longest path)) rounds; each round shuffles once on the node key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+MAX_ANTECEDENTS = 100
+
+
+def mention_order(mentions: DataFrame) -> DataFrame:
+    """Assign doc-level mention index (textual order) per conversation.
+
+    One window on conv_id — mirrors coref's doc-flattening (M13,
+    coref.py:651-669) where per-sentence span lists are concatenated in
+    sentence order with sentence_start offsets.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "start", "end")
+    return mentions.withColumn("mention_ix", F.row_number().over(w) - 1)
+
+
+def antecedent_candidates(
+    mentions: DataFrame, max_antecedents: int = MAX_ANTECEDENTS
+) -> DataFrame:
+    """M14: band self-join — candidate (anaphor, antecedent) pairs."""
+    m = mention_order(mentions)
+    a = m.alias("ana")
+    b = m.alias("ant")
+    return a.join(
+        b,
+        on=[
+            F.col("ana.conv_id") == F.col("ant.conv_id"),
+            F.col("ant.mention_ix") < F.col("ana.mention_ix"),
+            F.col("ana.mention_ix") - F.col("ant.mention_ix") <= max_antecedents,
+        ],
+    ).select(
+        F.col("ana.conv_id").alias("conv_id"),
+        F.col("ana.mention_ix").alias("anaphor_ix"),
+        F.col("ant.mention_ix").alias("antecedent_ix"),
+        F.col("ana.surface").alias("anaphor_surface"),
+        F.col("ant.surface").alias("antecedent_surface"),
+    )
+
+
+def coref_edges_same_surface(
+    mentions: DataFrame, max_antecedents: int = MAX_ANTECEDENTS
+) -> DataFrame:
+    """Deterministic stand-in for the pair scorer: an anaphor corefers with
+    its nearest previous same-surface mention within the antecedent window.
+
+    This mirrors the decode shape (argmax over antecedents, coref.py:312-322:
+    each span picks at most ONE antecedent) — nearest = argmax score when
+    score is monotone in -distance.
+    """
+    cands = antecedent_candidates(mentions, max_antecedents).filter(
+        F.col("anaphor_surface") == F.col("antecedent_surface")
+    )
+    w = Window.partitionBy("conv_id", "anaphor_ix").orderBy(
+        F.col("antecedent_ix").desc()
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("conv_id", "anaphor_ix", "antecedent_ix")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-id label propagation to fixpoint.
+
+    ``edges``: (conv_id, anaphor_ix, antecedent_ix);
+    ``nodes``: (conv_id, mention_ix).
+    Returns (conv_id, mention_ix, cluster_id) where cluster_id is the
+    minimum mention_ix reachable in the undirected closure — matching the
+    reference's greedy pointer-merge (coref.py:367-439), whose cluster is
+    likewise "everything transitively linked".
+
+    Driver-side loop of joins; each iteration localCheckpoints to truncate
+    the lineage (on a cluster: checkpoint to the Iceberg/DFS checkpoint
+    dir). Converges in O(log D) rounds for path length D.
+    """
+    sym = (
+        edges.select(
+            "conv_id", F.col("anaphor_ix").alias("src"), F.col("antecedent_ix").alias("dst")
+        )
+        .unionByName(
+            edges.select(
+                "conv_id",
+                F.col("antecedent_ix").alias("src"),
+                F.col("anaphor_ix").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        "conv_id", "mention_ix", F.col("mention_ix").alias("cluster_id")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.withColumnRenamed("mention_ix", "dst").withColumnRenamed(
+                    "cluster_id", "n_label"
+                ),
+                ["conv_id", "dst"],
+            )
+            .groupBy("conv_id", F.col("src").alias("mention_ix"))
+            .agg(F.min("n_label").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, ["conv_id", "mention_ix"], "left")
+            .select(
+                "conv_id",
+                "mention_ix",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), ["conv_id", "mention_ix"])
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def coref_clusters(mentions: DataFrame, max_antecedents: int = MAX_ANTECEDENTS) -> DataFrame:
+    """Full stub-coref pass: same-surface antecedent edges -> components.
+
+    Returns mentions + cluster_id (doc-level). For the same-surface rule the
+    component is provably "all mentions of a surface within a conversation"
+    whenever consecutive same-surface mentions are <= max_antecedents
+    apart — which is what the DuckDB oracle exploits.
+    """
+    ordered = mention_order(mentions)
+    edges = coref_edges_same_surface(mentions, max_antecedents)
+    labels = connected_components(
+        edges, ordered.select("conv_id", "mention_ix")
+    )
+    return ordered.join(labels, ["conv_id", "mention_ix"])
+
+
+def canonicalize_clusters(clustered: DataFrame) -> DataFrame:
+    """K11: exemplar = longest member span; first occurrence breaks ties.
+
+    Output: (conv_id, cluster_id, exemplar_text, n_members).
+    """
+    # maximize span length, then minimize mention_ix: single map-side-combinable agg
+    pref = (F.col("end") - F.col("start")) * 1_000_000 - F.col("mention_ix")
+    return clustered.groupBy("conv_id", "cluster_id").agg(
+        F.max_by(F.col("surface"), pref).alias("exemplar_text"),
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+    )

@@ -1,0 +1,142 @@
+"""Stage 1 — document assembly: turns -> documents / offset-annotated turns.
+
+Reference semantics being re-expressed:
+
+* A1 doc->sentence explode / A2 sentence->doc assemble
+  (``fields_to_batches``/``batches_to_fields``,
+  /root/reference/dygie/models/shared.py:28-63; ``Document.to_json``
+  document.py:167-181).
+* A3 sentence-offset computation — shifted cumulative sum of sentence
+  lengths (document.py:113-117; tensorized ``cumsum_shifted``
+  shared.py:8-16).
+* B1 document-contiguous ordering — the reference's batch iterator asserts
+  sentences of a doc arrive contiguous and in order
+  (dygie/data/iterators/batch_iterator.py:45-55). Our invariant: per-turn
+  text equality under stable turn ordering (the pytest gate).
+* A4 document splitting — ``Document.split`` (document.py:184-236) greedily
+  chunks long docs at ``max_tokens_per_doc`` so no single group blows up a
+  kernel; our analog bounds the per-group row count fed to applyInPandas.
+
+Scale notes (100 TB):
+
+* ``with_sentence_offsets`` is ONE window over (conv_id, turn_idx) — a
+  single hash-partition shuffle on conv_id. Skewed conversations only hurt
+  if one conv exceeds an executor's partition budget; the chunking in
+  :func:`assign_chunks` bounds that before any per-doc kernel runs.
+* ``assemble_documents`` (full doc rows) is only used for doc-level passes
+  (coref); the main extraction path stays on per-turn rows and never
+  materializes whole documents through a shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def with_token_counts(turns: DataFrame) -> DataFrame:
+    """Add ``n_tokens`` (whitespace tokens, empties excluded) — narrow op."""
+    return turns.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+    )
+
+
+def with_sentence_offsets(turns: DataFrame) -> DataFrame:
+    """A3: doc-level token offset of each turn (shifted cumsum).
+
+    ``sentence_start`` = sum of token counts of all previous turns of the
+    same conversation — exactly the reference's
+    ``np.cumsum(sentence_lengths); rolled[1:] = cumsum[:-1]; rolled[0] = 0``
+    (document.py:113-117).
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return with_token_counts(turns).withColumn(
+        "sentence_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("int")
+    )
+
+
+def assemble_documents(turns: DataFrame) -> DataFrame:
+    """A2: one row per conversation with ordered turn structs.
+
+    ``sort_array(collect_list(struct(turn_idx, ...)))`` gives the stable
+    turn ordering without a window (struct sort is by leading field);
+    map-side partial aggregation keeps the shuffle to one pass.
+    """
+    assembled = turns.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
+        ).alias("turns"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )
+    return assembled.withColumn(
+        "doc_text", F.array_join(F.transform(F.col("turns"), lambda t: t["text"]), " ")
+    )
+
+
+def explode_documents(docs: DataFrame) -> DataFrame:
+    """A1: inverse of assemble_documents — back to per-turn rows."""
+    return docs.select(
+        "conv_id", F.inline(F.col("turns"))
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def assign_chunks(turns: DataFrame, max_tokens_per_chunk: int = 500) -> DataFrame:
+    """A4: bound per-group size for downstream per-doc kernels.
+
+    The reference refuses to run a document longer than
+    ``max_tokens_per_doc`` through the model and greedily splits it
+    (document.py:184-236, normalize.py:33-68: 500-token chunks, doc_key
+    suffixed ``_SPLIT_i``). We assign ``chunk_id = floor(cumulative_tokens /
+    max)`` over the turn order — a fixed-width approximation of the greedy
+    rule that needs only the A3 window (no per-doc Python). Kernels then
+    group by (conv_id, chunk_id): a million-turn conversation becomes many
+    bounded groups instead of one straggler task.
+
+    Coref pointers only ever go backward (coref.py:451-506), so chunk-local
+    coref followed by the global connected-components pass remains correct
+    for clusters that stay within a chunk, and the CC pass stitches
+    cross-chunk edges produced by the linking stage.
+    """
+    off = with_sentence_offsets(turns)
+    return off.withColumn(
+        "chunk_id",
+        (F.col("sentence_start") / F.lit(max_tokens_per_chunk)).cast("int"),
+    ).withColumn(
+        "chunk_key",
+        F.concat_ws("#", F.col("conv_id"), F.col("chunk_id")),
+    )
+
+
+def check_turn_invariant(turns: DataFrame) -> DataFrame:
+    """P6/B1 validation: turn_idx dense per conv, text round-trips assembly.
+
+    Returns a DataFrame of violations (empty == healthy). Mirrors the
+    reference's consistency checks (scripts/data/check_consistency.py:24-43
+    and the batch-iterator order assert, batch_iterator.py:52).
+    """
+    dense = (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+            F.count_distinct("turn_idx").alias("nd"),
+        )
+        .filter(
+            (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n"))
+        )
+        .select("conv_id", F.lit("non_dense_turn_idx").alias("violation"))
+    )
+    round_trip = (
+        explode_documents(assemble_documents(turns))
+        .select("conv_id", "turn_idx", F.col("text").alias("rt_text"))
+        .join(turns.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .filter(F.col("rt_text") != F.col("text"))
+        .select("conv_id", F.lit("text_mismatch_after_roundtrip").alias("violation"))
+    )
+    return dense.unionByName(round_trip)

@@ -1,0 +1,82 @@
+"""KG materialization: nodes/edges tables with per-partition lineage.
+
+Output data model (SURVEY.md §1.3):
+
+* ``nodes(entity_id, canonical_text, type)``
+* ``edges(subj_id, pred, obj_id, conv_id, conf, provenance)``
+
+At production these are Iceberg tables written with ``MERGE``/append;
+in the sandbox we write parquet (the writer abstracts over both —
+see dygiepp_spark.plans.pipeline for the checkpoint/lineage machinery).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from dygiepp_spark.operators.extraction import detect_mentions, relation_pairs
+from dygiepp_spark.operators.linking import link_mentions
+
+
+def build_edges(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Triples with both endpoints resolved to canonical entity ids.
+
+    mention detection -> pair rule -> two broadcast-join lookups (subject
+    and object side) against the linked-mention frame. The mention->entity
+    mapping is re-joined on span identity (conv, turn, start) rather than
+    surface so a future neural linker that disambiguates per-mention slots
+    in without changing this operator.
+    """
+    mentions = detect_mentions(turns)
+    linked = link_mentions(mentions, entity_dict).select(
+        "conv_id", "turn_idx", "start", "entity_id"
+    )
+    pairs = relation_pairs(mentions)
+    subj = linked.withColumnRenamed("entity_id", "subj_id").withColumnRenamed(
+        "start", "s1"
+    )
+    obj = linked.withColumnRenamed("entity_id", "obj_id").withColumnRenamed(
+        "start", "s2"
+    )
+    return (
+        pairs.join(subj, ["conv_id", "turn_idx", "s1"])
+        .join(obj, ["conv_id", "turn_idx", "s2"])
+        .select(
+            "subj_id",
+            F.col("label").alias("pred"),
+            "obj_id",
+            "conv_id",
+            "turn_idx",
+            "conf",
+            F.concat_ws(
+                ":", F.lit("extract"), F.col("conv_id"), F.col("turn_idx"),
+                F.col("s1"), F.col("s2"),
+            ).alias("provenance"),
+        )
+    )
+
+
+def build_nodes(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Distinct canonical nodes referenced by any mention."""
+    mentions = detect_mentions(turns)
+    linked = link_mentions(mentions, entity_dict)
+    return (
+        linked.groupBy("entity_id")
+        .agg(
+            F.min("canonical_text").alias("canonical_text"),
+            F.min("type").alias("type"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+
+
+def aggregate_edges(edges: DataFrame) -> DataFrame:
+    """Roll per-occurrence edges up to distinct (subj, pred, obj) with
+    support counts and max confidence — the graph-level dedup that turns
+    occurrence streams into KG edges."""
+    return edges.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).alias("support"),
+        F.max("conf").alias("max_conf"),
+        F.count_distinct("conv_id").alias("n_convs"),
+    )

@@ -1,0 +1,159 @@
+"""DuckDB oracle SQL twins for the driver's correctness gate.
+
+Every SQL string here reproduces the matching DataFrame operator's output
+bit-for-bit on the pre-registered views (region nation customer supplier
+part orders lineitem events documents embeddings). Portability rules used
+throughout:
+
+* floats: only IEEE-identical expressions (double division of identical
+  operands); never sum doubles — sums use integers/decimals.
+* hashes: md5 hex strings (identical in Spark and DuckDB);
+  hex->int via Spark ``conv(x,16,10)`` == DuckDB ``('0x'||x)::BIGINT``.
+* ordering: every windowed/top-k query carries a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from dygiepp_spark.tables import (
+    ENTITY_VOCAB,
+    RELATION_LABELS,
+    RELATION_MAX_DIST,
+    EVENT_ARG_MAX_DIST,
+    TOKENS_SQL,
+    TRIGGER_VOCAB,
+    TURNS_SQL,
+)
+
+
+def _inlist(vals) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+_ENTS = _inlist(ENTITY_VOCAB)
+_TRIGS = _inlist(TRIGGER_VOCAB)
+_LABELS = "[" + _inlist(RELATION_LABELS) + "]"
+
+MENTIONS_SQL = f"""
+mentions AS (
+    SELECT conv_id, turn_idx, tok_ix AS start, tok_ix AS "end", token AS surface
+    FROM tokens
+    WHERE token IN ({_ENTS})
+)
+"""
+
+PAIRS_SQL = f"""
+pairs AS (
+    SELECT a.conv_id AS conv_id, a.turn_idx AS turn_idx,
+           a.start AS s1, a."end" AS e1, b.start AS s2, b."end" AS e2,
+           a.surface AS arg0, b.surface AS arg1,
+           b.start - a.start AS dist,
+           {_LABELS}[((len(a.surface) + 2 * len(b.surface)) % {len(RELATION_LABELS)}) + 1] AS label,
+           CAST(1 AS DOUBLE) / (1 + (b.start - a.start)) AS conf
+    FROM mentions a
+    JOIN mentions b
+      ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+     AND b.start > a.start AND b.start - a.start <= {RELATION_MAX_DIST}
+)
+"""
+
+_PRELUDE = f"WITH {TURNS_SQL.strip().rstrip()} , {TOKENS_SQL.strip()} , {MENTIONS_SQL.strip()} , {PAIRS_SQL.strip()}"
+
+
+def turns_oracle() -> str:
+    return f"WITH {TURNS_SQL.strip()} SELECT conv_id, turn_idx, role, text, tool FROM turns"
+
+
+def doc_assembly_oracle() -> str:
+    return f"""WITH {TURNS_SQL.strip()}
+SELECT conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       string_agg(text, ' ' ORDER BY turn_idx) AS doc_text
+FROM turns GROUP BY conv_id"""
+
+
+def sentence_offsets_oracle() -> str:
+    return f"""WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()},
+lens AS (
+    SELECT conv_id, turn_idx, CAST(count(*) AS INT) AS n_tokens
+    FROM tokens GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+         AS sentence_start
+FROM lens"""
+
+
+def mentions_oracle() -> str:
+    return f"""{_PRELUDE}
+SELECT conv_id, turn_idx, start, "end", surface FROM mentions"""
+
+
+def span_enum_oracle() -> str:
+    # per-turn enumerated span count with width cap 8; closed form
+    # n*W - W*(W-1)/2 for n >= W else n*(n+1)/2 — cross-checks the real
+    # double-explode enumeration on the Spark side.
+    return f"""WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()},
+lens AS (
+    SELECT conv_id, turn_idx, count(*) AS n FROM tokens GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx,
+       CAST(CASE WHEN n >= 8 THEN n * 8 - 28 ELSE n * (n + 1) / 2 END AS BIGINT)
+         AS n_spans
+FROM lens"""
+
+
+def triples_oracle() -> str:
+    return f"""{_PRELUDE}
+SELECT p.conv_id AS conv_id, t.text AS sent_text, p.arg0, p.arg1, p.label,
+       arg_max(p.conf, p.s1 * 1000 + p.s2) AS conf
+FROM pairs p JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+GROUP BY p.conv_id, t.text, p.arg0, p.arg1, p.label"""
+
+
+def triples_mechanism_oracle() -> str:
+    return f"""{_PRELUDE}
+SELECT conv_id, sent_text, arg0, arg1, 'MECHANISM' AS label, conf
+FROM (
+    SELECT p.conv_id AS conv_id, t.text AS sent_text, p.arg0, p.arg1, p.label,
+           arg_max(p.conf, p.s1 * 1000 + p.s2) AS conf
+    FROM pairs p JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+    GROUP BY p.conv_id, t.text, p.arg0, p.arg1, p.label
+)
+WHERE label = 'USED-FOR'"""
+
+
+def events_oracle() -> str:
+    return f"""{_PRELUDE}
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+       t.tok_ix AS trigger_ix, 'op_' || t.token AS event_type,
+       m.start AS arg_start, m."end" AS arg_end,
+       CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role,
+       m.surface AS arg_text
+FROM (SELECT * FROM tokens WHERE token IN ({_TRIGS})) t
+JOIN mentions m
+  ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+ AND abs(m.start - t.tok_ix) <= {EVENT_ARG_MAX_DIST}"""
+
+
+def events_binary_oracle() -> str:
+    return f"""{_PRELUDE}
+, ev AS (
+    SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+           t.tok_ix AS trigger_ix, 'op_' || t.token AS event_type,
+           m.start AS arg_start, m.surface AS arg_text,
+           CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role
+    FROM (SELECT * FROM tokens WHERE token IN ({_TRIGS})) t
+    JOIN mentions m
+      ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+     AND abs(m.start - t.tok_ix) <= {EVENT_ARG_MAX_DIST}
+)
+SELECT a0.conv_id AS conv_id, a0.turn_idx AS turn_idx, a0.trigger_ix AS trigger_ix,
+       a0.event_type AS event_type,
+       a0.arg_text AS arg0, a0.arg_start AS a0_start,
+       a1.arg_text AS arg1, a1.arg_start AS a1_start
+FROM (SELECT * FROM ev WHERE role = 'arg0') a0
+JOIN (SELECT * FROM ev WHERE role = 'arg1') a1
+  ON a0.conv_id = a1.conv_id AND a0.turn_idx = a1.turn_idx
+ AND a0.trigger_ix = a1.trigger_ix"""

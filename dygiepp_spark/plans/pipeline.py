@@ -1,0 +1,110 @@
+"""Stage DAG with checkpointing + per-partition lineage/metrics.
+
+The north rule requires every stage to be resumable mid-pipeline with
+per-partition lineage and metrics rows. Pattern (SURVEY.md §7 stage 7):
+
+* each stage writes its output to ``<warehouse>/<stage>/data`` (parquet in
+  the sandbox; Iceberg table on a cluster — the writer only changes format)
+* alongside it a ``_metrics`` table: one row per output partition
+  (stage, partition_id, rows, bytes-est, wall, written_at)
+* a ``_SUCCESS``-gated manifest — a re-run skips stages whose manifest is
+  present, giving crash-resume at stage granularity (the reference's
+  instance-cache analog, dygie/data/dataset_readers/dygie.py:194-203).
+
+The metrics row collection uses ``spark_partition_id()`` + a groupBy —
+no driver-side iteration over partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    rows: int
+    wall_sec: float
+    resumed: bool
+
+
+@dataclass
+class Pipeline:
+    """Sequential stage DAG; each stage is (name, fn: dict[str,DataFrame] -> DataFrame).
+
+    Stages see the outputs of all prior stages by name. ``loss_weights``-style
+    gating (reference dygie.py:227-254: modules with weight 0 are skipped)
+    maps to the ``enabled`` flag per stage.
+    """
+
+    spark: SparkSession
+    warehouse: str
+    stages: list[tuple[str, Callable]] = field(default_factory=list)
+    results: list[StageResult] = field(default_factory=list)
+
+    def stage(self, name: str, enabled: bool = True):
+        def deco(fn):
+            if enabled:
+                self.stages.append((name, fn))
+            return fn
+
+        return deco
+
+    def _paths(self, name: str) -> tuple[str, str, str]:
+        base = os.path.join(self.warehouse, name)
+        return (
+            os.path.join(base, "data"),
+            os.path.join(base, "_metrics"),
+            os.path.join(base, "manifest.json"),
+        )
+
+    def run(self, inputs: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
+        ctx: dict[str, DataFrame] = dict(inputs or {})
+        for name, fn in self.stages:
+            data_path, metrics_path, manifest_path = self._paths(name)
+            t0 = time.time()
+            if os.path.exists(manifest_path):
+                ctx[name] = self.spark.read.parquet(data_path)
+                with open(manifest_path) as f:
+                    rows = json.load(f)["rows"]
+                self.results.append(
+                    StageResult(name, data_path, rows, time.time() - t0, resumed=True)
+                )
+                continue
+            out = fn(ctx)
+            out.write.mode("overwrite").parquet(data_path)
+            materialized = self.spark.read.parquet(data_path)
+            # per-partition lineage/metrics: one aggregate over the data,
+            # keyed by physical partition id
+            metrics = (
+                materialized.groupBy(
+                    F.spark_partition_id().alias("partition_id")
+                )
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .select(
+                    F.lit(name).alias("stage"),
+                    "partition_id",
+                    "rows",
+                    F.lit(time.time() - t0).alias("stage_wall_sec"),
+                    F.current_timestamp().alias("written_at"),
+                )
+            )
+            metrics.write.mode("overwrite").parquet(metrics_path)
+            n = materialized.count()
+            with open(manifest_path, "w") as f:
+                json.dump(
+                    {"stage": name, "rows": n, "wall_sec": time.time() - t0}, f
+                )
+            ctx[name] = materialized
+            self.results.append(
+                StageResult(name, data_path, n, time.time() - t0, resumed=False)
+            )
+        return ctx
