@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a synthetic
+transcript throughput probe (turns/sec through the full triple pipeline —
+the engine's real unit of work, matching FIXTURES.md §7 bench scale knobs).
+
+{"metric": "e2e_bench_sec", "value": <total>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": <float>, "turns_per_sec": <n>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from dygiepp_spark import tables as TT
+from dygiepp_spark.operators import extraction as EX
+from dygiepp_spark.session import get_spark
+
+#: synthetic throughput probe size (FIXTURES.md §7 bench: 100k convs,
+#: Zipf tail). Overridable for quick local runs.
+SYNTH_CONVS = int(os.environ.get("BENCH_SYNTH_CONVS", "20000"))
+SYNTH_MAX_TURNS = int(os.environ.get("BENCH_SYNTH_MAX_TURNS", "2000"))
+
+
+def run_query(fn, spark, sf_dir) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    bench_names = [n for n in qs if n in BENCH_QUERIES]
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+    for name in bench_names:
+        sec, _ = run_query(qs[name], spark, sf_dir)
+        timings[name] = round(sec, 3)
+
+    # synthetic transcript throughput: full pipeline turns -> triples
+    turns = TT.synth_turns(
+        spark, n_convs=SYNTH_CONVS, max_turns=SYNTH_MAX_TURNS
+    )
+    n_turns = turns.count()
+    t0 = time.time()
+    EX.emit_triples(turns).count()
+    synth_sec = time.time() - t0
+    timings["synth_triples"] = round(synth_sec, 3)
+    turns_per_sec = n_turns / synth_sec if synth_sec > 0 else 0.0
+
+    total = time.time() - t_total0
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "synth_turns": n_turns,
+                "turns_per_sec": round(turns_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+#: subset of queries() worth timing (skip near-duplicates)
+BENCH_QUERIES = {
+    "doc_assembly",
+    "sentence_offsets",
+    "mentions",
+    "span_enum",
+    "triples",
+    "events_binary",
+}
+
+if __name__ == "__main__":
+    main()

@@ -265,7 +265,7 @@ def synth_turns(
         F.sequence(F.lit(0), F.lit(tokens_per_turn - 1)),
         lambda t: F.pmod(
             F.xxhash64(F.lit(seed), F.col("conv_n"), F.col("turn_idx"), t), F.lit(n_vocab)
-        ),
+        ).cast("int"),
     )
     text = F.array_join(F.transform(tok_ids, lambda i: F.element_at(v_arr, i + 1)), " ")
     return turns.select(

@@ -1,0 +1,84 @@
+"""Coref band join, connected components, canonicalization, linking."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dygiepp_spark import tables as TT
+from dygiepp_spark.operators import coref as CO
+from dygiepp_spark.operators import linking as LK
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, start int, end int, surface string"
+    )
+
+
+def test_antecedent_band_join_window(spark):
+    # 3 mentions; with max_antecedents=1 only adjacent pairs are candidates
+    m = _mentions(
+        spark, [("d", 0, 0, 0, "x"), ("d", 0, 2, 2, "y"), ("d", 1, 0, 0, "z")]
+    )
+    cands = CO.antecedent_candidates(m, max_antecedents=1).collect()
+    got = {(r["anaphor_ix"], r["antecedent_ix"]) for r in cands}
+    assert got == {(1, 0), (2, 1)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    nodes = spark.createDataFrame(
+        [("d", i) for i in range(6)], "conv_id string, mention_ix int"
+    )
+    edges = spark.createDataFrame(
+        [("d", 1, 0), ("d", 2, 1), ("d", 4, 3)],
+        "conv_id string, anaphor_ix int, antecedent_ix int",
+    )
+    labels = {
+        r["mention_ix"]: r["cluster_id"]
+        for r in CO.connected_components(edges, nodes).collect()
+    }
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_coref_clusters_same_surface(spark):
+    m = _mentions(
+        spark,
+        [
+            ("d", 0, 1, 1, "spark"),
+            ("d", 0, 5, 5, "table"),
+            ("d", 1, 2, 2, "spark"),
+            ("d", 2, 0, 0, "spark"),
+            ("e", 0, 0, 0, "spark"),
+        ],
+    )
+    out = CO.coref_clusters(m)
+    sizes = {
+        (r["conv_id"], r["cluster_id"]): r["n"]
+        for r in out.groupBy("conv_id", "cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # d: {spark x3}, {table}, e: {spark}
+    assert sorted(sizes.values()) == [1, 1, 3]
+
+
+def test_canonicalize_longest_member_wins(spark):
+    clustered = spark.createDataFrame(
+        [
+            ("d", 0, 0, 0, 0, "ab"),
+            ("d", 1, 3, 3, 5, "long span here"),  # width 3 -> exemplar
+            ("d", 2, 7, 7, 7, "zz"),
+        ],
+        "conv_id string, mention_ix int, turn_idx int, start int, end int, surface string",
+    ).withColumn("cluster_id", F.lit(0))
+    out = CO.canonicalize_clusters(clustered).collect()
+    assert out[0]["exemplar_text"] == "long span here"
+    assert out[0]["n_members"] == 3
+
+
+def test_linking_hits_and_fallback(spark):
+    m = _mentions(spark, [("d", 0, 0, 0, "Spark "), ("d", 0, 1, 1, "unknownthing")])
+    linked = {r["surface"]: r for r in LK.link_mentions(m, TT.entity_dict(spark)).collect()}
+    assert linked["Spark "]["entity_id"] == "E000"  # normalized strip+lower hit
+    assert linked["unknownthing"]["entity_id"] == "S:unknownthing"
+    assert linked["unknownthing"]["type"] == "UNKNOWN"
