@@ -1,0 +1,152 @@
+"""The Arrow extraction kernel: applyInPandas over conversation chunks.
+
+This is the production path for neural scoring at 100 TB: turns are
+chunk-bounded (doc_assembly.assign_chunks, <=500 tokens/group like the
+reference's Document.split), grouped by chunk_key, and each group flows
+through one Arrow batch where the injected Scorer produces logits and the
+numpy decode (kernels.decode) reproduces the reference's prediction
+semantics. Only decoded survivors leave the kernel — the O(n*W) candidate
+span set never hits a shuffle (SURVEY.md §4: beam pruning is the load-
+bearing optimization).
+
+Model distribution: the scorer object is pickled into the UDF closure
+(small scorers) — a real transformer backend would instead load weights
+from SparkFiles on first use per executor.
+
+Output: one long-format frame with ``row_type`` in
+{mention, relation, trigger, argument}; split it with filters AFTER a
+persist/checkpoint so the kernel runs once.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from dygiepp_spark.kernels import decode as D
+from dygiepp_spark.kernels.scorer import Scorer
+from dygiepp_spark.operators.doc_assembly import assign_chunks
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, row_type string, "
+    "s1 int, e1 int, s2 int, e2 int, "
+    "label string, raw_score double, softmax_score double"
+)
+
+#: reference beam hyper-parameters (template.libsonnet:99, coref.py:241,
+#: events.py:133-152)
+RELATION_SPANS_PER_WORD = 0.5
+TRIGGER_SPANS_PER_WORD = 0.3
+TRIGGER_CAP = 15
+ARG_SPANS_PER_WORD = 0.8
+ARG_CAP = 30
+
+
+def _decode_sentence(scorer: Scorer, conv_id: str, turn_idx: int, tokens: list[str],
+                     max_span_width: int, out: list) -> None:
+    n = len(tokens)
+    if n == 0:
+        return
+    ctx = {"conv_id": conv_id, "turn_idx": turn_idx, "tokens": tokens}
+    spans = D.enumerate_spans(n, max_span_width)
+
+    # --- NER over all enumerated spans (ner.py:92-120)
+    for (s, e, lab, raw, soft) in D.decode_ner(
+        spans, scorer.ner_logits(ctx, spans), scorer.ner_labels
+    ):
+        out.append((conv_id, turn_idx, "mention", s, e, -1, -1, lab, raw, soft))
+
+    # --- relation beam + pair decode (relation.py:112-177)
+    prune = scorer.span_prune_scores(ctx, spans)
+    kept_ix = D.topk_prune(prune, RELATION_SPANS_PER_WORD, n)
+    kept = spans[kept_ix]
+    rels = D.decode_relations(
+        kept, scorer.rel_logits(ctx, kept), scorer.relation_labels, keep=len(kept_ix)
+    )
+    for (s1, e1, s2, e2, lab, raw, soft) in rels:
+        out.append((conv_id, turn_idx, "relation", s1, e1, s2, e2, lab, raw, soft))
+
+    # --- events: trigger decode over all tokens; argument pairs restricted
+    #     to (beamed triggers, beamed arg spans) — floor-mode beams with the
+    #     reference's caps (events.py:132-163, :251-279)
+    trig_logits = scorer.trigger_logits(ctx, n)
+    trig_beam = D.topk_prune(
+        scorer.trigger_prune_scores(ctx, n),
+        TRIGGER_SPANS_PER_WORD, n, hard_cap=TRIGGER_CAP, mode="floor",
+    )
+    arg_prune = scorer.span_prune_scores(ctx, spans)
+    arg_ix = D.topk_prune(
+        arg_prune, ARG_SPANS_PER_WORD, n, hard_cap=ARG_CAP, mode="floor"
+    )
+    arg_spans = spans[arg_ix]
+    triggers, arguments = D.decode_events(
+        trig_logits,
+        scorer.trigger_labels,
+        arg_spans,
+        scorer.arg_logits(ctx, arg_spans, n),
+        scorer.role_labels,
+        trig_beam=trig_beam,
+    )
+    for (ix, lab, raw, soft) in triggers:
+        out.append((conv_id, turn_idx, "trigger", ix, ix, -1, -1, lab, raw, soft))
+    for (tix, s, e, role, raw, soft) in arguments:
+        out.append((conv_id, turn_idx, "argument", tix, tix, s, e, role, raw, soft))
+
+
+def extract(
+    turns: DataFrame,
+    scorer: Scorer,
+    max_span_width: int = D.MAX_SPAN_WIDTH,
+    max_tokens_per_chunk: int = 500,
+) -> DataFrame:
+    """Run the extraction kernel over all conversations.
+
+    One shuffle (groupBy chunk_key); group sizes bounded by
+    ``max_tokens_per_chunk`` so no conversation stragglers.
+    """
+    chunked = assign_chunks(turns, max_tokens_per_chunk)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        pdf = pdf.sort_values("turn_idx")
+        for conv_id, turn_idx, text in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+        ):
+            tokens = [t for t in text.split(" ") if t != ""]
+            _decode_sentence(
+                scorer, conv_id, int(turn_idx), tokens, max_span_width, rows
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "turn_idx", "row_type", "s1", "e1", "s2", "e2",
+                "label", "raw_score", "softmax_score",
+            ],
+        )
+
+    return chunked.groupBy("chunk_key").applyInPandas(kernel, EXTRACT_SCHEMA)
+
+
+def kernel_triples(extracted: DataFrame, turns: DataFrame) -> DataFrame:
+    """predict.py triple emission from kernel output (same dedup semantics
+    as operators.extraction.emit_triples: last (s1, s2) pair wins)."""
+    rels = extracted.filter(F.col("row_type") == "relation")
+    toks = turns.select("conv_id", "turn_idx", F.col("text").alias("sent_text"),
+                        F.split(F.col("text"), " ").alias("_toks"))
+    span_text = lambda s, e: F.array_join(  # noqa: E731
+        F.slice(F.col("_toks"), s + 1, e - s + 1), " "
+    )
+    with_text = rels.join(toks, ["conv_id", "turn_idx"]).select(
+        "conv_id",
+        "sent_text",
+        span_text(F.col("s1"), F.col("e1")).alias("arg0"),
+        span_text(F.col("s2"), F.col("e2")).alias("arg1"),
+        "label",
+        F.col("softmax_score").alias("conf"),
+        "s1",
+        "s2",
+    )
+    return with_text.groupBy("conv_id", "sent_text", "arg0", "arg1", "label").agg(
+        F.max_by(F.col("conf"), F.col("s1") * 1000 + F.col("s2")).alias("conf")
+    )

@@ -1,0 +1,275 @@
+"""Pluggable scoring backends for the extraction kernel.
+
+The reference's "scorer" is a trained PyTorch model (BERT embeddings +
+FFNN heads, /root/reference/dygie/models/dygie.py:196-271). We keep the
+exact decode path (dygiepp_spark.kernels.decode) and make the scorer an
+injected function with three implementations:
+
+* :class:`RuleScorer` — deterministic planted-pattern logits; used by
+  unit tests and the bench. Produces the same predictions as the
+  relational extraction in dygiepp_spark.operators.extraction (asserted
+  by tests/test_kernel.py).
+* :class:`ReplayScorer` — replays scores from a DyGIE-format prediction
+  (or gold) JSONL so the Spark decode path can be compared
+  triple-for-triple against the reference's emitted set — the honest
+  boundary for the P/R>=0.95 gate (SURVEY.md §7 "What's hard").
+* :class:`TransformerScorer` — the production slot: batched transformer
+  inference. The model libs aren't in this container, so ``__init__``
+  raises NotImplementedError; the Arrow plumbing around it (batch shapes,
+  broadcast of weights via SparkFiles) is what the kernel provides.
+
+Score conventions (match the reference):
+* classification logits have the NULL CLASS PREPENDED at index 0 with
+  logit 0.0 (ner.py:97-99: "dummy_scores" zero column).
+* pruning scores are unary logits; masked items use -1e20
+  (entity_beam_pruner.py:147).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dygiepp_spark.kernels import decode as D
+from dygiepp_spark.tables import (
+    ENTITY_VOCAB,
+    EVENT_ARG_MAX_DIST,
+    RELATION_LABELS,
+    RELATION_MAX_DIST,
+    TRIGGER_VOCAB,
+)
+
+NEG = -20.0
+POS = 10.0
+
+
+class Scorer:
+    """Interface. ``spans`` is an (S, 2) int array; logits are numpy."""
+
+    ner_labels: list[str]
+    relation_labels: list[str]
+    trigger_labels: list[str]
+    role_labels: list[str]
+
+    def span_prune_scores(self, ctx, spans: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def ner_logits(self, ctx, spans: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def rel_logits(self, ctx, kept_spans: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def trigger_logits(self, ctx, n_tokens: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def trigger_prune_scores(self, ctx, n_tokens: int) -> np.ndarray:
+        """Trigger beam scores. The reference's trigger pruner runs in
+        entity-beam mode — score = max over class logits incl. the null
+        column (entity_beam_pruner.py:116-118)."""
+        return np.max(self.trigger_logits(ctx, n_tokens), axis=-1)
+
+    def arg_logits(self, ctx, arg_spans: np.ndarray, n_tokens: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class RuleScorer(Scorer):
+    """Planted-pattern logits reproducing the relational rule extraction."""
+
+    def __init__(self):
+        self.ner_labels = ["CONCEPT"]
+        self.relation_labels = list(RELATION_LABELS)
+        self.trigger_labels = ["op_" + t for t in TRIGGER_VOCAB]
+        self.role_labels = ["arg0", "arg1"]
+        self._ents = set(ENTITY_VOCAB)
+        self._trigs = set(TRIGGER_VOCAB)
+
+    def _is_mention(self, tokens, spans):
+        return np.asarray(
+            [s == e and tokens[s] in self._ents for s, e in spans], dtype=bool
+        )
+
+    def span_prune_scores(self, ctx, spans):
+        m = self._is_mention(ctx["tokens"], spans)
+        return np.where(m, POS, NEG)
+
+    def ner_logits(self, ctx, spans):
+        m = self._is_mention(ctx["tokens"], spans)
+        out = np.zeros((spans.shape[0], 2))
+        out[:, 1] = np.where(m, POS, NEG)
+        return out
+
+    def rel_logits(self, ctx, kept):
+        tokens = ctx["tokens"]
+        k = kept.shape[0]
+        L = len(self.relation_labels)
+        out = np.zeros((k, k, L + 1))
+        out[:, :, 1:] = NEG
+        m = self._is_mention(tokens, kept)
+        for i in range(k):
+            for j in range(k):
+                if not (m[i] and m[j]):
+                    continue
+                d = kept[j, 0] - kept[i, 0]
+                if 0 < d <= RELATION_MAX_DIST:
+                    t1, t2 = tokens[kept[i, 0]], tokens[kept[j, 0]]
+                    lab = (len(t1) + 2 * len(t2)) % L
+                    out[i, j, 1 + lab] = POS
+        return out
+
+    def trigger_logits(self, ctx, n_tokens):
+        tokens = ctx["tokens"]
+        L = len(self.trigger_labels)
+        out = np.zeros((n_tokens, L + 1))
+        out[:, 1:] = NEG
+        for ix, t in enumerate(tokens):
+            if t in self._trigs:
+                out[ix, 1 + self.trigger_labels.index("op_" + t)] = POS
+        return out
+
+    def arg_logits(self, ctx, arg_spans, n_tokens):
+        tokens = ctx["tokens"]
+        A = arg_spans.shape[0]
+        out = np.zeros((n_tokens, A, 3))
+        out[:, :, 1:] = NEG
+        m = self._is_mention(tokens, arg_spans)
+        for ix, t in enumerate(tokens):
+            if t not in self._trigs:
+                continue
+            for a in range(A):
+                if not m[a]:
+                    continue
+                if abs(int(arg_spans[a, 0]) - ix) <= EVENT_ARG_MAX_DIST:
+                    role = 0 if arg_spans[a, 0] < ix else 1
+                    out[ix, a, 1 + role] = POS
+        return out
+
+
+class ReplayScorer(Scorer):
+    """Replay reference predictions (or gold annotations) as logits.
+
+    ``predictions``: {(conv_id, turn_idx): {"ner": [(s,e,label[,raw,soft])...],
+    "relations": [(s1,e1,s2,e2,label[,raw,soft])...],
+    "events": [...]}} with SENTENCE-RELATIVE offsets. Label vocabularies
+    are built from the prediction set (dynamic vocab, dygie.py:139-158),
+    sorted for determinism; null label keeps index 0 (ner.py:49-51).
+
+    Logit construction: predicted label gets ``log(p)`` and the other
+    labels share ``log1p(-p)`` mass, so decode's softmax returns ~p for
+    the winner — emitted (span, label) sets match the source EXACTLY and
+    confidences match to float precision.
+    """
+
+    def __init__(self, predictions: dict):
+        self.pred = predictions
+        ner, rel, trig, role = set(), set(), set(), set()
+        for v in predictions.values():
+            for r in v.get("ner", []):
+                ner.add(r[2])
+            for r in v.get("relations", []):
+                rel.add(r[4])
+            for ev in v.get("events", []):
+                trig.add(ev["event_type"])
+                for a in ev.get("args", []):
+                    role.add(a[2])
+        self.ner_labels = sorted(ner) or ["ENT"]
+        self.relation_labels = sorted(rel) or ["REL"]
+        self.trigger_labels = sorted(trig) or ["EVT"]
+        self.role_labels = sorted(role) or ["ARG"]
+
+    @staticmethod
+    def _logits(n_rows_shape, labels, hits):
+        """hits: {row_key: (label_index, prob)}; row_key indexes axis 0
+        (or a tuple for 2-d). Returns logits with null col 0 = 0.0."""
+        L = len(labels)
+        out = np.zeros(n_rows_shape + (L + 1,))
+        out[..., 1:] = NEG
+        for key, (li, p) in hits.items():
+            p = min(max(p, 1e-6), 1 - 1e-9)
+            out[key][0] = np.log1p(-p) if p < 1 else NEG
+            out[key][1:] = np.log((1 - p) / max(L - 1, 1)) if L > 1 else NEG
+            out[key][1 + li] = np.log(p)
+        return out
+
+    def _sent(self, ctx):
+        return self.pred.get((ctx["conv_id"], ctx["turn_idx"]), {})
+
+    def span_prune_scores(self, ctx, spans):
+        sent = self._sent(ctx)
+        keep = (
+            {(r[0], r[1]) for r in sent.get("ner", [])}
+            | {(r[0], r[1]) for r in sent.get("relations", [])}
+            | {(r[2], r[3]) for r in sent.get("relations", [])}
+            | {
+                (a[0], a[1])
+                for ev in sent.get("events", [])
+                for a in ev.get("args", [])
+            }
+        )
+        return np.asarray(
+            [POS if (int(s), int(e)) in keep else NEG for s, e in spans]
+        )
+
+    def ner_logits(self, ctx, spans):
+        hits = {}
+        idx = {(int(s), int(e)): i for i, (s, e) in enumerate(spans)}
+        for r in self._sent(ctx).get("ner", []):
+            key = (r[0], r[1])
+            if key in idx:
+                p = r[4] if len(r) > 4 else 0.99
+                hits[idx[key]] = (self.ner_labels.index(r[2]), p)
+        return self._logits((spans.shape[0],), self.ner_labels, hits)
+
+    def rel_logits(self, ctx, kept):
+        idx = {(int(s), int(e)): i for i, (s, e) in enumerate(kept)}
+        hits = {}
+        for r in self._sent(ctx).get("relations", []):
+            k1, k2 = (r[0], r[1]), (r[2], r[3])
+            if k1 in idx and k2 in idx:
+                p = r[6] if len(r) > 6 else 0.99
+                hits[(idx[k1], idx[k2])] = (self.relation_labels.index(r[4]), p)
+        return self._logits((kept.shape[0], kept.shape[0]), self.relation_labels, hits)
+
+    def trigger_logits(self, ctx, n_tokens):
+        hits = {}
+        for ev in self._sent(ctx).get("events", []):
+            hits[ev["trigger_ix"]] = (
+                self.trigger_labels.index(ev["event_type"]),
+                ev.get("prob", 0.99),
+            )
+        return self._logits((n_tokens,), self.trigger_labels, hits)
+
+    def trigger_prune_scores(self, ctx, n_tokens):
+        # replay hits must out-rank the zero null scores of non-hits
+        # (the log-prob logits of hits are slightly negative, so the
+        # entity-beam default would invert the beam)
+        hit = {ev["trigger_ix"] for ev in self._sent(ctx).get("events", [])}
+        return np.asarray([POS if i in hit else NEG for i in range(n_tokens)])
+
+    def arg_logits(self, ctx, arg_spans, n_tokens):
+        idx = {(int(s), int(e)): i for i, (s, e) in enumerate(arg_spans)}
+        hits = {}
+        for ev in self._sent(ctx).get("events", []):
+            for (s, e, role) in ev.get("args", []):
+                if (s, e) in idx:
+                    hits[(ev["trigger_ix"], idx[(s, e)])] = (
+                        self.role_labels.index(role),
+                        0.99,
+                    )
+        return self._logits((n_tokens, arg_spans.shape[0]), self.role_labels, hits)
+
+
+class TransformerScorer(Scorer):
+    """Production slot: batched transformer inference inside the kernel.
+
+    Would load weights from SparkFiles (shipped via spark-submit
+    --py-files / --files) and run Arrow-batched forward passes. The
+    container has no torch/transformers, so this is a clearly-marked stub;
+    the kernel plumbing it slots into is real and tested with the other
+    scorers.
+    """
+
+    def __init__(self, model_path: str):
+        raise NotImplementedError(
+            "transformer backend requires torch+transformers at runtime; "
+            "inject RuleScorer or ReplayScorer in this environment"
+        )

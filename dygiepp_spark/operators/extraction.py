@@ -30,8 +30,9 @@ AQE handles residual imbalance.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
+from dygiepp_spark.operators.doc_assembly import with_token_counts
 from dygiepp_spark.tables import (
     ENTITY_VOCAB,
     EVENT_ARG_MAX_DIST,
@@ -67,6 +68,36 @@ def detect_triggers(turns: DataFrame) -> DataFrame:
         "turn_idx",
         F.col("tok_ix").alias("trigger_ix"),
         F.concat(F.lit("op_"), F.col("token")).alias("event_type"),
+    )
+
+
+def positional_beam(
+    items: DataFrame,
+    turns: DataFrame,
+    spans_per_word: float,
+    cap: int | None = None,
+    mode: str = "ceil",
+    pos_col: str = "start",
+) -> DataFrame:
+    """M4 beam for uniformly-scored candidates: keep the first
+    k = round(spans_per_word * sentence_len) items per turn in textual
+    order (the Pruner's tie rule — equal scores resolve to lower indices,
+    then survivors re-sort ascending; entity_beam_pruner.py:104-192).
+
+    Relations use ceil (relation.py:117); events use floor-with-min-1 and
+    a hard cap (events.py:133-152).
+    """
+    counts = with_token_counts(turns).select("conv_id", "turn_idx", "n_tokens")
+    rounder = F.ceil if mode == "ceil" else F.floor
+    k = F.greatest(rounder(F.lit(spans_per_word) * F.col("n_tokens")), F.lit(1))
+    if cap is not None:
+        k = F.least(k, F.lit(cap))
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(pos_col)
+    return (
+        items.join(counts, ["conv_id", "turn_idx"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "n_tokens")
     )
 
 
@@ -122,8 +153,12 @@ def emit_triples(turns: DataFrame, max_dist: int = RELATION_MAX_DIST) -> DataFra
     ``get_doc_key_info`` (predict.py:22-34) — carrying the softmax score.
     ``max_by(conf, s1 * 1000 + s2)`` reproduces "last wins" because pairs
     are generated in ascending (i, j) order and turns are < 1000 tokens.
+
+    Mentions pass the reference's relation beam first
+    (k = ceil(0.5 * sentence_len), template.libsonnet:99) so this emits
+    exactly what the Arrow kernel emits with the RuleScorer.
     """
-    mentions = detect_mentions(turns)
+    mentions = positional_beam(detect_mentions(turns), turns, 0.5, mode="ceil")
     pairs = relation_pairs(mentions, max_dist)
     sent = turns.select("conv_id", "turn_idx", F.col("text").alias("sent_text"))
     return (
@@ -149,10 +184,17 @@ def extract_events(turns: DataFrame, max_dist: int = EVENT_ARG_MAX_DIST) -> Data
     (distance 0 impossible — vocabularies are disjoint); role = 'arg0' if
     the mention precedes the trigger else 'arg1'. Mirrors the reference's
     trigger-gated argument decode shape (events.py:251-279): an argument
-    row exists only for predicted (non-null) triggers.
+    row exists only for predicted (non-null) triggers, and argument pairs
+    are restricted to the trigger beam (floor 0.3/word cap 15) x the
+    argument-span beam (floor 0.8/word cap 30), events.py:133-152.
     """
-    mentions = detect_mentions(turns)
-    triggers = detect_triggers(turns)
+    mentions = positional_beam(
+        detect_mentions(turns), turns, 0.8, cap=30, mode="floor"
+    )
+    triggers = positional_beam(
+        detect_triggers(turns), turns, 0.3, cap=15, mode="floor",
+        pos_col="trigger_ix",
+    )
     m = mentions.alias("m")
     t = triggers.alias("t")
     return t.join(

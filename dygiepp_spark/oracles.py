@@ -41,6 +41,43 @@ mentions AS (
 )
 """
 
+#: per-turn token counts + the reference's positional beams (M4 with
+#: uniform scores -> first-k-by-position; relations ceil 0.5/word,
+#: event args floor 0.8/word cap 30, triggers floor 0.3/word cap 15)
+BEAMS_SQL = f"""
+lens AS (
+    SELECT conv_id, turn_idx, count(*) AS n_tokens
+    FROM tokens GROUP BY conv_id, turn_idx
+),
+mentions_rel AS (
+    SELECT * FROM (
+        SELECT m.*, l.n_tokens,
+               row_number() OVER (PARTITION BY m.conv_id, m.turn_idx
+                                  ORDER BY m.start) AS rn
+        FROM mentions m
+        JOIN lens l ON m.conv_id = l.conv_id AND m.turn_idx = l.turn_idx
+    ) WHERE rn <= greatest(CAST(ceil(0.5 * n_tokens) AS BIGINT), 1)
+),
+mentions_arg AS (
+    SELECT * FROM (
+        SELECT m.*, l.n_tokens,
+               row_number() OVER (PARTITION BY m.conv_id, m.turn_idx
+                                  ORDER BY m.start) AS rn
+        FROM mentions m
+        JOIN lens l ON m.conv_id = l.conv_id AND m.turn_idx = l.turn_idx
+    ) WHERE rn <= least(greatest(CAST(floor(0.8 * n_tokens) AS BIGINT), 1), 30)
+),
+triggers_beam AS (
+    SELECT * FROM (
+        SELECT t.conv_id, t.turn_idx, t.tok_ix, t.token, l.n_tokens,
+               row_number() OVER (PARTITION BY t.conv_id, t.turn_idx
+                                  ORDER BY t.tok_ix) AS rn
+        FROM (SELECT * FROM tokens WHERE token IN ({_TRIGS})) t
+        JOIN lens l ON t.conv_id = l.conv_id AND t.turn_idx = l.turn_idx
+    ) WHERE rn <= least(greatest(CAST(floor(0.3 * n_tokens) AS BIGINT), 1), 15)
+)
+"""
+
 PAIRS_SQL = f"""
 pairs AS (
     SELECT a.conv_id AS conv_id, a.turn_idx AS turn_idx,
@@ -49,14 +86,17 @@ pairs AS (
            b.start - a.start AS dist,
            {_LABELS}[((len(a.surface) + 2 * len(b.surface)) % {len(RELATION_LABELS)}) + 1] AS label,
            CAST(1 AS DOUBLE) / (1 + (b.start - a.start)) AS conf
-    FROM mentions a
-    JOIN mentions b
+    FROM mentions_rel a
+    JOIN mentions_rel b
       ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
      AND b.start > a.start AND b.start - a.start <= {RELATION_MAX_DIST}
 )
 """
 
-_PRELUDE = f"WITH {TURNS_SQL.strip().rstrip()} , {TOKENS_SQL.strip()} , {MENTIONS_SQL.strip()} , {PAIRS_SQL.strip()}"
+_PRELUDE = (
+    f"WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()} , {MENTIONS_SQL.strip()} , "
+    f"{BEAMS_SQL.strip()} , {PAIRS_SQL.strip()}"
+)
 
 
 def turns_oracle() -> str:
@@ -131,8 +171,8 @@ SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
        m.start AS arg_start, m."end" AS arg_end,
        CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role,
        m.surface AS arg_text
-FROM (SELECT * FROM tokens WHERE token IN ({_TRIGS})) t
-JOIN mentions m
+FROM triggers_beam t
+JOIN mentions_arg m
   ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
  AND abs(m.start - t.tok_ix) <= {EVENT_ARG_MAX_DIST}"""
 
@@ -144,8 +184,8 @@ def events_binary_oracle() -> str:
            t.tok_ix AS trigger_ix, 'op_' || t.token AS event_type,
            m.start AS arg_start, m.surface AS arg_text,
            CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role
-    FROM (SELECT * FROM tokens WHERE token IN ({_TRIGS})) t
-    JOIN mentions m
+    FROM triggers_beam t
+    JOIN mentions_arg m
       ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
      AND abs(m.start - t.tok_ix) <= {EVENT_ARG_MAX_DIST}
 )

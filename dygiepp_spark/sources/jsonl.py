@@ -1,0 +1,202 @@
+"""DyGIE JSONL document scan/sink and the fixture->transcript converter.
+
+Reference format (/root/reference/doc/data.md): one JSON object per line,
+``doc_key`` + ``sentences`` (list of token lists) mandatory; optional
+parallel lists ``ner``/``relations``/``clusters``/``events`` and their
+``predicted_*`` counterparts, all with DOC-LEVEL token offsets. Span
+offsets convert to sentence-relative by subtracting ``sentence_start``
+(document.py:364-372); sentence_start is the shifted cumsum of sentence
+lengths (document.py:113-117).
+
+Conversion rule (FIXTURES.md §2): one sentence = one turn,
+conv_id = doc_key, turn_idx = sentence_ix, role alternates
+user/assistant, ts = epoch + turn_idx seconds.
+
+The distributed scan (:func:`read_dygie_jsonl`) parses with a pandas UDF
+over ``spark.read.text`` — JSON lines with ragged heterogeneous arrays
+(e.g. ``[62, 64, "label"]``) defeat ``spark.read.json`` schema inference,
+and per-row Python UDFs are banned; mapInPandas keeps parsing vectorized
+per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+TURN_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def sentence_starts(sentences: list[list[str]]) -> list[int]:
+    """Shifted cumsum (document.py:113-117)."""
+    starts, acc = [], 0
+    for s in sentences:
+        starts.append(acc)
+        acc += len(s)
+    return starts
+
+
+def doc_to_turn_rows(doc: dict) -> list[tuple]:
+    """One sentence -> one turn row (no empty-token sentences; the
+    reference rejects docs with empty tokens, document.py:158-165)."""
+    rows = []
+    for ix, toks in enumerate(doc["sentences"]):
+        rows.append(
+            (
+                str(doc["doc_key"]),
+                ix,
+                "user" if ix % 2 == 0 else "assistant",
+                " ".join(toks),
+                None,
+                None,
+            )
+        )
+    return rows
+
+
+def _find_sentence(starts: list[int], lens: list[int], tok_ix: int) -> int:
+    """Sentence containing a doc-level token index (document.py:22-33)."""
+    for i, (st, ln) in enumerate(zip(starts, lens)):
+        if st <= tok_ix < st + ln:
+            return i
+    raise ValueError(f"token index {tok_ix} outside document")
+
+
+def doc_predictions(doc: dict, use_predicted: bool = False) -> dict:
+    """Build the ReplayScorer input: {(doc_key, sent_ix): {...}} with
+    SENTENCE-RELATIVE offsets.
+
+    ``use_predicted=True`` reads ``predicted_ner``/``predicted_relations``/
+    ``predicted_events`` (document.py:485-649 predicted variants carry
+    [raw, softmax] score suffixes); otherwise the gold fields replay with
+    prob 0.99.
+    """
+    key = str(doc["doc_key"])
+    sents = doc["sentences"]
+    starts = sentence_starts(sents)
+    lens = [len(s) for s in sents]
+    prefix = "predicted_" if use_predicted else ""
+    out: dict = {}
+
+    def sent_entry(ix):
+        return out.setdefault((key, ix), {"ner": [], "relations": [], "events": []})
+
+    for ix, ner_sent in enumerate(doc.get(prefix + "ner", []) or []):
+        for r in ner_sent:
+            s, e, lab = r[0], r[1], r[2]
+            rel_s, rel_e = s - starts[ix], e - starts[ix]
+            entry = [rel_s, rel_e, lab]
+            if len(r) > 4:
+                entry += [float(r[3]), float(r[4])]
+            sent_entry(ix)["ner"].append(tuple(entry))
+    for ix, rel_sent in enumerate(doc.get(prefix + "relations", []) or []):
+        for r in rel_sent:
+            s1, e1, s2, e2, lab = r[0], r[1], r[2], r[3], r[4]
+            st = starts[ix]
+            entry = [s1 - st, e1 - st, s2 - st, e2 - st, lab]
+            if len(r) > 6:
+                entry += [float(r[5]), float(r[6])]
+            sent_entry(ix)["relations"].append(tuple(entry))
+    for ix, ev_sent in enumerate(doc.get(prefix + "events", []) or []):
+        for ev in ev_sent:
+            trig_ix, ev_type = ev[0][0], ev[0][1]
+            st = starts[ix]
+            args = [
+                (a[0] - st, a[1] - st, a[2]) for a in ev[1:]
+            ]
+            sent_entry(ix)["events"].append(
+                {"trigger_ix": trig_ix - st, "event_type": ev_type, "args": args}
+            )
+    return out
+
+
+def expected_triples(
+    doc: dict, use_predicted: bool = False, max_span_width: int | None = None
+) -> set[tuple]:
+    """The reference's emitted triple set for one document —
+    predict.py:22-42 semantics computed straight from the JSON (the
+    pytest oracle for the P/R gate): (doc_key, sent_text, arg0_text,
+    arg1_text, label), last-written score wins per key.
+
+    ``max_span_width`` drops relations whose args exceed the enumeration
+    cap — the model can only predict enumerated spans (``_too_long``,
+    dygie.py:55-56), so gold-replay parity is defined over that domain.
+    """
+    key = str(doc["doc_key"])
+    sents = doc["sentences"]
+    starts = sentence_starts(sents)
+    prefix = "predicted_" if use_predicted else ""
+    triples: dict = {}
+    for ix, rel_sent in enumerate(doc.get(prefix + "relations", []) or []):
+        sent_text = " ".join(sents[ix])
+        st = starts[ix]
+        for r in rel_sent:
+            s1, e1, s2, e2, lab = r[0] - st, r[1] - st, r[2] - st, r[3] - st, r[4]
+            if max_span_width is not None and (
+                e1 - s1 + 1 > max_span_width or e2 - s2 + 1 > max_span_width
+            ):
+                continue
+            arg0 = " ".join(sents[ix][s1 : e1 + 1])
+            arg1 = " ".join(sents[ix][s2 : e2 + 1])
+            triples[(key, sent_text, arg0, arg1, lab)] = (
+                float(r[6]) if len(r) > 6 else 0.99
+            )
+    return set(triples.keys())
+
+
+def load_jsonl(path: str) -> list[dict]:
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def turns_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-side converter for small fixture files."""
+    rows = [r for doc in load_jsonl(path) for r in doc_to_turn_rows(doc)]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def read_dygie_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S1 distributed scan: JSONL docs -> turn rows via mapInPandas."""
+    raw = spark.read.text(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                if not line.strip():
+                    continue
+                doc = json.loads(line)
+                rows.extend(doc_to_turn_rows(doc))
+            yield pd.DataFrame(rows, columns=TURN_COLS)
+
+    return raw.mapInPandas(
+        parse,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def write_triples_tsv(df: DataFrame, path: str) -> None:
+    """S3 TSV triple sink (predict.py:36-42 column order)."""
+    df.select("conv_id", "sent_text", "arg0", "arg1", "label", "conf").write.mode(
+        "overwrite"
+    ).option("sep", "\t").csv(path)
+
+
+def read_triples_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S4 TSV scan (eval_metric.py:79-84 names)."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema(
+            "conv_id string, sent_text string, arg0 string, arg1 string, "
+            "label string, conf double"
+        )
+        .csv(path)
+    )

@@ -1,0 +1,198 @@
+"""Kernel-path tests: numpy decode semantics, kernel==relational parity,
+and the fixture replay gate (reference triples reproduced at P/R = 1.0)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from dygiepp_spark import tables as TT
+from dygiepp_spark.kernels import decode as D
+from dygiepp_spark.kernels import extract as K
+from dygiepp_spark.kernels.scorer import ReplayScorer, RuleScorer
+from dygiepp_spark.operators import extraction as EX
+from dygiepp_spark.sources import jsonl as J
+
+SCIERC_FIXTURE = "/root/reference/dygie/tests/fixtures/scierc_article.json"
+ACE_FIXTURE = "/root/reference/dygie/tests/fixtures/ace_event_article.json"
+
+
+# ---------------------------------------------------------------- decode unit
+
+def test_topk_prune_resorts_ascending():
+    scores = np.array([1.0, 9.0, 5.0, 7.0])
+    # k = ceil(0.5*4) = 2 -> indices {1, 3}, returned ASCENDING
+    kept = D.topk_prune(scores, 0.5, 4)
+    assert kept.tolist() == [1, 3]
+
+
+def test_topk_prune_tie_prefers_lower_index():
+    scores = np.array([5.0, 5.0, 5.0])
+    # k = ceil(0.4 * 3) = 2; equal scores -> lower indices win
+    assert D.topk_prune(scores, 0.4, 3).tolist() == [0, 1]
+
+
+def test_topk_prune_always_keeps_one():
+    assert D.topk_prune(np.array([-1e20, -1e20]), 0.0001, 1).tolist() == [0]
+
+
+def test_decode_relations_null_shift():
+    spans = np.array([[0, 0], [2, 2]])
+    logits = np.zeros((2, 2, 3))       # null col 0
+    logits[0, 1, 1] = 5.0              # label index 0 after shift
+    logits[1, 0, 2] = 3.0              # label index 1
+    out = D.decode_relations(spans, logits, ["A", "B"], keep=2)
+    keys = {(r[0], r[2], r[4]) for r in out}
+    assert keys == {(0, 2, "A"), (2, 0, "B")}
+
+
+def test_decode_events_trigger_gated():
+    trig = np.zeros((3, 2))
+    trig[1, 1] = 5.0                    # token 1 is a trigger
+    arg_spans = np.array([[0, 0], [2, 2]])
+    arg_logits = np.zeros((3, 2, 2))
+    arg_logits[1, 0, 1] = 4.0           # arg for the real trigger
+    arg_logits[2, 1, 1] = 4.0           # arg for a NON-trigger token -> dropped
+    triggers, arguments = D.decode_events(trig, ["EVT"], arg_spans, arg_logits, ["R"])
+    assert [t[0] for t in triggers] == [1]
+    assert [(a[0], a[1]) for a in arguments] == [(1, 0)]
+
+
+def test_decode_antecedents_dummy_zero():
+    scores = np.full((3, 3), -5.0)
+    scores[2, 0] = 2.0
+    out = D.decode_antecedents(scores)
+    assert out.tolist() == [-1, -1, 0]  # span1's best (-5) loses to dummy 0
+
+
+# ------------------------------------------------------- kernel == relational
+
+@pytest.fixture(scope="module")
+def small_turns(spark):
+    return TT.turns_from_documents(spark, "/root/testdata/sf0.001").filter(
+        F.col("conv_id").cast("int") < 60
+    ).cache()
+
+
+def test_kernel_matches_relational_triples(spark, small_turns):
+    extracted = K.extract(small_turns, RuleScorer()).cache()
+    kern = {
+        (r["conv_id"], r["sent_text"], r["arg0"], r["arg1"], r["label"])
+        for r in K.kernel_triples(extracted, small_turns).collect()
+    }
+    rel = {
+        (r["conv_id"], r["sent_text"], r["arg0"], r["arg1"], r["label"])
+        for r in EX.emit_triples(small_turns).collect()
+    }
+    assert kern == rel
+
+
+def test_kernel_matches_relational_mentions(spark, small_turns):
+    extracted = K.extract(small_turns, RuleScorer())
+    kern = {
+        (r["conv_id"], r["turn_idx"], r["s1"], r["e1"])
+        for r in extracted.filter(F.col("row_type") == "mention").collect()
+    }
+    rel = {
+        (r["conv_id"], r["turn_idx"], r["start"], r["end"])
+        for r in EX.detect_mentions(small_turns).collect()
+    }
+    assert kern == rel
+
+
+def test_kernel_matches_relational_events(spark, small_turns):
+    extracted = K.extract(small_turns, RuleScorer())
+    kern = {
+        (r["conv_id"], r["turn_idx"], r["s1"], r["s2"], r["label"])
+        for r in extracted.filter(F.col("row_type") == "argument").collect()
+    }
+    rel = {
+        (r["conv_id"], r["turn_idx"], r["trigger_ix"], r["arg_start"], r["role"])
+        for r in EX.extract_events(small_turns).collect()
+    }
+    assert kern == rel
+
+
+# ------------------------------------------------------- fixture replay gate
+
+def _replay_triples(spark, fixture_path, use_predicted=False):
+    docs = J.load_jsonl(fixture_path)
+    turns = J.turns_from_jsonl(spark, fixture_path)
+    preds: dict = {}
+    expected: set = set()
+    for doc in docs:
+        preds.update(J.doc_predictions(doc, use_predicted))
+        expected |= J.expected_triples(
+            doc, use_predicted, max_span_width=D.MAX_SPAN_WIDTH
+        )
+    scorer = ReplayScorer(preds)
+    extracted = K.extract(turns, scorer)
+    got = {
+        (r["conv_id"], r["sent_text"], r["arg0"], r["arg1"], r["label"])
+        for r in K.kernel_triples(extracted, turns).collect()
+    }
+    return got, expected
+
+
+def test_scierc_fixture_replay_exact(spark):
+    """Decode path reproduces the reference's triple set on the SciERC
+    fixture at P = R = 1.0 (north-rule gate; scores replayed, decode ours)."""
+    got, expected = _replay_triples(spark, SCIERC_FIXTURE)
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_ace_fixture_event_replay(spark):
+    """Event decode reproduces the ACE fixture's (trigger, type, arg, role)
+    tuples exactly."""
+    docs = J.load_jsonl(ACE_FIXTURE)
+    turns = J.turns_from_jsonl(spark, ACE_FIXTURE)
+    preds: dict = {}
+    for doc in docs:
+        preds.update(J.doc_predictions(doc))
+    expected = {
+        (key[0], key[1], ev["trigger_ix"], ev["event_type"], s, e, role)
+        for key, v in preds.items()
+        for ev in v["events"]
+        for (s, e, role) in ev["args"]
+        if e - s + 1 <= D.MAX_SPAN_WIDTH  # enumeration cap domain
+    }
+    extracted = K.extract(turns, ReplayScorer(preds)).cache()
+    trig_rows = {
+        (r["conv_id"], r["turn_idx"], r["s1"]): r["label"]
+        for r in extracted.filter(F.col("row_type") == "trigger").collect()
+    }
+    arg_rows = extracted.filter(F.col("row_type") == "argument").collect()
+    got = {
+        (
+            r["conv_id"], r["turn_idx"], r["s1"],
+            trig_rows.get((r["conv_id"], r["turn_idx"], r["s1"])),
+            r["s2"], r["e2"], r["label"],
+        )
+        for r in arg_rows
+    }
+    assert got == expected
+    assert len(expected) > 10
+
+
+def test_gold_ner_replay_exact(spark):
+    docs = J.load_jsonl(SCIERC_FIXTURE)
+    turns = J.turns_from_jsonl(spark, SCIERC_FIXTURE)
+    preds: dict = {}
+    for doc in docs:
+        preds.update(J.doc_predictions(doc))
+    expected = {
+        (k[0], k[1], r[0], r[1], r[2])
+        for k, v in preds.items()
+        for r in v["ner"]
+        if r[1] - r[0] + 1 <= D.MAX_SPAN_WIDTH
+    }
+    extracted = K.extract(turns, ReplayScorer(preds))
+    got = {
+        (r["conv_id"], r["turn_idx"], r["s1"], r["e1"], r["label"])
+        for r in extracted.filter(F.col("row_type") == "mention").collect()
+    }
+    assert got == expected
