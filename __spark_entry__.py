@@ -1,18 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship KG triple-extraction query on sf0.001.
-``queries()`` maps every implemented operator (SURVEY.md §2) to a callable
-``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB twin.
-The transcript input itself is derived deterministically from the
-``documents`` view in BOTH engines (see dygiepp_spark.tables.TURNS_SQL), so
-the full pipeline — doc assembly, tokenization, mention/trigger detection,
-pair generation, triple emission, linking, canonicalization — is oracle-
-checked end to end.
+``queries()`` maps every implemented operator (SURVEY.md §2 + the
+training-data-pipeline layer) to a callable ``(spark, sf_dir) -> DataFrame``;
+``oracle_sql()`` gives the DuckDB twin. The transcript input itself is
+derived deterministically from the ``documents`` view in BOTH engines (see
+dygiepp_spark.tables.TURNS_SQL), so the full pipeline — doc assembly,
+tokenization, mention/trigger detection, pair generation, triple emission,
+linking, coref/canonicalization, KG materialization, eval — is oracle-
+checked end to end. Dedup / similarity / text-analysis / multimodal queries
+run over the ``documents`` and ``embeddings`` tables directly.
 """
 
 from __future__ import annotations
 
+import os
 import sys
+import uuid
 from collections.abc import Callable
 
 if "/root/repo" not in sys.path:
@@ -21,15 +25,33 @@ if "/root/repo" not in sys.path:
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from dygiepp_spark import oracles
+from dygiepp_spark import oracles, oracles_data, oracles_kg
 from dygiepp_spark import tables as TT
+from dygiepp_spark.functions import text as TX
+from dygiepp_spark.operators import coref as CO
+from dygiepp_spark.operators import dedup as DD
 from dygiepp_spark.operators import doc_assembly as DA
 from dygiepp_spark.operators import extraction as EX
+from dygiepp_spark.operators import graph as GR
+from dygiepp_spark.operators import kg_eval as KE
+from dygiepp_spark.operators import linking as LK
+from dygiepp_spark.operators import multimodal as MM
+from dygiepp_spark.operators import pruning as PR
+from dygiepp_spark.operators import similarity as SIM
 from dygiepp_spark.operators import spans as SP
+from dygiepp_spark.streaming import stream as ST
 
 
 def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TT.turns_from_documents(spark, sf_dir, with_ts=False)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TT.load_documents(spark, sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# queries
+# extraction core
 # --------------------------------------------------------------------------
 
 def q_turns(spark, sf_dir):
@@ -85,8 +107,175 @@ def q_events_binary(spark, sf_dir):
     return EX.events_binary_decode(EX.extract_events(_turns(spark, sf_dir)))
 
 
+# --------------------------------------------------------------------------
+# coref / linking / graph
+# --------------------------------------------------------------------------
+
+def q_coref_clusters(spark, sf_dir):
+    return CO.coref_clusters(EX.detect_mentions(_turns(spark, sf_dir)))
+
+
+def q_coref_canonical(spark, sf_dir):
+    return CO.canonicalize_clusters(
+        CO.coref_clusters(EX.detect_mentions(_turns(spark, sf_dir)))
+    )
+
+
+def q_linked_mentions(spark, sf_dir):
+    return LK.link_mentions(
+        EX.detect_mentions(_turns(spark, sf_dir)), TT.entity_dict(spark)
+    )
+
+
+def q_kg_edges(spark, sf_dir):
+    return GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+
+
+def q_kg_nodes(spark, sf_dir):
+    return GR.build_nodes(_turns(spark, sf_dir), TT.entity_dict(spark))
+
+
+def q_kg_edges_agg(spark, sf_dir):
+    return GR.aggregate_edges(
+        GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    )
+
+
+# --------------------------------------------------------------------------
+# eval layer
+# --------------------------------------------------------------------------
+
+def q_ie_eval_exact(spark, sf_dir):
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(EX.emit_triples(turns), KE.gold_triples(turns), "exact")
+
+
+def q_ie_eval_substring(spark, sf_dir):
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(EX.emit_triples(turns), KE.gold_triples(turns), "substring")
+
+
+def q_ie_span_eval(spark, sf_dir):
+    turns = _turns(spark, sf_dir)
+    return KE.ie_span_eval(EX.emit_triples(turns), KE.gold_triples(turns))
+
+
+def q_micro_prf(spark, sf_dir):
+    turns = _turns(spark, sf_dir)
+    return KE.micro_prf(EX.emit_triples(turns), KE.gold_triples(turns))
+
+
+def q_gold_transitive(spark, sf_dir):
+    return KE.transitive_closure(KE.gold_triples(_turns(spark, sf_dir)), rounds=2)
+
+
+def q_triples_topk(spark, sf_dir):
+    return PR.global_topk_with_ties(EX.emit_triples(_turns(spark, sf_dir)), "conf", 50)
+
+
+def q_best_label_per_pair(spark, sf_dir):
+    return PR.best_per_span(
+        EX.emit_triples(_turns(spark, sf_dir)),
+        span_cols=["conv_id", "arg0", "arg1"],
+        score_col="conf",
+        tiebreak_cols=["label", "sent_text"],
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family (over documents + derived overlapping chunks)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_tokenset(spark, sf_dir):
+    return DD.tokenset_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_near_dups_minhash(spark, sf_dir):
+    return DD.near_dups_minhash(DD.doc_chunks(_docs(spark, sf_dir)))
+
+
+def q_near_dups_simhash(spark, sf_dir):
+    return DD.near_dups_simhash(DD.doc_chunks(_docs(spark, sf_dir)))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(DD.doc_chunks(_docs(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+def q_ann_brute_force(spark, sf_dir):
+    return SIM.brute_force_topk(_emb(spark, sf_dir))
+
+
+def q_ann_ivf(spark, sf_dir):
+    return SIM.ivf_topk(_emb(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents table)
+# --------------------------------------------------------------------------
+
+def _doc_text(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    df = TX.bpe_ish_token_count(TX.word_token_count(_doc_text(spark, sf_dir)))
+    return df.select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+def q_langid(spark, sf_dir):
+    return TX.langid(_doc_text(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def q_quality(spark, sf_dir):
+    return TX.quality_score(_doc_text(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "quality",
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_doc_text(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# multimodal (binary payload plumbing via mapInPandas)
+# --------------------------------------------------------------------------
+
+def q_image_meta(spark, sf_dir):
+    return MM.image_metadata(_docs(spark, sf_dir))
+
+
+def q_frame_samples(spark, sf_dir):
+    return MM.frame_samples(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# streaming (availableNow drain == batch result for stateless stages)
+# --------------------------------------------------------------------------
+
+def q_streaming_mentions(spark, sf_dir):
+    base = f"/root/repo/.tmp/stream_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    _turns(spark, sf_dir).write.mode("overwrite").parquet(in_dir)
+    ST.run_mentions_stream(spark, in_dir, out_dir, ckpt)
+    return spark.read.parquet(out_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # extraction core
         "turns": q_turns,
         "doc_assembly": q_doc_assembly,
         "sentence_offsets": q_sentence_offsets,
@@ -96,6 +285,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_mechanism": q_triples_mechanism,
         "events": q_events,
         "events_binary": q_events_binary,
+        # coref / linking / graph
+        "coref_clusters": q_coref_clusters,
+        "coref_canonical": q_coref_canonical,
+        "linked_mentions": q_linked_mentions,
+        "kg_edges": q_kg_edges,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges_agg": q_kg_edges_agg,
+        # eval layer
+        "ie_eval_exact": q_ie_eval_exact,
+        "ie_eval_substring": q_ie_eval_substring,
+        "ie_span_eval": q_ie_span_eval,
+        "micro_prf": q_micro_prf,
+        "gold_transitive": q_gold_transitive,
+        "triples_topk": q_triples_topk,
+        "best_label_per_pair": q_best_label_per_pair,
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "dedup_tokenset": q_dedup_tokenset,
+        "near_dups_minhash": q_near_dups_minhash,
+        "near_dups_simhash": q_near_dups_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        # similarity search
+        "ann_brute_force": q_ann_brute_force,
+        "ann_ivf": q_ann_ivf,
+        # text analysis
+        "token_counts": q_token_counts,
+        "langid": q_langid,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        # multimodal
+        "image_meta": q_image_meta,
+        "frame_samples": q_frame_samples,
+        # streaming
+        "streaming_mentions": q_streaming_mentions,
     }
 
 
@@ -110,4 +333,31 @@ def oracle_sql() -> dict[str, str]:
         "triples_mechanism": oracles.triples_mechanism_oracle(),
         "events": oracles.events_oracle(),
         "events_binary": oracles.events_binary_oracle(),
+        "coref_clusters": oracles_kg.coref_clusters_oracle(),
+        "coref_canonical": oracles_kg.coref_canonical_oracle(),
+        "linked_mentions": oracles_kg.linked_mentions_oracle(),
+        "kg_edges": oracles_kg.kg_edges_oracle(),
+        "kg_nodes": oracles_kg.kg_nodes_oracle(),
+        "kg_edges_agg": oracles_kg.kg_edges_agg_oracle(),
+        "ie_eval_exact": oracles_kg.ie_eval_exact_oracle(),
+        "ie_eval_substring": oracles_kg.ie_eval_substring_oracle(),
+        "ie_span_eval": oracles_kg.ie_span_eval_oracle(),
+        "micro_prf": oracles_kg.micro_prf_oracle(),
+        "gold_transitive": oracles_kg.gold_transitive_oracle(rounds=2),
+        "triples_topk": oracles_kg.triples_topk_oracle(k=50),
+        "best_label_per_pair": oracles_kg.best_label_per_pair_oracle(),
+        "dedup_exact": oracles_data.dedup_exact_oracle(),
+        "dedup_tokenset": oracles_data.dedup_tokenset_oracle(),
+        "near_dups_minhash": oracles_data.near_dups_minhash_oracle(),
+        "near_dups_simhash": oracles_data.near_dups_simhash_oracle(),
+        "ngram_jaccard": oracles_data.ngram_jaccard_oracle(),
+        "ann_brute_force": oracles_data.ann_brute_force_oracle(),
+        "ann_ivf": oracles_data.ann_ivf_oracle(),
+        "token_counts": oracles_data.token_counts_oracle(),
+        "langid": oracles_data.langid_oracle(),
+        "quality": oracles_data.quality_oracle(),
+        "fingerprint": oracles_data.fingerprint_oracle(),
+        "image_meta": oracles_data.image_meta_oracle(),
+        "frame_samples": oracles_data.frame_samples_oracle(),
+        "streaming_mentions": oracles.mentions_oracle(),
     }

@@ -97,8 +97,12 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword hits; tie/zero -> 'und'. One pass over the token array per
     language (5 small filters — all codegen'd)."""
     toks = tokens_col(F.lower(F.col(text_col)))
+
+    def _hit(ws: list[str]):
+        return lambda t: t.isin(*ws)
+
     hits = [
-        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(f"_h_{lang}")
+        F.size(F.filter(toks, _hit(ws))).alias(f"_h_{lang}")
         for lang, ws in LANG_STOPWORDS.items()
     ]
     with_hits = df.select("*", *hits)

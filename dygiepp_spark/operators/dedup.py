@@ -1,0 +1,375 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all JVM-side (built-in functions only, portable md5-based
+hashing from ``dygiepp_spark.functions.hashing`` so every result has a
+bit-identical DuckDB oracle):
+
+* **exact** — hash-groupBy on normalized text (and a token-set variant that
+  catches reorderings). One map-side-combinable aggregation.
+* **MinHash + LSH** — token-2-gram shingles -> k minhashes -> banded bucket
+  keys -> bucket self-join for candidates -> exact Jaccard verify.
+* **SimHash** — 32-bit sign-aggregated signature over shingle hashes;
+  candidates via 4-bit band collision, verified by Hamming distance.
+* **n-gram Jaccard** — blocked all-pairs exact Jaccard (size-bucket
+  blocking) for the small/precise path.
+
+The corpus has no natural duplicates, so dedup queries run over
+:func:`doc_chunks` — every document split into two ~2/3-length overlapping
+chunks (ids ``2*doc_id`` and ``2*doc_id + 1``), planting one true near-dup
+pair per document (shingle Jaccard ~= 1/3) deterministically in BOTH
+engines.
+
+Scale notes (100 TB): the only shuffles are (a) the signature groupBy
+(map-side combine, k*64 bits per doc), (b) the bucket self-join — its key
+distribution is the dup-cluster distribution, so a viral duplicate makes a
+hot bucket: AQE skew-join splitting handles moderate cases and a bucket
+size cap (drop buckets with > N members, they are all-pairs-dup anyway and
+get caught by the exact pass) handles the pathological ones; and (c) the
+verify join, bounded by candidate count. Nothing is quadratic in corpus
+size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from dygiepp_spark.functions.hashing import hash60, seeded
+
+#: LSH structure: N_BANDS bands x ROWS_PER_BAND minhash rows.
+N_BANDS = 16
+ROWS_PER_BAND = 2
+N_HASHES = N_BANDS * ROWS_PER_BAND
+
+SIMHASH_BITS = 32
+#: split the simhash into 4-bit bands for candidate generation
+SIMHASH_BAND_BITS = 4
+
+
+def _norm_text(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+# --------------------------------------------------------------------------
+# chunk derivation (plants deterministic near-dups)
+# --------------------------------------------------------------------------
+
+def doc_chunks(docs: DataFrame) -> DataFrame:
+    """Split each doc into two overlapping chunks.
+
+    chunk ``2*doc_id``   = tokens[0 : ceil(2n/3))
+    chunk ``2*doc_id+1`` = tokens[floor(n/3) : n)
+
+    Both ~2n/3 tokens, overlapping by ~n/3 -> 2-gram-shingle Jaccard ~1/3.
+    Narrow op (no shuffle); output (chunk_id, text, n_tokens).
+    """
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    ).filter(F.col("n") >= 3)
+    n = F.col("n")
+    c0_len = F.ceil(n * 2.0 / 3.0).cast("int")
+    c1_start = F.floor(n / 3.0).cast("int") + 1  # 1-based
+    c0 = base.select(
+        (F.col("doc_id") * 2).alias("chunk_id"),
+        F.array_join(F.slice("toks", F.lit(1), c0_len), " ").alias("text"),
+    )
+    c1 = base.select(
+        (F.col("doc_id") * 2 + 1).alias("chunk_id"),
+        F.array_join(F.slice("toks", c1_start, F.col("n") - c1_start + 1), " ").alias(
+            "text"
+        ),
+    )
+    out = c0.unionByName(c1)
+    return out.withColumn("n_tokens", F.size(_tokens(F.col("text"))))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(normalized text); canonical = min id.
+
+    Output (text_hash, canonical_id, n_dups). ONE hash aggregation with
+    map-side partial agg — the cheapest possible dedup at any scale.
+    """
+    h = F.md5(_norm_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("id"), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def tokenset_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-insensitive exact dedup: hash the sorted distinct token set
+    (catches shuffled/reordered copies — a real fraction of web dups)."""
+    toks = _tokens(_norm_text(F.col(text_col)))
+    sig = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("id"), sig.alias("set_hash"))
+        .groupBy("set_hash")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash/LSH
+# --------------------------------------------------------------------------
+
+def shingles(
+    chunks: DataFrame, id_col: str = "chunk_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct token-2-gram shingles, exploded long format (id, shingle).
+
+    Narrow: split + transform + array_distinct + explode — no shuffle.
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        chunks.filter(F.size(toks) >= 2)
+        .select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """k independent minhashes per id: mh_i = min over shingles of
+    hash60(i ':' shingle). One groupBy with k min() aggregates — map-side
+    combine means the shuffle carries k longs per id, not the shingles."""
+    aggs = [
+        F.min(hash60(seeded(i, F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_buckets(
+    sigs: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Banded bucket keys: bucket_b = 'b:mh_{rb}:...:mh_{rb+r-1}'.
+
+    Output (id, band, bucket) — n_bands rows per id via an inline array
+    explode (narrow)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.lit(b),
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("id", F.explode(entries).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+
+
+def lsh_candidates(buckets: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Candidate pairs: ids sharing any (band, bucket); a.id < b.id, distinct.
+
+    ``max_bucket`` drops degenerate hot buckets (everything in them is a
+    near-identical cluster better handled by the exact pass) — the skew
+    guard that keeps the self-join from going quadratic on viral dups.
+    """
+    # bucket size via aggregation (no window needed — anti-join the hot ones)
+    counts = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = buckets.join(
+        F.broadcast(counts.filter(F.col("_n") > max_bucket)),
+        ["band", "bucket"],
+        "left_anti",
+    )
+    a = ok.alias("a")
+    b = ok.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingled: DataFrame, thresh: float = 0.25
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep >= thresh.
+
+    Sets are re-aggregated per id (sorted for determinism) and joined onto
+    the pair frame; at 100 TB you would instead count intersections via an
+    (id_pair x shingle) explode + groupBy to avoid wide array rows — same
+    result, chosen here for clarity since candidate counts are bounded by
+    the LSH structure either way.
+    """
+    sets = shingled.groupBy("id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh")
+    )
+    out = (
+        candidates.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= thresh)
+
+
+def near_dups_minhash(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline over chunk rows."""
+    sh = shingles(chunks)
+    cands = lsh_candidates(lsh_buckets(minhash_signatures(sh)))
+    return jaccard_verify(cands, sh, thresh)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(shingled: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit SimHash: bit b set iff sum over shingles of
+    (+1 if bit b of hash60(shingle) else -1) >= 0.
+
+    One groupBy with ``bits`` conditional-sum aggregates (map-side combine);
+    the signature is reassembled as a single BIGINT column.
+    """
+    h = hash60(F.col("shingle"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    sums = shingled.groupBy("id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("simhash"))
+
+
+def near_dups_simhash(
+    chunks: DataFrame,
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
+    """SimHash near-dups: candidates share at least one ``band_bits``-wide
+    band of the signature; verified by Hamming distance <= max_hamming.
+
+    Banding is the recall/cost dial: 8 bands of 4 bits guarantee recall for
+    Hamming <= 7 on 32 bits (pigeonhole) while keeping the self-join keyed.
+    """
+    sigs = simhash_signatures(shingles(chunks), bits)
+    n_bands = bits // band_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bk = sigs.select("id", "simhash", F.explode(bands).alias("e")).select(
+        "id", "simhash", F.col("e.band").alias("band"), F.col("e.val").alias("val")
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# blocked exact n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    chunks: DataFrame, thresh: float = 0.25, block_width: int = 16
+) -> DataFrame:
+    """Blocked all-pairs exact Jaccard: pairs within the same
+    floor(n_shingles / block_width) size block (near-dups have near-equal
+    shingle counts, so same-block is a cheap high-recall blocker).
+
+    The quadratic blow-up is bounded per block; blocks are uniform on real
+    corpora after the exact pass removes identical docs.
+    """
+    sh = shingles(chunks)
+    sets = sh.groupBy("id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh"),
+        F.count(F.lit(1)).alias("n_sh"),
+    ).withColumn("block", F.floor(F.col("n_sh") / block_width))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= thresh)
+    )

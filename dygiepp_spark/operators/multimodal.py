@@ -1,0 +1,107 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+by Arrow-batched ``mapInPandas`` kernels.
+
+The pattern a 100 TB training-data pipeline needs: media lives as
+``binary`` columns (or object-store pointers) beside typed metadata;
+decode / feature-extract / frame-sample run as vectorized pandas kernels
+over Arrow batches, never row-at-a-time Python. The image/audio codec
+libraries are not available in this environment, so the *codec* call is
+stubbed (clearly marked), while everything Spark-side — schema, binary
+column handling, batch iteration, kernel signature, partitioning — is real
+and oracle-checked.
+
+Payloads here are synthesized deterministically from document text
+(``encode(text, 'utf-8')``) so the DuckDB oracle can recompute every
+output from the characters (the corpus is ASCII, so byte == codepoint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+IMAGE_META_SCHEMA = "doc_id bigint, n_bytes int, width int, height int, checksum int"
+FRAME_SCHEMA = "doc_id bigint, n_bytes int, n_frames int, frame_checksum int"
+
+#: stride (bytes) for the frame-sampling stub
+FRAME_STRIDE = 16
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + mime metadata.
+
+    In production this column is read straight from parquet/Iceberg
+    (binary physical type, no decode at scan); here it is synthesized from
+    text. Narrow op.
+    """
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/x-fake-image").alias("mime"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """REAL image decode — STUB: the codec library (PIL/opencv) is not
+    installed in this environment. The Spark plumbing around it
+    (:func:`image_metadata`) is real; swap this function for
+    ``PIL.Image.open(io.BytesIO(payload))`` in production."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use fake_image_meta for the deterministic stand-in"
+    )
+
+
+def fake_image_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for header decode: dimensions from the first
+    two bytes, checksum over a strided byte sample."""
+    n = len(payload)
+    width = 1 + payload[0] % 64
+    height = 1 + payload[1] % 64
+    checksum = sum(payload[::FRAME_STRIDE]) % 256
+    return n, width, height, checksum
+
+
+def image_metadata(docs: DataFrame) -> DataFrame:
+    """mapInPandas kernel: binary payload -> typed image metadata.
+
+    Arrow carries the binary column zero-copy into pandas; the kernel is
+    vectorized per batch (one Python call per ~4k rows, not per row).
+    Output schema: IMAGE_META_SCHEMA.
+    """
+    payloads = with_payload(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_image_meta(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                metas, columns=["n_bytes", "width", "height", "checksum"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return payloads.mapInPandas(kernel, schema=IMAGE_META_SCHEMA)
+
+
+def frame_samples(docs: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """mapInPandas kernel: strided frame sampling over the payload (the
+    video/audio analog — sample every ``stride``-th byte as a 'frame').
+
+    Output: (doc_id, n_bytes, n_frames, frame_checksum).
+    """
+    payloads = with_payload(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                sample = p[::stride]
+                rows.append((doc_id, len(p), len(sample), sum(sample) % 256))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "n_frames", "frame_checksum"]
+            )
+
+    return payloads.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths over the ``embeddings`` table (vec_id, embedding float[64],
+label):
+
+* :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query set against the full corpus, one pass, a per-query ranking window.
+  The baseline every ANN variant is verified against.
+* :func:`ivf_topk` — IVF-style ANN: assign every vector to its nearest
+  coarse centroid (broadcast centroid table), then search only the query's
+  cell — the classic inverted-file structure as two broadcast joins + one
+  cell-local ranking. At 100 TB the cell assignment is a write-time
+  partition (``partitionBy(cell)``), making the probe a partition-pruned
+  scan.
+
+Determinism / oracle portability: embeddings are quantized to integer
+milli-units (``round(x * 1000)``), so dot products and squared norms are
+exact BIGINT arithmetic — bit-identical in any engine. The ranking score
+``cos = dot / sqrt(na * nb)`` is a single IEEE-exact-rounded division of
+exact integers, so even the DOUBLE compares identically. Ties break on
+neighbor id.
+
+Everything is built-in functions (``zip_with`` + ``aggregate`` for the dot
+product — JVM-side, no Python); a vectorized pandas-UDF variant would only
+win once SIMD matters (dims >> 64), and slots into the same frame shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+N_QUERIES = 32
+TOP_K = 5
+N_CENTROIDS = 4
+
+
+def _quantize(col: Column) -> Column:
+    """float[] -> bigint[] milli-units; float->double cast is exact, the
+    double multiply and round are IEEE-identical everywhere."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000.0, 0).cast("bigint"))
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q bigint[], nq bigint) — quantized vector + squared norm."""
+    q = _quantize(F.col("embedding"))
+    return emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        q.alias("q"),
+    ).withColumn(
+        "nq",
+        F.aggregate(
+            "q", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cos(dot: Column, na: Column, nb: Column) -> Column:
+    return dot.cast("double") / F.sqrt((na * nb).cast("double"))
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_queries (a stand-in for any
+    small query batch). Output (query_id, neighbor_id, rnk, cos).
+
+    Plan shape: broadcast(queries) x corpus — the corpus is scanned ONCE
+    with no shuffle; the final top-k is a window over query_id (tiny
+    cardinality). This is the optimal exact plan at any corpus size.
+    """
+    qz = quantized(emb)
+    queries = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qn"),
+    )
+    scored = (
+        qz.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(_dot(F.col("qq"), F.col("q")), F.col("qn"), F.col("nq")).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cos")
+    )
+
+
+def assign_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF cell assignment: centroid = argmax cosine among the first
+    ``n_centroids`` vectors (a deterministic stand-in for k-means output —
+    the structure, not the training, is the operator under test).
+
+    Broadcast the centroid table; ties break on centroid id.
+    Output: (vec_id, q, nq, cell).
+    """
+    qz = quantized(emb)
+    cents = qz.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nq").alias("cn"),
+    )
+    scored = qz.join(F.broadcast(cents)).select(
+        "vec_id",
+        "q",
+        "nq",
+        "cent_id",
+        _cos(_dot(F.col("q"), F.col("cq")), F.col("nq"), F.col("cn")).alias("ccos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("ccos"), -F.col("cent_id"))
+        ).alias("cell")
+    )
+    return qz.join(best, "vec_id")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """IVF ANN: search only the query's own cell (nprobe=1).
+
+    Approximation is by design — recall vs :func:`brute_force_topk` is the
+    quality metric (tested). Output (query_id, neighbor_id, rnk, cos).
+    """
+    cells = assign_cells(emb, n_centroids)
+    queries = cells.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        cells.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(_dot(F.col("qq"), F.col("q")), F.col("qn"), F.col("nq")).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cos")
+    )

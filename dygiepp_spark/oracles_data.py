@@ -1,0 +1,410 @@
+"""DuckDB oracle twins for the training-data-pipeline queries
+(dedup / similarity / text analysis / multimodal).
+
+Portability contract (see dygiepp_spark.functions.hashing):
+
+* all hashing is md5-based (``hash60``: first 15 hex chars as BIGINT);
+* all ranking scores are exact integer arithmetic or single IEEE
+  operations over exact integers (quantized embeddings);
+* jaccard/ratios are one double division of two exact integers;
+* every window carries a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from dygiepp_spark.functions.hashing import hash60_sql
+from dygiepp_spark.functions.text import LANG_STOPWORDS
+from dygiepp_spark.operators.dedup import (
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+)
+from dygiepp_spark.operators.multimodal import FRAME_STRIDE
+from dygiepp_spark.operators.similarity import N_CENTROIDS, N_QUERIES, TOP_K
+
+# --------------------------------------------------------------------------
+# chunks + shingles (twins of dedup.doc_chunks / dedup.shingles)
+# --------------------------------------------------------------------------
+
+CHUNKS_SQL = """
+doc_toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+),
+doc_toks_n AS (
+    SELECT doc_id, toks, len(toks) AS n FROM doc_toks WHERE len(toks) >= 3
+),
+chunks AS (
+    SELECT doc_id * 2 AS chunk_id,
+           array_to_string(list_slice(toks, 1, CAST(ceil(n * 2.0 / 3.0) AS INT)), ' ') AS text
+    FROM doc_toks_n
+    UNION ALL
+    SELECT doc_id * 2 + 1,
+           array_to_string(list_slice(toks, CAST(floor(n / 3.0) AS INT) + 1, n), ' ')
+    FROM doc_toks_n
+)
+"""
+
+SHINGLES_SQL = """
+chunk_toks AS (
+    SELECT chunk_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM chunks
+),
+shingled AS (
+    SELECT chunk_id AS id,
+           unnest(list_distinct(list_transform(
+               range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
+    FROM chunk_toks
+    WHERE len(toks) >= 2
+)
+"""
+
+_DEDUP_BASE = f"WITH {CHUNKS_SQL.strip()} , {SHINGLES_SQL.strip()}"
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def dedup_exact_oracle() -> str:
+    return f"""
+SELECT md5({_NORM}) AS text_hash,
+       min(CAST(doc_id AS BIGINT)) AS canonical_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1"""
+
+
+def dedup_tokenset_oracle() -> str:
+    toks = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
+    return f"""
+SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS set_hash,
+       min(CAST(doc_id AS BIGINT)) AS canonical_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1"""
+
+
+def _seeded_sql(i: int, expr: str = "shingle") -> str:
+    return "'" + str(i) + ":' || " + expr
+
+
+def _minhash_aggs() -> str:
+    parts = []
+    for i in range(N_HASHES):
+        parts.append(f"min({hash60_sql(_seeded_sql(i))}) AS mh_{i}")
+    return ",\n           ".join(parts)
+
+
+def near_dups_minhash_oracle(thresh: float = 0.25, max_bucket: int = 1000) -> str:
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT id, {b} AS band, '{b}:' || CAST(mh_{b * ROWS_PER_BAND} AS VARCHAR)"
+        f" || ':' || CAST(mh_{b * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""{_DEDUP_BASE},
+sigs AS (
+    SELECT id,
+           {_minhash_aggs()}
+    FROM shingled GROUP BY id
+),
+buckets AS (
+    {bands}
+),
+bcounts AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
+ok AS (
+    SELECT b.* FROM buckets b JOIN bcounts c USING (band, bucket)
+    WHERE c.n <= {max_bucket}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.id < b.id
+),
+sets AS (
+    SELECT id, list_sort(list_distinct(list(shingle))) AS sh
+    FROM shingled GROUP BY id
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+             AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.id = c.id_a
+    JOIN sets sb ON sb.id = c.id_b
+)
+WHERE jaccard >= {thresh}"""
+
+
+def near_dups_simhash_oracle(max_hamming: int = 6) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * SIMHASH_BAND_BITS}) & {mask} AS val FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""{_DEDUP_BASE},
+hashed AS (SELECT id, {hash60_sql('shingle')} AS h FROM shingled),
+bitsums AS (
+    SELECT id,
+           {bit_sums}
+    FROM hashed GROUP BY id
+),
+sigs AS (SELECT id, {sig_terms} AS simhash FROM bitsums),
+bk AS (
+    {bands}
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bk a JOIN bk b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+def ngram_jaccard_oracle(thresh: float = 0.25, block_width: int = 16) -> str:
+    return f"""{_DEDUP_BASE},
+sets AS (
+    SELECT id, list_sort(list_distinct(list(shingle))) AS sh,
+           count(*) AS n_sh
+    FROM shingled GROUP BY id
+),
+blocks AS (
+    SELECT *, CAST(floor(n_sh / {block_width}.0) AS BIGINT) AS block FROM sets
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+             AS jaccard
+    FROM blocks a JOIN blocks b ON a.block = b.block AND a.id < b.id
+)
+WHERE jaccard >= {thresh}"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_QZ_SQL = """
+qz AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (
+    SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+    FROM qz
+),
+qe AS (
+    SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM qn
+)
+"""
+
+
+def ann_brute_force_oracle(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    return f"""WITH {_QZ_SQL.strip()},
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(sum(a.v * b.v) AS BIGINT) AS dot
+    FROM qe a JOIN qe b ON a.i = b.i AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < {n_queries}
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) AS cos
+    FROM dots d
+    JOIN qn na ON na.vec_id = d.query_id
+    JOIN qn nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= {k}"""
+
+
+def ann_ivf_oracle(
+    k: int = TOP_K, n_queries: int = N_QUERIES, n_centroids: int = N_CENTROIDS
+) -> str:
+    return f"""WITH {_QZ_SQL.strip()},
+ce AS (
+    SELECT vec_id AS cent_id, unnest(q) AS cv, generate_subscripts(q, 1) AS i
+    FROM qn WHERE vec_id < {n_centroids}
+),
+cdots AS (
+    SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+    FROM qe e JOIN ce c ON e.i = c.i
+    GROUP BY 1, 2
+),
+cscore AS (
+    SELECT d.vec_id, d.cent_id,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nq * cn.nq AS DOUBLE)) AS ccos
+    FROM cdots d
+    JOIN qn n ON n.vec_id = d.vec_id
+    JOIN qn cn ON cn.vec_id = d.cent_id
+),
+cells AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rn
+        FROM cscore
+    ) WHERE rn = 1
+),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(sum(a.v * b.v) AS BIGINT) AS dot
+    FROM qe a
+    JOIN cells ca ON ca.vec_id = a.vec_id
+    JOIN qe b ON a.i = b.i AND b.vec_id <> a.vec_id
+    JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+    WHERE a.vec_id < {n_queries}
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) AS cos
+    FROM dots d
+    JOIN qn na ON na.vec_id = d.query_id
+    JOIN qn nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= {k}"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_DTOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+def token_counts_oracle() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len({_DTOKS}) AS INT) AS n_tokens,
+       CAST(list_sum(list_transform({_DTOKS},
+            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def langid_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    ltoks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    hits = ",\n       ".join(
+        f"len(list_filter(ltoks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS h_{lg}"
+        for lg, ws in LANG_STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN h_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+WITH lt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {ltoks} AS ltoks FROM documents),
+hits AS (
+    SELECT doc_id,
+       {hits}
+    FROM lt
+),
+withmax AS (SELECT *, {best} AS m FROM hits)
+SELECT doc_id,
+       CASE WHEN m > 0 THEN (CASE {case} END) ELSE 'und' END AS pred_lang
+FROM withmax"""
+
+
+def quality_oracle() -> str:
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stops = ", ".join(repr(w) for w in stop_all)
+    return f"""
+WITH feat AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           length(text) AS n_chars,
+           CAST(len({_DTOKS}) AS INT) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+           len(list_filter({_DTOKS}, t -> lower(t) IN ({stops}))) AS n_stop,
+           CAST(list_sum(list_transform({_DTOKS}, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_len
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+           CASE WHEN n_tokens > 0
+                THEN CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS mean_token_len
+    FROM feat
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+       round(
+         least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+         + least(stopword_ratio * 10.0, 1.0) * 0.3,
+       6) AS quality
+FROM ratios"""
+
+
+def fingerprint_oracle(k: int = 4) -> str:
+    fps = ",\n       ".join(
+        f"min({hash60_sql(_seeded_sql(i))}) AS fp_{i}" for i in range(k)
+    )
+    return f"""
+WITH norm AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(length(nt) - 4, 1) + 1),
+                                 i -> substr(nt, CAST(i AS INT), 5))) AS shingle
+    FROM norm
+)
+SELECT doc_id,
+       {fps}
+FROM sh GROUP BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# multimodal (ASCII corpus: byte == codepoint, so char math == byte math)
+# --------------------------------------------------------------------------
+
+def image_meta_oracle(stride: int = FRAME_STRIDE) -> str:
+    checksum = (
+        f"CAST(list_sum(list_transform(range(0, (strlen(text) + {stride - 1}) // {stride}), "
+        f"i -> ascii(substr(text, CAST(1 + {stride} * i AS INT), 1)))) % 256 AS INT)"
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+       CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
+       {checksum} AS checksum
+FROM documents"""
+
+
+def frame_samples_oracle(stride: int = FRAME_STRIDE) -> str:
+    checksum = (
+        f"CAST(list_sum(list_transform(range(0, (strlen(text) + {stride - 1}) // {stride}), "
+        f"i -> ascii(substr(text, CAST(1 + {stride} * i AS INT), 1)))) % 256 AS INT)"
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST((strlen(text) + {stride - 1}) // {stride} AS INT) AS n_frames,
+       {checksum} AS frame_checksum
+FROM documents"""

@@ -1,0 +1,319 @@
+"""DuckDB oracle twins for the coref / linking / graph / eval queries.
+
+Same portability rules as dygiepp_spark.oracles (md5 hashing, exact
+integer-over-integer doubles, total-order tiebreaks). The coref oracle
+exploits the structure of the same-surface antecedent rule: connected
+components over nearest-previous-same-surface edges (window <= 100) are
+exactly the maximal runs of same-surface mentions whose consecutive gaps
+are <= 100 — expressible with two windows (lag-based segmentation + min
+per segment), which cross-checks the iterative min-id-propagation CC in
+dygiepp_spark.operators.coref against an independent formulation.
+"""
+
+from __future__ import annotations
+
+from dygiepp_spark.oracles import BEAMS_SQL, MENTIONS_SQL, PAIRS_SQL
+from dygiepp_spark.tables import (
+    ENTITY_DICT_SQL,
+    RELATION_LABELS,
+    RELATION_MAX_DIST,
+    TOKENS_SQL,
+    TURNS_SQL,
+)
+
+_LABELS = "[" + ", ".join(f"'{v}'" for v in RELATION_LABELS) + "]"
+
+_BASE = f"WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()} , {MENTIONS_SQL.strip()}"
+
+# --------------------------------------------------------------------------
+# coref
+# --------------------------------------------------------------------------
+
+_COREF_CTES = """
+m_ord AS (
+    SELECT conv_id, turn_idx, start, "end", surface,
+           CAST(row_number() OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx, start, "end") - 1 AS INT)
+             AS mention_ix
+    FROM mentions
+),
+seg AS (
+    SELECT *,
+           CASE WHEN lag(mention_ix) OVER w IS NULL
+                  OR mention_ix - lag(mention_ix) OVER w > 100
+                THEN 1 ELSE 0 END AS new_seg
+    FROM m_ord
+    WINDOW w AS (PARTITION BY conv_id, surface ORDER BY mention_ix)
+),
+grp AS (
+    SELECT *, sum(new_seg) OVER (PARTITION BY conv_id, surface
+                                 ORDER BY mention_ix) AS seg_id
+    FROM seg
+),
+clusters AS (
+    SELECT conv_id, turn_idx, start, "end", surface, mention_ix,
+           CAST(min(mention_ix) OVER (PARTITION BY conv_id, surface, seg_id)
+                AS INT) AS cluster_id
+    FROM grp
+)
+"""
+
+
+def coref_clusters_oracle() -> str:
+    return f"""{_BASE} , {_COREF_CTES.strip()}
+SELECT conv_id, turn_idx, start, "end", surface, mention_ix, cluster_id
+FROM clusters"""
+
+
+def coref_canonical_oracle() -> str:
+    return f"""{_BASE} , {_COREF_CTES.strip()}
+SELECT conv_id, cluster_id,
+       arg_max(surface, ("end" - start) * 1000000 - mention_ix) AS exemplar_text,
+       CAST(count(*) AS INT) AS n_members
+FROM clusters
+GROUP BY conv_id, cluster_id"""
+
+
+# --------------------------------------------------------------------------
+# linking + graph materialization
+# --------------------------------------------------------------------------
+
+_LINKED_CTE = """
+linked AS (
+    SELECT m.conv_id, m.turn_idx, m.start, m."end", m.surface,
+           COALESCE(d.entity_id, 'S:' || lower(trim(m.surface))) AS entity_id,
+           COALESCE(d.canonical_text, m.surface) AS canonical_text,
+           COALESCE(d.type, 'UNKNOWN') AS type
+    FROM mentions m
+    LEFT JOIN entity_dict d ON lower(trim(d.surface)) = lower(trim(m.surface))
+)
+"""
+
+_PAIRS_RAW_CTE = f"""
+pairs_raw AS (
+    SELECT a.conv_id AS conv_id, a.turn_idx AS turn_idx,
+           a.start AS s1, a."end" AS e1, b.start AS s2, b."end" AS e2,
+           a.surface AS arg0, b.surface AS arg1,
+           b.start - a.start AS dist,
+           {_LABELS}[((len(a.surface) + 2 * len(b.surface)) % {len(RELATION_LABELS)}) + 1] AS label,
+           CAST(1 AS DOUBLE) / (1 + (b.start - a.start)) AS conf
+    FROM mentions a
+    JOIN mentions b
+      ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+     AND b.start > a.start AND b.start - a.start <= {RELATION_MAX_DIST}
+)
+"""
+
+
+def linked_mentions_oracle() -> str:
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()}
+SELECT conv_id, turn_idx, start, "end", surface, entity_id, canonical_text, type
+FROM linked"""
+
+
+_EDGES_SQL = """
+edges AS (
+    SELECT ls.entity_id AS subj_id, p.label AS pred, lo.entity_id AS obj_id,
+           p.conv_id, p.turn_idx, p.conf,
+           'extract:' || p.conv_id || ':' || CAST(p.turn_idx AS VARCHAR)
+             || ':' || CAST(p.s1 AS VARCHAR) || ':' || CAST(p.s2 AS VARCHAR)
+             AS provenance
+    FROM pairs_raw p
+    JOIN linked ls ON ls.conv_id = p.conv_id AND ls.turn_idx = p.turn_idx
+                  AND ls.start = p.s1
+    JOIN linked lo ON lo.conv_id = p.conv_id AND lo.turn_idx = p.turn_idx
+                  AND lo.start = p.s2
+)
+"""
+
+
+def kg_edges_oracle() -> str:
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()}
+SELECT subj_id, pred, obj_id, conv_id, turn_idx, conf, provenance FROM edges"""
+
+
+def kg_nodes_oracle() -> str:
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()}
+SELECT entity_id,
+       min(canonical_text) AS canonical_text,
+       min(type) AS type,
+       count(*) AS n_mentions
+FROM linked
+GROUP BY entity_id"""
+
+
+def kg_edges_agg_oracle() -> str:
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()}
+SELECT subj_id, pred, obj_id,
+       count(*) AS support,
+       max(conf) AS max_conf,
+       count(DISTINCT conv_id) AS n_convs
+FROM edges
+GROUP BY subj_id, pred, obj_id"""
+
+
+# --------------------------------------------------------------------------
+# eval layer (pred = triples from the beamed pipeline; gold = dist<=3 subset)
+# --------------------------------------------------------------------------
+
+_EVAL_BASE = (
+    f"WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()} , {MENTIONS_SQL.strip()} , "
+    f"{BEAMS_SQL.strip()} , {PAIRS_SQL.strip()}"
+)
+
+_TRIPLES_CTE = """
+triples AS (
+    SELECT p.conv_id AS conv_id, t.text AS sent_text, p.arg0, p.arg1, p.label,
+           arg_max(p.conf, p.s1 * 1000 + p.s2) AS conf
+    FROM pairs p
+    JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+    GROUP BY p.conv_id, t.text, p.arg0, p.arg1, p.label
+)
+"""
+
+_GOLD_CTE = """
+gold AS (
+    SELECT conv_id, arg0, arg1, label, conf FROM (
+        SELECT p.*, row_number() OVER (PARTITION BY conv_id, arg0, arg1
+                                       ORDER BY turn_idx, s1, s2) AS rn
+        FROM (SELECT * FROM pairs WHERE dist <= 3) p
+    ) WHERE rn = 1
+)
+"""
+
+#: parenthesized so textual substitution keeps the same IEEE evaluation
+#: order as the Spark column expression: ((2*p)*r)/(p+r)
+_F1 = (
+    "CASE WHEN ({p}) + ({r}) > 0 THEN 2.0 * ({p}) * ({r}) / (({p}) + ({r})) "
+    "ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+def _ie_eval_sql(match0: str, match1: str) -> str:
+    """Shared K3 skeleton; match0/match1 are SQL predicates over p./g. arg
+    columns."""
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(n_pred, 1) AS DOUBLE)"
+    rec = "CAST(tp_recall AS DOUBLE) / CAST(greatest(n_gold, 1) AS DOUBLE)"
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+m AS (
+    SELECT p.conv_id AS pc, p.arg0 AS pa0, p.arg1 AS pa1,
+           g.conv_id AS gc, g.arg0 AS ga0, g.arg1 AS ga1
+    FROM (SELECT DISTINCT conv_id, arg0, arg1, label FROM triples) p
+    JOIN gold g ON p.conv_id = g.conv_id AND p.label = g.label
+               AND ({match0}) AND ({match1})
+),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM (SELECT DISTINCT conv_id, arg0, arg1 FROM triples)) AS n_pred,
+      (SELECT count(*) FROM (SELECT DISTINCT conv_id, arg0, arg1, label FROM gold)) AS n_gold,
+      (SELECT count(*) FROM (SELECT DISTINCT pc, pa0, pa1 FROM m)) AS tp,
+      (SELECT count(*) FROM (SELECT DISTINCT gc, ga0, ga1 FROM m)) AS tp_recall
+)
+SELECT n_pred, n_gold, tp, tp_recall,
+       {prec} AS precision,
+       {rec} AS recall,
+       {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
+
+
+def ie_eval_exact_oracle() -> str:
+    ex0 = "lower(trim(p.arg0)) = lower(trim(g.arg0))"
+    ex1 = "lower(trim(p.arg1)) = lower(trim(g.arg1))"
+    return _ie_eval_sql(ex0, ex1)
+
+
+def ie_eval_substring_oracle() -> str:
+    s0 = (
+        "contains(lower(trim(p.arg0)), lower(trim(g.arg0))) "
+        "OR contains(lower(trim(g.arg0)), lower(trim(p.arg0)))"
+    )
+    s1 = (
+        "contains(lower(trim(p.arg1)), lower(trim(g.arg1))) "
+        "OR contains(lower(trim(g.arg1)), lower(trim(p.arg1)))"
+    )
+    return _ie_eval_sql(s0, s1)
+
+
+def ie_span_eval_oracle() -> str:
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(n_pred_spans, 1) AS DOUBLE)"
+    rec = "CAST(tp AS DOUBLE) / CAST(greatest(n_gold_spans, 1) AS DOUBLE)"
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+ps AS (
+    SELECT DISTINCT conv_id, span FROM (
+        SELECT conv_id, arg0 AS span FROM triples
+        UNION ALL SELECT conv_id, arg1 FROM triples
+    )
+),
+gs AS (
+    SELECT DISTINCT conv_id, span FROM (
+        SELECT conv_id, arg0 AS span FROM gold
+        UNION ALL SELECT conv_id, arg1 FROM gold
+    )
+),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM ps) AS n_pred_spans,
+      (SELECT count(*) FROM gs) AS n_gold_spans,
+      (SELECT count(*) FROM ps JOIN gs ON ps.conv_id = gs.conv_id
+                                      AND ps.span = gs.span) AS tp
+)
+SELECT n_pred_spans, n_gold_spans, tp,
+       {prec} AS precision, {rec} AS recall,
+       {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
+
+
+def micro_prf_oracle() -> str:
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE)"
+    rec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE)"
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+p AS (SELECT DISTINCT conv_id, arg0, arg1, label FROM triples),
+g AS (SELECT DISTINCT conv_id, arg0, arg1, label FROM gold),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM p JOIN g USING (conv_id, arg0, arg1, label)) AS tp,
+      (SELECT count(*) FROM p) AS n_p,
+      (SELECT count(*) FROM g) AS n_g
+)
+SELECT tp, n_p - tp AS fp, n_g - tp AS fn,
+       {prec} AS precision, {rec} AS recall,
+       {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
+
+
+def gold_transitive_oracle(rounds: int = 2) -> str:
+    ctes = ["c0 AS (SELECT conv_id, arg0, arg1, conf FROM gold)"]
+    for i in range(rounds):
+        prev = f"c{i}"
+        cur = f"c{i + 1}"
+        ctes.append(
+            f"""n{i + 1} AS (
+    SELECT a.conv_id, a.arg0, b.arg1, a.conf * b.conf AS conf
+    FROM {prev} a JOIN {prev} b
+      ON a.conv_id = b.conv_id AND a.arg1 = b.arg0
+),
+{cur} AS (
+    SELECT conv_id, arg0, arg1, max(conf) AS conf FROM (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM n{i + 1}
+    ) GROUP BY conv_id, arg0, arg1
+)"""
+        )
+    return f"""{_EVAL_BASE} , {_GOLD_CTE.strip()},
+{", ".join(ctes)}
+SELECT conv_id, arg0, arg1, conf FROM c{rounds}"""
+
+
+def triples_topk_oracle(k: int = 50) -> str:
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()}
+SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
+    SELECT t.*, rank() OVER (ORDER BY conf DESC) AS rk FROM triples t
+) WHERE rk <= {k}"""
+
+
+def best_label_per_pair_oracle() -> str:
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()}
+SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
+    SELECT t.*, row_number() OVER (PARTITION BY conv_id, arg0, arg1
+                                   ORDER BY conf DESC, label, sent_text) AS rn
+    FROM triples t
+) WHERE rn = 1"""
