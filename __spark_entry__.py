@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dygiepp_spark import oracles, oracles_data, oracles_kg
 from dygiepp_spark import tables as TT
 from dygiepp_spark.functions import text as TX
+from dygiepp_spark.operators import collate as CL
 from dygiepp_spark.operators import coref as CO
 from dygiepp_spark.operators import dedup as DD
 from dygiepp_spark.operators import doc_assembly as DA
@@ -39,6 +40,7 @@ from dygiepp_spark.operators import multimodal as MM
 from dygiepp_spark.operators import pruning as PR
 from dygiepp_spark.operators import similarity as SIM
 from dygiepp_spark.operators import spans as SP
+from dygiepp_spark.sources import jsonl as JS
 from dygiepp_spark.streaming import stream as ST
 
 
@@ -97,6 +99,18 @@ def q_triples(spark, sf_dir):
 
 def q_triples_mechanism(spark, sf_dir):
     return EX.triples_to_mechanism(EX.emit_triples(_turns(spark, sf_dir)))
+
+
+def q_triples_kernel(spark, sf_dir):
+    """Arrow applyInPandas extraction path (kernels.extract) — must emit the
+    exact same triple SET as the relational path (same oracle minus conf:
+    the kernel carries softmax scores, the relational rule carries the
+    distance conf — score parity is covered by the kernel unit tests)."""
+    from dygiepp_spark.kernels import extract as KX
+    from dygiepp_spark.kernels.scorer import RuleScorer
+
+    turns = _turns(spark, sf_dir)
+    return KX.kernel_triples(KX.extract(turns, RuleScorer()), turns).drop("conf")
 
 
 def q_events(spark, sf_dir):
@@ -180,6 +194,49 @@ def q_best_label_per_pair(spark, sf_dir):
         score_col="conf",
         tiebreak_cols=["label", "sent_text"],
     )
+
+
+def q_ie_eval_event(spark, sf_dir):
+    turns = _turns(spark, sf_dir)
+    pred = EX.events_binary_decode(EX.extract_events(turns, max_dist=4))
+    gold = EX.events_binary_decode(EX.extract_events(turns, max_dist=2))
+    return KE.ie_eval_event(pred, gold)
+
+
+def q_arg_multiplicity(spark, sf_dir):
+    return KE.arg_multiplicity(EX.extract_events(_turns(spark, sf_dir), max_dist=4))
+
+
+# --------------------------------------------------------------------------
+# batch shaping + validation + TSV round-trip
+# --------------------------------------------------------------------------
+
+def q_collate(spark, sf_dir):
+    return CL.collate(_turns(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "text", "n_tokens", "cost", "pseudo_doc_id", "slot"
+    )
+
+
+def q_uncollate(spark, sf_dir):
+    return CL.uncollate(CL.collate(_turns(spark, sf_dir)))
+
+
+def q_check_dense(spark, sf_dir):
+    return DA.check_dense_turns(_turns(spark, sf_dir))
+
+
+def q_split_disjointness(spark, sf_dir):
+    return DA.split_disjointness(_turns(spark, sf_dir))
+
+
+def q_tsv_roundtrip(spark, sf_dir):
+    """S3 TSV sink + S4 TSV scan round-trip (predict.py:36-42 /
+    eval_metric.py:79-84): triples written as TSV and read back must hash
+    identically to the triples oracle — doubles survive because the CSV
+    writer emits shortest-round-trip representations."""
+    base = f"/root/repo/.tmp/tsv_{uuid.uuid4().hex[:8]}"
+    JS.write_triples_tsv(EX.emit_triples(_turns(spark, sf_dir)), base)
+    return JS.read_triples_tsv(spark, base)
 
 
 # --------------------------------------------------------------------------
@@ -283,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_enum": q_span_enum,
         "triples": q_triples,
         "triples_mechanism": q_triples_mechanism,
+        "triples_kernel": q_triples_kernel,
         "events": q_events,
         "events_binary": q_events_binary,
         # coref / linking / graph
@@ -300,6 +358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_transitive": q_gold_transitive,
         "triples_topk": q_triples_topk,
         "best_label_per_pair": q_best_label_per_pair,
+        "ie_eval_event": q_ie_eval_event,
+        "arg_multiplicity": q_arg_multiplicity,
+        # batch shaping + validation + TSV round-trip
+        "collate": q_collate,
+        "uncollate": q_uncollate,
+        "check_dense": q_check_dense,
+        "split_disjointness": q_split_disjointness,
+        "tsv_roundtrip": q_tsv_roundtrip,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_tokenset": q_dedup_tokenset,
@@ -331,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "span_enum": oracles.span_enum_oracle(),
         "triples": oracles.triples_oracle(),
         "triples_mechanism": oracles.triples_mechanism_oracle(),
+        "triples_kernel": oracles.triples_set_oracle(),
         "events": oracles.events_oracle(),
         "events_binary": oracles.events_binary_oracle(),
         "coref_clusters": oracles_kg.coref_clusters_oracle(),
@@ -346,6 +413,13 @@ def oracle_sql() -> dict[str, str]:
         "gold_transitive": oracles_kg.gold_transitive_oracle(rounds=2),
         "triples_topk": oracles_kg.triples_topk_oracle(k=50),
         "best_label_per_pair": oracles_kg.best_label_per_pair_oracle(),
+        "ie_eval_event": oracles_kg.ie_eval_event_oracle(),
+        "arg_multiplicity": oracles_kg.arg_multiplicity_oracle(),
+        "collate": oracles_kg.collate_oracle(),
+        "uncollate": oracles_kg.uncollate_oracle(),
+        "check_dense": oracles_kg.check_dense_oracle(),
+        "split_disjointness": oracles_kg.split_disjointness_oracle(),
+        "tsv_roundtrip": oracles.triples_oracle(),
         "dedup_exact": oracles_data.dedup_exact_oracle(),
         "dedup_tokenset": oracles_data.dedup_tokenset_oracle(),
         "near_dups_minhash": oracles_data.near_dups_minhash_oracle(),

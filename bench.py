@@ -55,10 +55,13 @@ def main() -> None:
         sec, _ = run_query(qs[name], spark, sf_dir)
         timings[name] = round(sec, 3)
 
-    # synthetic transcript throughput: full pipeline turns -> triples
+    # synthetic transcript throughput: full pipeline turns -> triples.
+    # The generated frame is materialized first (localCheckpoint) so the
+    # timing measures the ENGINE over stored turns — matching production,
+    # where turns come off Iceberg — not the row generator.
     turns = TT.synth_turns(
         spark, n_convs=SYNTH_CONVS, max_turns=SYNTH_MAX_TURNS
-    )
+    ).localCheckpoint(eager=True)
     n_turns = turns.count()
     t0 = time.time()
     EX.emit_triples(turns).count()
@@ -83,14 +86,24 @@ def main() -> None:
     )
 
 
-#: subset of queries() worth timing (skip near-duplicates)
+#: subset of queries() worth timing (skip near-duplicates of these paths)
 BENCH_QUERIES = {
+    # extraction core
     "doc_assembly",
     "sentence_offsets",
     "mentions",
     "span_enum",
     "triples",
     "events_binary",
+    # linking + graph materialization (broadcast joins + rollup)
+    "kg_edges_agg",
+    # coref connected-components loop
+    "coref_canonical",
+    # training-data-pipeline layer
+    "near_dups_minhash",
+    "ann_brute_force",
+    "token_counts",
+    "image_meta",
 }
 
 if __name__ == "__main__":

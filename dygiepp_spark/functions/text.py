@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from dygiepp_spark.functions.hashing import hash60, md5_hex, seeded
+from dygiepp_spark.functions.hashing import hash60, hash_family_from
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Deterministic toy lists — the point is the *operator* (vectorized
@@ -123,10 +123,11 @@ def fingerprint(
 ) -> DataFrame:
     """Document fingerprint: min-hash of character 5-gram shingles of the
     normalized text (winnowing-lite). Returns (id, fp_0..fp_{k-1}) where
-    fp_i = min over shingles of hash60(seed_i || shingle).
+    fp_i = min over shingles of family_i(hash60(shingle)) — one md5 per
+    shingle, k cheap integer mixes (functions.hashing 2-universal family).
 
     Implemented as shingle explode + ONE hash aggregation with map-side
-    combine — the shuffle carries only k*60 bits per document.
+    combine — the shuffle carries only k*61 bits per document.
     """
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     sh = df.select(
@@ -137,8 +138,8 @@ def fingerprint(
                 lambda i: norm.substr(i, F.lit(5)),
             )
         ).alias("shingle"),
-    )
+    ).withColumn("_h", hash60(F.col("shingle")))
     aggs = [
-        F.min(hash60(seeded(i, F.col("shingle")))).alias(f"fp_{i}") for i in range(k)
+        F.min(hash_family_from(F.col("_h"), i)).alias(f"fp_{i}") for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)

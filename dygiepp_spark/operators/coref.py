@@ -106,7 +106,11 @@ def connected_components(
 
     Driver-side loop of joins; each iteration localCheckpoints to truncate
     the lineage (on a cluster: checkpoint to the Iceberg/DFS checkpoint
-    dir). Converges in O(log D) rounds for path length D.
+    dir). Each round does one neighbor-min hop PLUS one pointer-doubling
+    hop (label(x) <- label(label(x))), so label distance covered doubles
+    per round — O(log D) rounds for path length D, which matters here
+    because same-surface coref chains are long (one per surface per
+    conversation), not shallow stars.
     """
     sym = (
         edges.select(
@@ -135,13 +139,29 @@ def connected_components(
             .groupBy("conv_id", F.col("src").alias("mention_ix"))
             .agg(F.min("n_label").alias("n_min"))
         )
-        new_labels = (
+        hop = (
             labels.join(neigh, ["conv_id", "mention_ix"], "left")
             .select(
                 "conv_id",
                 "mention_ix",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer doubling: jump to the label of my label
+        parent = hop.select(
+            "conv_id",
+            F.col("mention_ix").alias("cluster_id"),
+            F.col("cluster_id").alias("grand"),
+        )
+        new_labels = (
+            hop.join(parent, ["conv_id", "cluster_id"], "left")
+            .select(
+                "conv_id",
+                "mention_ix",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("grand"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
         ).localCheckpoint(eager=True)

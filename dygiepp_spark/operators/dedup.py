@@ -34,7 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from dygiepp_spark.functions.hashing import hash60, seeded
+from dygiepp_spark.functions.hashing import hash60, hash_family_from
 
 #: LSH structure: N_BANDS bands x ROWS_PER_BAND minhash rows.
 N_BANDS = 16
@@ -154,14 +154,22 @@ def shingles(
 
 
 def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """k independent minhashes per id: mh_i = min over shingles of
-    hash60(i ':' shingle). One groupBy with k min() aggregates — map-side
-    combine means the shuffle carries k longs per id, not the shingles."""
+    """k minhashes per id: mh_i = min over shingles of family_i(h_{i%2})
+    where h_0/h_1 are two independent md5-based base hashes and family_i is
+    a cheap 2-universal integer mix (functions.hashing) — TWO md5s per
+    shingle instead of k. The two band rows of every LSH band draw from
+    different base hashes, which keeps band-collision probability close to
+    the independent-minhash J^r even though family members off one base are
+    correlated. One groupBy with k min() aggregates — map-side combine
+    means the shuffle carries k longs per id, not the shingles."""
+    hashed = shingled.withColumn("_h0", hash60(F.col("shingle"))).withColumn(
+        "_h1", hash60(F.concat(F.lit("b:"), F.col("shingle")))
+    )
     aggs = [
-        F.min(hash60(seeded(i, F.col("shingle")))).alias(f"mh_{i}")
+        F.min(hash_family_from(F.col(f"_h{i % 2}"), i)).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    return shingled.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_buckets(
@@ -224,24 +232,35 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep >= thresh.
 
-    Sets are re-aggregated per id (sorted for determinism) and joined onto
-    the pair frame; at 100 TB you would instead count intersections via an
-    (id_pair x shingle) explode + groupBy to avoid wide array rows — same
-    result, chosen here for clarity since candidate counts are bounded by
-    the LSH structure either way.
+    Fully distributed: |A∩B| is a (pair x shingle) hash-join + count — no
+    per-document shingle arrays ever materialize, so a 10^5-shingle doc
+    costs rows, not one giant cell. |A∪B| = |A| + |B| - |A∩B| from the
+    per-id counts. Pairs with empty intersection drop out of the inner
+    join, which is correct for any thresh > 0 (their Jaccard is 0).
+
+    The shingle-join key is (id_b, shingle) — uniform by construction
+    (shingles are distinct per id), so no skew.
     """
-    sets = shingled.groupBy("id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("sh")
+    counts = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = candidates.join(shingled.withColumnRenamed("id", "id_a"), "id_a")
+    inter = (
+        a_sh.join(
+            shingled.withColumnRenamed("id", "id_b"), ["id_b", "shingle"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    ca = counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    cb = counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
     out = (
-        candidates.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
             ).alias("jaccard"),
         )
     )

@@ -112,6 +112,44 @@ def assign_chunks(turns: DataFrame, max_tokens_per_chunk: int = 500) -> DataFram
     )
 
 
+def check_dense_turns(turns: DataFrame) -> DataFrame:
+    """P6/B1 dense-index validation only (oracle-checkable subset of
+    :func:`check_turn_invariant`): conv_ids whose turn_idx sequence is not
+    exactly 0..n-1. Returns the violation frame (empty == healthy)."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+            F.count_distinct("turn_idx").alias("nd"),
+        )
+        .filter(
+            (F.col("mn") != 0)
+            | (F.col("mx") != F.col("n") - 1)
+            | (F.col("nd") != F.col("n"))
+        )
+        .select("conv_id", F.lit("non_dense_turn_idx").alias("violation"))
+    )
+
+
+def split_disjointness(turns: DataFrame, modulus: int = 10, train_cut: int = 8) -> DataFrame:
+    """P8 (check_dataset.py:38-45): train/test split disjointness via
+    anti-joins. Split rule: hash-free deterministic bucket on the numeric
+    part of conv_id. One row out: (n_train, n_test, n_overlap)."""
+    convs = turns.select("conv_id").distinct().withColumn(
+        "_b", F.pmod(F.col("conv_id").cast("bigint"), F.lit(modulus))
+    )
+    train = convs.filter(F.col("_b") < train_cut).select("conv_id")
+    test = convs.filter(F.col("_b") >= train_cut).select("conv_id")
+    overlap = train.join(test, "conv_id")
+    spark = turns.sparkSession
+    return spark.createDataFrame(
+        [(train.count(), test.count(), overlap.count())],
+        "n_train bigint, n_test bigint, n_overlap bigint",
+    )
+
+
 def check_turn_invariant(turns: DataFrame) -> DataFrame:
     """P6/B1 validation: turn_idx dense per conv, text round-trips assembly.
 

@@ -25,6 +25,16 @@ the pair join is a self-join *within* (conv_id, turn_idx) with a band
 predicate (distance cap), so the shuffle key is (conv_id, turn_idx) — high
 cardinality and uniform (turns are bounded at TURN_TOKENS tokens), no skew.
 AQE handles residual imbalance.
+
+Plan-shape invariants (checked via .explain during tuning):
+
+* the source is scanned ONCE per side — ``n_tokens`` and ``text`` are
+  carried through the (narrow) token explode instead of being re-derived
+  and joined back, so the positional beams are pure ranking windows with
+  zero joins, and ``sent_text`` needs no extra join at emission;
+* the only shuffles in emit_triples are: turns derivation (1), the beam
+  window + pair self-join sharing one (conv_id, turn_idx) partitioning,
+  and the final triple-dedup aggregation.
 """
 
 from __future__ import annotations
@@ -43,31 +53,85 @@ from dygiepp_spark.tables import (
 )
 
 
-def detect_mentions(turns: DataFrame) -> DataFrame:
+def _token_frame(turns: DataFrame) -> DataFrame:
+    """Token explode that CARRIES the per-turn context (``text``,
+    ``n_tokens``) on every token row instead of re-deriving and joining it
+    back later — one narrow stage, one scan of the source. The duplication
+    is transient (columnar, never wider than the turn itself) and buys
+    join-free beams plus join-free sent_text emission downstream.
+    """
+    base = turns.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+    )
+    return (
+        base.select(
+            "conv_id",
+            "turn_idx",
+            "text",
+            "n_tokens",
+            F.posexplode(F.split(F.col("text"), " ")).alias("tok_ix", "token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "token",
+            F.when(F.col("token").isin("/.", "/?"), F.expr("substring(token, 2)"))
+            .otherwise(F.col("token")),
+        )
+    )
+
+
+def detect_mentions(turns: DataFrame, with_context: bool = False) -> DataFrame:
     """Rule-based single-token entity mentions.
 
     Output: (conv_id, turn_idx, start, end, surface) — sentence-relative
     inclusive offsets like the reference's per-sentence ner lists
-    (doc/data.md:29-37).
+    (doc/data.md:29-37). ``with_context=True`` additionally carries
+    (text, n_tokens) for join-free downstream beams.
     """
-    toks = tokens_from_turns(turns)
+    toks = _token_frame(turns)
+    extra = ["text", "n_tokens"] if with_context else []
     return toks.filter(F.col("token").isin(*ENTITY_VOCAB)).select(
         "conv_id",
         "turn_idx",
         F.col("tok_ix").alias("start"),
         F.col("tok_ix").alias("end"),
         F.col("token").alias("surface"),
+        *extra,
     )
 
 
-def detect_triggers(turns: DataFrame) -> DataFrame:
+def detect_triggers(turns: DataFrame, with_context: bool = False) -> DataFrame:
     """Rule-based single-token event triggers (doc/data.md:59)."""
-    toks = tokens_from_turns(turns)
+    toks = _token_frame(turns)
+    extra = ["text", "n_tokens"] if with_context else []
     return toks.filter(F.col("token").isin(*TRIGGER_VOCAB)).select(
         "conv_id",
         "turn_idx",
         F.col("tok_ix").alias("trigger_ix"),
         F.concat(F.lit("op_"), F.col("token")).alias("event_type"),
+        *extra,
+    )
+
+
+def _beam_filter(
+    items: DataFrame,
+    spans_per_word: float,
+    cap: int | None,
+    mode: str,
+    pos_col: str,
+) -> DataFrame:
+    """Join-free M4 beam over a frame that already carries ``n_tokens``:
+    one ranking window on (conv_id, turn_idx), nothing else."""
+    rounder = F.ceil if mode == "ceil" else F.floor
+    k = F.greatest(rounder(F.lit(spans_per_word) * F.col("n_tokens")), F.lit(1))
+    if cap is not None:
+        k = F.least(k, F.lit(cap))
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(pos_col)
+    return (
+        items.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 
@@ -86,7 +150,15 @@ def positional_beam(
 
     Relations use ceil (relation.py:117); events use floor-with-min-1 and
     a hard cap (events.py:133-152).
+
+    General form for items that do NOT carry ``n_tokens`` — joins the turn
+    lengths in. The pipeline's own call sites use the join-free
+    ``with_context=True`` + :func:`_beam_filter` path instead.
     """
+    if "n_tokens" in items.columns:
+        return _beam_filter(items, spans_per_word, cap, mode, pos_col).drop(
+            *[c for c in ("text", "n_tokens") if c in items.columns]
+        )
     counts = with_token_counts(turns).select("conv_id", "turn_idx", "n_tokens")
     rounder = F.ceil if mode == "ceil" else F.floor
     k = F.greatest(rounder(F.lit(spans_per_word) * F.col("n_tokens")), F.lit(1))
@@ -109,10 +181,17 @@ def relation_pairs(mentions: DataFrame, max_dist: int = RELATION_MAX_DIST) -> Da
     label = RELATION_LABELS[(len(arg0) + 2*len(arg1)) % 3],
     conf  = 1 / (1 + distance).
     """
+    carry_text = "text" in mentions.columns
     a = mentions.alias("a")
-    b = mentions.alias("b")
+    b = mentions.drop(*[c for c in ("text", "n_tokens") if c in mentions.columns]).alias("b")
     n_labels = len(RELATION_LABELS)
     label_arr = F.array(*[F.lit(x) for x in RELATION_LABELS])
+    sent = [F.col("a.text").alias("sent_text")] if carry_text else []
+    if "entity_id" in mentions.columns:
+        sent += [
+            F.col("a.entity_id").alias("subj_id"),
+            F.col("b.entity_id").alias("obj_id"),
+        ]
     pairs = a.join(
         b,
         on=[
@@ -131,6 +210,7 @@ def relation_pairs(mentions: DataFrame, max_dist: int = RELATION_MAX_DIST) -> Da
         F.col("a.surface").alias("arg0"),
         F.col("b.surface").alias("arg1"),
         (F.col("b.start") - F.col("a.start")).alias("dist"),
+        *sent,
     )
     return pairs.select(
         "*",
@@ -157,13 +237,18 @@ def emit_triples(turns: DataFrame, max_dist: int = RELATION_MAX_DIST) -> DataFra
     Mentions pass the reference's relation beam first
     (k = ceil(0.5 * sentence_len), template.libsonnet:99) so this emits
     exactly what the Arrow kernel emits with the RuleScorer.
+
+    Plan shape: ONE scan feeding a narrow token explode (text/n_tokens
+    carried on mention rows), a single (conv_id, turn_idx) beam window
+    whose partitioning the pair self-join reuses, and the final dedup
+    aggregation — no auxiliary joins.
     """
-    mentions = positional_beam(detect_mentions(turns), turns, 0.5, mode="ceil")
+    mentions = _beam_filter(
+        detect_mentions(turns, with_context=True), 0.5, None, "ceil", "start"
+    )
     pairs = relation_pairs(mentions, max_dist)
-    sent = turns.select("conv_id", "turn_idx", F.col("text").alias("sent_text"))
     return (
-        pairs.join(sent, ["conv_id", "turn_idx"])
-        .groupBy("conv_id", "sent_text", "arg0", "arg1", "label")
+        pairs.groupBy("conv_id", "sent_text", "arg0", "arg1", "label")
         .agg(
             F.max_by(F.col("conf"), F.col("s1") * 1000 + F.col("s2")).alias("conf")
         )
@@ -187,34 +272,57 @@ def extract_events(turns: DataFrame, max_dist: int = EVENT_ARG_MAX_DIST) -> Data
     row exists only for predicted (non-null) triggers, and argument pairs
     are restricted to the trigger beam (floor 0.3/word cap 15) x the
     argument-span beam (floor 0.8/word cap 30), events.py:133-152.
+
+    Plan shape: mentions and triggers come out of ONE token scan and ONE
+    shared beam window partitioned by (conv_id, turn_idx, kind) — the two
+    per-kind beam sizes are a conditional k inside the same window, so the
+    self-join's two sides differ only by a post-window filter and the
+    exchange is reusable.
     """
-    mentions = positional_beam(
-        detect_mentions(turns), turns, 0.8, cap=30, mode="floor"
+    toks = _token_frame(turns)
+    cands = toks.withColumn(
+        "kind",
+        F.when(F.col("token").isin(*ENTITY_VOCAB), F.lit("m"))
+        .when(F.col("token").isin(*TRIGGER_VOCAB), F.lit("t")),
+    ).filter(F.col("kind").isNotNull())
+    k = F.when(
+        F.col("kind") == "m",
+        F.least(
+            F.greatest(F.floor(F.lit(0.8) * F.col("n_tokens")), F.lit(1)),
+            F.lit(30),
+        ),
+    ).otherwise(
+        F.least(
+            F.greatest(F.floor(F.lit(0.3) * F.col("n_tokens")), F.lit(1)),
+            F.lit(15),
+        )
     )
-    triggers = positional_beam(
-        detect_triggers(turns), turns, 0.3, cap=15, mode="floor",
-        pos_col="trigger_ix",
+    w = Window.partitionBy("conv_id", "turn_idx", "kind").orderBy("tok_ix")
+    beamed = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("conv_id", "turn_idx", "tok_ix", "token", "kind")
     )
-    m = mentions.alias("m")
-    t = triggers.alias("t")
+    m = beamed.filter(F.col("kind") == "m").alias("m")
+    t = beamed.filter(F.col("kind") == "t").alias("t")
     return t.join(
         m,
         on=[
             F.col("t.conv_id") == F.col("m.conv_id"),
             F.col("t.turn_idx") == F.col("m.turn_idx"),
-            F.abs(F.col("m.start") - F.col("t.trigger_ix")) <= max_dist,
+            F.abs(F.col("m.tok_ix") - F.col("t.tok_ix")) <= max_dist,
         ],
     ).select(
         F.col("t.conv_id").alias("conv_id"),
         F.col("t.turn_idx").alias("turn_idx"),
-        F.col("t.trigger_ix").alias("trigger_ix"),
-        F.col("t.event_type").alias("event_type"),
-        F.col("m.start").alias("arg_start"),
-        F.col("m.end").alias("arg_end"),
-        F.when(F.col("m.start") < F.col("t.trigger_ix"), F.lit("arg0"))
+        F.col("t.tok_ix").alias("trigger_ix"),
+        F.concat(F.lit("op_"), F.col("t.token")).alias("event_type"),
+        F.col("m.tok_ix").alias("arg_start"),
+        F.col("m.tok_ix").alias("arg_end"),
+        F.when(F.col("m.tok_ix") < F.col("t.tok_ix"), F.lit("arg0"))
         .otherwise(F.lit("arg1"))
         .alias("role"),
-        F.col("m.surface").alias("arg_text"),
+        F.col("m.token").alias("arg_text"),
     )
 
 
@@ -223,16 +331,45 @@ def events_binary_decode(events: DataFrame) -> DataFrame:
 
     Emits (conv_id, turn_idx, trigger_ix, event_type, arg0, arg1); a row
     requires both an arg0 and an arg1 for the trigger.
+
+    Implemented as ONE aggregation per trigger (collect arg0/arg1 lists)
+    followed by a nested explode — one pass over the events frame instead
+    of a filtered self-join (which would recompute the whole upstream
+    extraction for each side). Per-trigger arg counts are beam-capped
+    (<= 30), so the collected lists are bounded.
     """
-    a0 = events.filter(F.col("role") == "arg0").select(
-        "conv_id", "turn_idx", "trigger_ix", "event_type",
-        F.col("arg_text").alias("arg0"), F.col("arg_start").alias("a0_start"),
+    per_trigger = events.groupBy(
+        "conv_id", "turn_idx", "trigger_ix", "event_type"
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("role") == "arg0",
+                    F.struct(F.col("arg_start").alias("s"), F.col("arg_text").alias("t")),
+                )
+            )
+        ).alias("a0s"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("role") == "arg1",
+                    F.struct(F.col("arg_start").alias("s"), F.col("arg_text").alias("t")),
+                )
+            )
+        ).alias("a1s"),
     )
-    a1 = events.filter(F.col("role") == "arg1").select(
-        "conv_id", "turn_idx", "trigger_ix",
-        F.col("arg_text").alias("arg1"), F.col("arg_start").alias("a1_start"),
-    )
-    return a0.join(a1, ["conv_id", "turn_idx", "trigger_ix"]).select(
-        "conv_id", "turn_idx", "trigger_ix", "event_type",
-        "arg0", "a0_start", "arg1", "a1_start",
+    return (
+        per_trigger.select(
+            "conv_id", "turn_idx", "trigger_ix", "event_type",
+            F.explode("a0s").alias("a0"), "a1s",
+        )
+        .select(
+            "conv_id", "turn_idx", "trigger_ix", "event_type",
+            "a0", F.explode("a1s").alias("a1"),
+        )
+        .select(
+            "conv_id", "turn_idx", "trigger_ix", "event_type",
+            F.col("a0.t").alias("arg0"), F.col("a0.s").alias("a0_start"),
+            F.col("a1.t").alias("arg1"), F.col("a1.s").alias("a1_start"),
+        )
     )

@@ -22,38 +22,28 @@ from dygiepp_spark.operators.linking import link_mentions
 def build_edges(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
     """Triples with both endpoints resolved to canonical entity ids.
 
-    mention detection -> pair rule -> two broadcast-join lookups (subject
-    and object side) against the linked-mention frame. The mention->entity
-    mapping is re-joined on span identity (conv, turn, start) rather than
-    surface so a future neural linker that disambiguates per-mention slots
-    in without changing this operator.
+    Link-BEFORE-pair: the entity dictionary is broadcast-joined onto the
+    mention frame first (narrow, no shuffle on the big side), so the pair
+    self-join carries subj_id/obj_id through and no post-join lookup is
+    needed — two fewer shuffles than the pair-then-link formulation, and
+    a future per-mention neural linker slots into the same position.
     """
     mentions = detect_mentions(turns)
     linked = link_mentions(mentions, entity_dict).select(
-        "conv_id", "turn_idx", "start", "entity_id"
+        "conv_id", "turn_idx", "start", "end", "surface", "entity_id"
     )
-    pairs = relation_pairs(mentions)
-    subj = linked.withColumnRenamed("entity_id", "subj_id").withColumnRenamed(
-        "start", "s1"
-    )
-    obj = linked.withColumnRenamed("entity_id", "obj_id").withColumnRenamed(
-        "start", "s2"
-    )
-    return (
-        pairs.join(subj, ["conv_id", "turn_idx", "s1"])
-        .join(obj, ["conv_id", "turn_idx", "s2"])
-        .select(
-            "subj_id",
-            F.col("label").alias("pred"),
-            "obj_id",
-            "conv_id",
-            "turn_idx",
-            "conf",
-            F.concat_ws(
-                ":", F.lit("extract"), F.col("conv_id"), F.col("turn_idx"),
-                F.col("s1"), F.col("s2"),
-            ).alias("provenance"),
-        )
+    pairs = relation_pairs(linked)
+    return pairs.select(
+        "subj_id",
+        F.col("label").alias("pred"),
+        "obj_id",
+        "conv_id",
+        "turn_idx",
+        "conf",
+        F.concat_ws(
+            ":", F.lit("extract"), F.col("conv_id"), F.col("turn_idx"),
+            F.col("s1"), F.col("s2"),
+        ).alias("provenance"),
     )
 
 

@@ -95,7 +95,11 @@ def gold_triples(turns: DataFrame, max_dist: int = 3) -> DataFrame:
     label — mirroring ``goldrels.drop_duplicates(subset=["id","arg0","arg1"])``
     (eval_utils.py:755-756) which keeps the first row in document order.
     """
-    mentions = positional_beam(detect_mentions(turns), turns, 0.5, mode="ceil")
+    from dygiepp_spark.operators.extraction import _beam_filter
+
+    mentions = _beam_filter(
+        detect_mentions(turns, with_context=True), 0.5, None, "ceil", "start"
+    ).drop("text", "n_tokens")
     pairs = relation_pairs(mentions, max_dist)
     w = Window.partitionBy("conv_id", "arg0", "arg1").orderBy(
         "turn_idx", "s1", "s2"
@@ -207,6 +211,53 @@ def micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
         prec.alias("precision"),
         rec.alias("recall"),
         _safe_f1(prec, rec).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K5 event-tuple eval + G4 argument multiplicity
+# --------------------------------------------------------------------------
+
+def ie_eval_event(pred_bin: DataFrame, gold_bin: DataFrame) -> DataFrame:
+    """K5 (eval_utils.py:866-940): (arg0, trigger, arg1) tuple matching —
+    match requires arg0, arg1 and the trigger's event type to agree (the
+    reference accepts label-or-trigger-text; our event types ARE derived
+    from trigger text, so one equality covers both). One output row."""
+    key = ["conv_id", "arg0", "event_type", "arg1"]
+    p = pred_bin.select(*key).distinct()
+    g = gold_bin.select(*key).distinct()
+    tp = p.join(g, key).count()
+    n_p, n_g = p.count(), g.count()
+    spark = pred_bin.sparkSession
+    row = spark.createDataFrame(
+        [(tp, n_p - tp, n_g - tp)], "tp bigint, fp bigint, fn bigint"
+    )
+    prec = F.col("tp").cast("double") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast("double")
+    rec = F.col("tp").cast("double") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast("double")
+    return row.select(
+        "*",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        _safe_f1(prec, rec).alias("f1"),
+    )
+
+
+def arg_multiplicity(events: DataFrame) -> DataFrame:
+    """G4 (event_metrics.py:120-157): fraction of argument spans used by
+    more than one trigger. One aggregation + one row out."""
+    per_span = events.groupBy("conv_id", "turn_idx", "arg_start", "arg_end").agg(
+        F.count_distinct("trigger_ix").alias("nt")
+    )
+    return per_span.agg(
+        F.count(F.lit(1)).alias("n_args"),
+        F.sum(F.when(F.col("nt") > 1, 1).otherwise(0)).cast("bigint").alias("n_shared"),
+    ).select(
+        "n_args",
+        "n_shared",
+        (
+            F.col("n_shared").cast("double")
+            / F.greatest(F.col("n_args"), F.lit(1)).cast("double")
+        ).alias("shared_frac"),
     )
 
 

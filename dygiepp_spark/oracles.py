@@ -152,6 +152,13 @@ FROM pairs p JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
 GROUP BY p.conv_id, t.text, p.arg0, p.arg1, p.label"""
 
 
+def triples_set_oracle() -> str:
+    """Triple SET without the confidence column (kernel-path parity)."""
+    return f"""{_PRELUDE}
+SELECT DISTINCT p.conv_id AS conv_id, t.text AS sent_text, p.arg0, p.arg1, p.label
+FROM pairs p JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx"""
+
+
 def triples_mechanism_oracle() -> str:
     return f"""{_PRELUDE}
 SELECT conv_id, sent_text, arg0, arg1, 'MECHANISM' AS label, conf

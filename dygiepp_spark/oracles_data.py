@@ -12,7 +12,7 @@ Portability contract (see dygiepp_spark.functions.hashing):
 
 from __future__ import annotations
 
-from dygiepp_spark.functions.hashing import hash60_sql
+from dygiepp_spark.functions.hashing import hash60_sql, hash_family_from_sql
 from dygiepp_spark.functions.text import LANG_STOPWORDS
 from dygiepp_spark.operators.dedup import (
     N_BANDS,
@@ -87,14 +87,10 @@ FROM documents
 GROUP BY 1"""
 
 
-def _seeded_sql(i: int, expr: str = "shingle") -> str:
-    return "'" + str(i) + ":' || " + expr
-
-
 def _minhash_aggs() -> str:
     parts = []
     for i in range(N_HASHES):
-        parts.append(f"min({hash60_sql(_seeded_sql(i))}) AS mh_{i}")
+        parts.append(f"min({hash_family_from_sql(f'h{i % 2}', i)}) AS mh_{i}")
     return ",\n           ".join(parts)
 
 
@@ -105,10 +101,12 @@ def near_dups_minhash_oracle(thresh: float = 0.25, max_bucket: int = 1000) -> st
         for b in range(N_BANDS)
     )
     return f"""{_DEDUP_BASE},
+hashed AS (SELECT id, {hash60_sql('shingle')} AS h0,
+                  {hash60_sql("'b:' || shingle")} AS h1 FROM shingled),
 sigs AS (
     SELECT id,
            {_minhash_aggs()}
-    FROM shingled GROUP BY id
+    FROM hashed GROUP BY id
 ),
 buckets AS (
     {bands}
@@ -360,7 +358,7 @@ FROM ratios"""
 
 def fingerprint_oracle(k: int = 4) -> str:
     fps = ",\n       ".join(
-        f"min({hash60_sql(_seeded_sql(i))}) AS fp_{i}" for i in range(k)
+        f"min({hash_family_from_sql('h', i)}) AS fp_{i}" for i in range(k)
     )
     return f"""
 WITH norm AS (
@@ -373,10 +371,11 @@ sh AS (
            unnest(list_transform(range(1, greatest(length(nt) - 4, 1) + 1),
                                  i -> substr(nt, CAST(i AS INT), 5))) AS shingle
     FROM norm
-)
+),
+hashed AS (SELECT doc_id, {hash60_sql('shingle')} AS h FROM sh)
 SELECT doc_id,
        {fps}
-FROM sh GROUP BY doc_id"""
+FROM hashed GROUP BY doc_id"""
 
 
 # --------------------------------------------------------------------------

@@ -310,6 +310,121 @@ SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
 ) WHERE rk <= {k}"""
 
 
+def ie_eval_event_oracle(pred_dist: int = 4, gold_dist: int = 2) -> str:
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE)"
+    rec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE)"
+    return f"""{_EVAL_BASE},
+ev AS (
+    SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+           t.tok_ix AS trigger_ix, 'op_' || t.token AS event_type,
+           m.start AS arg_start, m.surface AS arg_text,
+           CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role,
+           abs(m.start - t.tok_ix) AS adist
+    FROM triggers_beam t
+    JOIN mentions_arg m
+      ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+     AND abs(m.start - t.tok_ix) <= {pred_dist}
+),
+binp AS (
+    SELECT DISTINCT a0.conv_id, a0.arg_text AS arg0, a0.event_type, a1.arg_text AS arg1
+    FROM (SELECT * FROM ev WHERE role = 'arg0') a0
+    JOIN (SELECT * FROM ev WHERE role = 'arg1') a1
+      ON a0.conv_id = a1.conv_id AND a0.turn_idx = a1.turn_idx
+     AND a0.trigger_ix = a1.trigger_ix
+),
+bing AS (
+    SELECT DISTINCT a0.conv_id, a0.arg_text AS arg0, a0.event_type, a1.arg_text AS arg1
+    FROM (SELECT * FROM ev WHERE role = 'arg0' AND adist <= {gold_dist}) a0
+    JOIN (SELECT * FROM ev WHERE role = 'arg1' AND adist <= {gold_dist}) a1
+      ON a0.conv_id = a1.conv_id AND a0.turn_idx = a1.turn_idx
+     AND a0.trigger_ix = a1.trigger_ix
+),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM binp JOIN bing USING (conv_id, arg0, event_type, arg1)) AS tp,
+      (SELECT count(*) FROM binp) AS n_p,
+      (SELECT count(*) FROM bing) AS n_g
+)
+SELECT tp, n_p - tp AS fp, n_g - tp AS fn,
+       {prec} AS precision, {rec} AS recall,
+       {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
+
+
+def arg_multiplicity_oracle(pred_dist: int = 4) -> str:
+    return f"""{_EVAL_BASE},
+ev AS (
+    SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+           t.tok_ix AS trigger_ix, m.start AS arg_start, m."end" AS arg_end
+    FROM triggers_beam t
+    JOIN mentions_arg m
+      ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+     AND abs(m.start - t.tok_ix) <= {pred_dist}
+),
+per_span AS (
+    SELECT conv_id, turn_idx, arg_start, arg_end,
+           count(DISTINCT trigger_ix) AS nt
+    FROM ev GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_args,
+       CAST(sum(CASE WHEN nt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN nt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(greatest(count(*), 1) AS DOUBLE) AS shared_frac
+FROM per_span"""
+
+
+def collate_oracle(cost_cap: int = 50_000, max_sents: int = 16, stride: int = 1_000_000_000) -> str:
+    order = "n_tokens, conv_id, turn_idx"
+    return f"""WITH {TURNS_SQL.strip()},
+t AS (
+    SELECT conv_id, turn_idx, text,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+             AS n_tokens
+    FROM turns
+),
+c AS (SELECT *, CAST(n_tokens AS BIGINT) * n_tokens AS cost FROM t),
+p AS (
+    SELECT *,
+           row_number() OVER (ORDER BY {order}) AS rn,
+           COALESCE(sum(cost) OVER (ORDER BY {order}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM c
+),
+b AS (SELECT *, cum // {cost_cap} AS b_cost, (rn - 1) // {max_sents} AS b_cnt FROM p)
+SELECT conv_id, turn_idx, text, n_tokens, cost,
+       CAST(b_cost * {stride} + b_cnt AS BIGINT) AS pseudo_doc_id,
+       CAST(row_number() OVER (PARTITION BY b_cost, b_cnt ORDER BY {order}) - 1
+            AS INT) AS slot
+FROM b"""
+
+
+def uncollate_oracle() -> str:
+    return f"""WITH {TURNS_SQL.strip()}
+SELECT conv_id, turn_idx, text FROM turns"""
+
+
+def check_dense_oracle() -> str:
+    return f"""WITH {TURNS_SQL.strip()}
+SELECT conv_id, 'non_dense_turn_idx' AS violation FROM (
+    SELECT conv_id, count(*) AS n, min(turn_idx) AS mn, max(turn_idx) AS mx,
+           count(DISTINCT turn_idx) AS nd
+    FROM turns GROUP BY conv_id
+) WHERE mn <> 0 OR mx <> n - 1 OR nd <> n"""
+
+
+def split_disjointness_oracle(modulus: int = 10, train_cut: int = 8) -> str:
+    return f"""WITH {TURNS_SQL.strip()},
+convs AS (
+    SELECT conv_id, CAST(conv_id AS BIGINT) % {modulus} AS b
+    FROM (SELECT DISTINCT conv_id FROM turns)
+),
+tr AS (SELECT conv_id FROM convs WHERE b < {train_cut}),
+te AS (SELECT conv_id FROM convs WHERE b >= {train_cut})
+SELECT (SELECT count(*) FROM tr) AS n_train,
+       (SELECT count(*) FROM te) AS n_test,
+       (SELECT count(*) FROM tr JOIN te USING (conv_id)) AS n_overlap"""
+
+
 def best_label_per_pair_oracle() -> str:
     return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()}
 SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
