@@ -207,6 +207,48 @@ def q_arg_multiplicity(spark, sf_dir):
     return KE.arg_multiplicity(EX.extract_events(_turns(spark, sf_dir), max_dist=4))
 
 
+def q_long_turns(spark, sf_dir):
+    """P5 length guardrail (check_sentence_length.py:21-33): report turns
+    exceeding the encoder token budget (threshold scaled to the corpus)."""
+    from dygiepp_spark.operators.doc_assembly import with_token_counts
+
+    return with_token_counts(_turns(spark, sf_dir)).filter(
+        F.col("n_tokens") > 8
+    ).select("conv_id", "turn_idx", "n_tokens")
+
+
+def q_gold_alignment(spark, sf_dir):
+    """A8 gold-label alignment (dygie.py:58-67): left-join gold mentions
+    onto the enumerated span grid; misses take the null label at index 0
+    (ner.py:49-51). Aggregated to per-label counts (the dense grid itself
+    is O(n_tokens * W))."""
+    turns = _turns(spark, sf_dir)
+    enumerated = SP.enumerate_spans(turns, max_width=8)
+    gold = EX.detect_mentions(turns).withColumn("label", F.col("surface")).select(
+        "conv_id", "turn_idx", "start", "end", "label"
+    )
+    aligned = SP.align_gold_labels(enumerated, gold, null_label="O")
+    return aligned.groupBy("label").agg(F.count(F.lit(1)).alias("n_spans"))
+
+
+def q_label_confusion(spark, sf_dir):
+    """S7 pred/gold merge (dygie_visualize_util.py:39-55): outer-join the
+    gold and predicted triple frames on the triple key, coalescing labels —
+    the confusion matrix of the rule extractor vs the tight-distance gold."""
+    turns = _turns(spark, sf_dir)
+    pred = EX.emit_triples(turns).select(
+        "conv_id", "arg0", "arg1", F.col("label").alias("pred_label")
+    ).distinct()
+    gold = KE.gold_triples(turns).select(
+        "conv_id", "arg0", "arg1", F.col("label").alias("gold_label")
+    )
+    merged = pred.join(gold, ["conv_id", "arg0", "arg1"], "full_outer")
+    return merged.groupBy(
+        F.coalesce(F.col("gold_label"), F.lit("∅")).alias("gold_label"),
+        F.coalesce(F.col("pred_label"), F.lit("∅")).alias("pred_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 # --------------------------------------------------------------------------
 # batch shaping + validation + TSV round-trip
 # --------------------------------------------------------------------------
@@ -360,6 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_label_per_pair": q_best_label_per_pair,
         "ie_eval_event": q_ie_eval_event,
         "arg_multiplicity": q_arg_multiplicity,
+        "long_turns": q_long_turns,
+        "gold_alignment": q_gold_alignment,
+        "label_confusion": q_label_confusion,
         # batch shaping + validation + TSV round-trip
         "collate": q_collate,
         "uncollate": q_uncollate,
@@ -415,6 +460,9 @@ def oracle_sql() -> dict[str, str]:
         "best_label_per_pair": oracles_kg.best_label_per_pair_oracle(),
         "ie_eval_event": oracles_kg.ie_eval_event_oracle(),
         "arg_multiplicity": oracles_kg.arg_multiplicity_oracle(),
+        "long_turns": oracles_kg.long_turns_oracle(),
+        "gold_alignment": oracles_kg.gold_alignment_oracle(),
+        "label_confusion": oracles_kg.label_confusion_oracle(),
         "collate": oracles_kg.collate_oracle(),
         "uncollate": oracles_kg.uncollate_oracle(),
         "check_dense": oracles_kg.check_dense_oracle(),

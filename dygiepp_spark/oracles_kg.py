@@ -373,6 +373,50 @@ SELECT CAST(count(*) AS BIGINT) AS n_args,
 FROM per_span"""
 
 
+def long_turns_oracle(limit: int = 8) -> str:
+    return f"""WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()},
+lens AS (
+    SELECT conv_id, turn_idx, CAST(count(*) AS INT) AS n_tokens
+    FROM tokens GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, n_tokens FROM lens WHERE n_tokens > {limit}"""
+
+
+def gold_alignment_oracle(max_width: int = 8) -> str:
+    return f"""{_BASE},
+lens AS (
+    SELECT conv_id, turn_idx, count(*) AS n FROM tokens GROUP BY conv_id, turn_idx
+),
+enumerated AS (
+    SELECT l.conv_id, l.turn_idx, s.start,
+           unnest(range(s.start, CAST(least(s.start + {max_width}, l.n) AS INT))) AS "end"
+    FROM lens l,
+         LATERAL (SELECT unnest(range(0, CAST(l.n AS INT))) AS start) s
+),
+aligned AS (
+    SELECT e.conv_id, e.turn_idx, e.start, e."end",
+           COALESCE(m.surface, 'O') AS label
+    FROM enumerated e
+    LEFT JOIN mentions m
+      ON m.conv_id = e.conv_id AND m.turn_idx = e.turn_idx
+     AND m.start = e.start AND m."end" = e."end"
+)
+SELECT label, count(*) AS n_spans FROM aligned GROUP BY label"""
+
+
+def label_confusion_oracle() -> str:
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+p AS (SELECT DISTINCT conv_id, arg0, arg1, label AS pred_label FROM triples),
+g AS (SELECT conv_id, arg0, arg1, label AS gold_label FROM gold),
+merged AS (
+    SELECT COALESCE(g.gold_label, '∅') AS gold_label,
+           COALESCE(p.pred_label, '∅') AS pred_label
+    FROM p FULL OUTER JOIN g
+      ON p.conv_id = g.conv_id AND p.arg0 = g.arg0 AND p.arg1 = g.arg1
+)
+SELECT gold_label, pred_label, count(*) AS n FROM merged GROUP BY 1, 2"""
+
+
 def collate_oracle(cost_cap: int = 50_000, max_sents: int = 16, stride: int = 1_000_000_000) -> str:
     order = "n_tokens, conv_id, turn_idx"
     return f"""WITH {TURNS_SQL.strip()},
