@@ -135,6 +135,23 @@ def q_coref_canonical(spark, sf_dir):
     )
 
 
+def _cluster_frames(spark, sf_dir):
+    mentions = EX.detect_mentions(_turns(spark, sf_dir))
+    pred = CO.coref_clusters(mentions).select("conv_id", "mention_ix", "cluster_id")
+    gold = CO.coref_clusters_global(mentions).select(
+        "conv_id", "mention_ix", "cluster_id"
+    )
+    return pred, gold
+
+
+def q_coref_muc(spark, sf_dir):
+    return CO.muc_score(*_cluster_frames(spark, sf_dir))
+
+
+def q_coref_b3(spark, sf_dir):
+    return CO.b3_counts(*_cluster_frames(spark, sf_dir))
+
+
 def q_linked_mentions(spark, sf_dir):
     return LK.link_mentions(
         EX.detect_mentions(_turns(spark, sf_dir)), TT.entity_dict(spark)
@@ -388,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coref / linking / graph
         "coref_clusters": q_coref_clusters,
         "coref_canonical": q_coref_canonical,
+        "coref_muc": q_coref_muc,
+        "coref_b3": q_coref_b3,
         "linked_mentions": q_linked_mentions,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
@@ -447,6 +466,8 @@ def oracle_sql() -> dict[str, str]:
         "events_binary": oracles.events_binary_oracle(),
         "coref_clusters": oracles_kg.coref_clusters_oracle(),
         "coref_canonical": oracles_kg.coref_canonical_oracle(),
+        "coref_muc": oracles_kg.coref_muc_oracle(),
+        "coref_b3": oracles_kg.coref_b3_counts_oracle(),
         "linked_mentions": oracles_kg.linked_mentions_oracle(),
         "kg_edges": oracles_kg.kg_edges_oracle(),
         "kg_nodes": oracles_kg.kg_nodes_oracle(),

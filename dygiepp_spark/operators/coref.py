@@ -194,6 +194,94 @@ def coref_clusters(mentions: DataFrame, max_antecedents: int = MAX_ANTECEDENTS) 
     return ordered.join(labels, ["conv_id", "mention_ix"])
 
 
+def coref_clusters_global(mentions: DataFrame) -> DataFrame:
+    """Distance-free same-surface clustering: cluster id = first mention_ix
+    of the surface within the conversation (what the windowed rule would
+    produce with an unbounded antecedent window). Serves as the 'gold'
+    clustering for the G5 metrics — it differs from :func:`coref_clusters`
+    exactly where a same-surface gap exceeds the antecedent window."""
+    ordered = mention_order(mentions)
+    w = Window.partitionBy("conv_id", "surface")
+    return ordered.withColumn("cluster_id", F.min("mention_ix").over(w))
+
+
+def muc_score(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """G5 MUC (the link-based CoNLL metric the reference imports from
+    allennlp_models — coref.py:15-16, use :355-361) as pure joins.
+
+    Inputs: (conv_id, mention_ix, cluster_id) frames over the SAME mention
+    set. Recall = sum(|g| - partitions(g)) / sum(|g| - 1) over gold
+    clusters, where partitions(g) = number of distinct pred clusters g's
+    mentions fall into; precision is symmetric. All sums are integer sums
+    (exact, order-free); P/R/F1 are single IEEE divisions. One row out.
+    """
+    j = pred.select(
+        "conv_id", "mention_ix", F.col("cluster_id").alias("pc")
+    ).join(
+        gold.select("conv_id", "mention_ix", F.col("cluster_id").alias("gc")),
+        ["conv_id", "mention_ix"],
+    )
+    per_gold = j.groupBy("conv_id", "gc").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("pc").alias("p")
+    )
+    rec = per_gold.agg(
+        F.sum(F.col("n") - F.col("p")).alias("num"),
+        F.sum(F.col("n") - 1).alias("den"),
+    ).collect()[0]
+    per_pred = j.groupBy("conv_id", "pc").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("gc").alias("p")
+    )
+    prec = per_pred.agg(
+        F.sum(F.col("n") - F.col("p")).alias("num"),
+        F.sum(F.col("n") - 1).alias("den"),
+    ).collect()[0]
+    spark = pred.sparkSession
+    row = spark.createDataFrame(
+        [(prec["num"], prec["den"], rec["num"], rec["den"])],
+        "prec_num bigint, prec_den bigint, rec_num bigint, rec_den bigint",
+    )
+    p = F.col("prec_num").cast("double") / F.greatest(F.col("prec_den"), F.lit(1)).cast("double")
+    r = F.col("rec_num").cast("double") / F.greatest(F.col("rec_den"), F.lit(1)).cast("double")
+    f1 = F.when(p + r > 0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return row.select(
+        "*", p.alias("precision"), r.alias("recall"), f1.alias("f1")
+    )
+
+
+def b3_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """G5 B-cubed sufficient statistics, integer-exact: per overlapping
+    (pred_cluster, gold_cluster) pair the overlap size and both cluster
+    sizes. The scalar B3 = (1/N) sum n_pg^2 / n_p (precision side) is a
+    sum of ratios — order-dependent in floating point — so the ENGINE
+    emits the exact integer table and the caller folds it (numpy/pandas at
+    metric-report time), keeping the distributed part hash-verifiable.
+    """
+    j = pred.select(
+        "conv_id", "mention_ix", F.col("cluster_id").alias("pc")
+    ).join(
+        gold.select("conv_id", "mention_ix", F.col("cluster_id").alias("gc")),
+        ["conv_id", "mention_ix"],
+    )
+    pair = j.groupBy("conv_id", "pc", "gc").agg(F.count(F.lit(1)).alias("n_pg"))
+    np_ = j.groupBy("conv_id", "pc").agg(F.count(F.lit(1)).alias("n_p"))
+    ng_ = j.groupBy("conv_id", "gc").agg(F.count(F.lit(1)).alias("n_g"))
+    return pair.join(np_, ["conv_id", "pc"]).join(ng_, ["conv_id", "gc"]).select(
+        "conv_id", "pc", "gc", "n_pg", "n_p", "n_g"
+    )
+
+
+def b3_scores(counts) -> tuple[float, float, float]:
+    """Driver-side fold of :func:`b3_counts` output -> (P, R, F1)."""
+    rows = counts.collect()
+    n = sum(r["n_pg"] for r in rows)
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    p = sum(r["n_pg"] ** 2 / r["n_p"] for r in rows) / n
+    r_ = sum(r["n_pg"] ** 2 / r["n_g"] for r in rows) / n
+    f1 = 2 * p * r_ / (p + r_) if p + r_ > 0 else 0.0
+    return p, r_, f1
+
+
 def canonicalize_clusters(clustered: DataFrame) -> DataFrame:
     """K11: exemplar = longest member span; first occurrence breaks ties.
 

@@ -49,7 +49,6 @@ from dygiepp_spark.tables import (
     RELATION_LABELS,
     RELATION_MAX_DIST,
     TRIGGER_VOCAB,
-    tokens_from_turns,
 )
 
 

@@ -74,6 +74,51 @@ FROM clusters
 GROUP BY conv_id, cluster_id"""
 
 
+_G5_CTES = """
+gold_cl AS (
+    SELECT conv_id, mention_ix,
+           CAST(min(mention_ix) OVER (PARTITION BY conv_id, surface) AS INT) AS gc
+    FROM m_ord
+),
+j AS (
+    SELECT c.conv_id, c.mention_ix, c.cluster_id AS pc, g.gc
+    FROM clusters c JOIN gold_cl g USING (conv_id, mention_ix)
+)
+"""
+
+
+def coref_muc_oracle() -> str:
+    p = "CAST(prec_num AS DOUBLE) / CAST(greatest(prec_den, 1) AS DOUBLE)"
+    r = "CAST(rec_num AS DOUBLE) / CAST(greatest(rec_den, 1) AS DOUBLE)"
+    f1 = (
+        f"CASE WHEN ({p}) + ({r}) > 0 THEN 2.0 * ({p}) * ({r}) / (({p}) + ({r})) "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""{_BASE} , {_COREF_CTES.strip()} , {_G5_CTES.strip()},
+pg AS (SELECT conv_id, gc, count(*) AS n, count(DISTINCT pc) AS p FROM j GROUP BY 1, 2),
+pp AS (SELECT conv_id, pc, count(*) AS n, count(DISTINCT gc) AS p FROM j GROUP BY 1, 2),
+sums AS (
+    SELECT CAST((SELECT sum(n - p) FROM pp) AS BIGINT) AS prec_num,
+           CAST((SELECT sum(n - 1) FROM pp) AS BIGINT) AS prec_den,
+           CAST((SELECT sum(n - p) FROM pg) AS BIGINT) AS rec_num,
+           CAST((SELECT sum(n - 1) FROM pg) AS BIGINT) AS rec_den
+)
+SELECT prec_num, prec_den, rec_num, rec_den,
+       {p} AS precision, {r} AS recall, {f1} AS f1
+FROM sums"""
+
+
+def coref_b3_counts_oracle() -> str:
+    return f"""{_BASE} , {_COREF_CTES.strip()} , {_G5_CTES.strip()},
+pair AS (SELECT conv_id, pc, gc, count(*) AS n_pg FROM j GROUP BY 1, 2, 3),
+np AS (SELECT conv_id, pc, count(*) AS n_p FROM j GROUP BY 1, 2),
+ng AS (SELECT conv_id, gc, count(*) AS n_g FROM j GROUP BY 1, 2)
+SELECT pair.conv_id, pair.pc, pair.gc, pair.n_pg, np.n_p, ng.n_g
+FROM pair
+JOIN np ON np.conv_id = pair.conv_id AND np.pc = pair.pc
+JOIN ng ON ng.conv_id = pair.conv_id AND ng.gc = pair.gc"""
+
+
 # --------------------------------------------------------------------------
 # linking + graph materialization
 # --------------------------------------------------------------------------
