@@ -192,3 +192,46 @@ def decode_antecedents(pair_scores: np.ndarray) -> np.ndarray:
         if cand[best] > 0.0:  # dummy score is 0 (coref.py:635-644)
             out[i] = best
     return out
+
+
+def coref_propagate(
+    span_scores: np.ndarray,
+    ante_ix: np.ndarray,
+    ante_scores: np.ndarray,
+    gate: float = 0.5,
+    rounds: int = 1,
+) -> np.ndarray:
+    """M17 coref propagation (coref.py:111-154 ``coref_propagation_doc``):
+    for ``rounds`` iterations, each span's representation is refreshed as a
+    gated mix of itself and the attention-weighted combination of its
+    antecedent candidates.
+
+    Scalar-score form of the reference's vector update
+    (``emb' = f * emb + (1 - f) * sum_a attn_a * emb_a``; gate network
+    ``_f_network`` coref.py:84-88 collapses to the scalar ``gate`` here):
+
+    * ``ante_ix``    (S, A) int — candidate antecedent indices, -1 = pad
+      (AdjacencyFieldAssym padding convention);
+    * ``ante_scores`` (S, A) float — pair scores; pads are masked to -inf
+      before the softmax (util.replace_masked_values semantics);
+    * spans with NO candidates keep their score unchanged (the reference's
+      log-mask leaves the dummy antecedent, coref.py:451-506).
+
+    Bounded iterations (default 1, reference default 0/1 —
+    template.libsonnet:95, scierc.jsonnet:17-23); runs entirely inside the
+    per-document Arrow kernel, never as Spark rows.
+    """
+    scores = span_scores.astype(np.float64).copy()
+    pad = ante_ix < 0
+    for _ in range(rounds):
+        masked = np.where(pad, -np.inf, ante_scores)
+        has_any = ~pad.all(axis=1)
+        attn = np.zeros_like(ante_scores, dtype=np.float64)
+        if has_any.any():
+            attn[has_any] = softmax(masked[has_any], axis=-1)
+        ante_vals = scores[np.clip(ante_ix, 0, None)]
+        mixed = (attn * np.where(pad, 0.0, ante_vals)).sum(axis=1)
+        scores = np.where(
+            has_any, gate * scores + (1.0 - gate) * mixed, scores
+        )
+    return scores

@@ -196,3 +196,33 @@ def test_gold_ner_replay_exact(spark):
         for r in extracted.filter(F.col("row_type") == "mention").collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------------- coref propagation
+
+def test_coref_propagate_gated_mix():
+    scores = np.array([1.0, 3.0, 5.0])
+    # span 2 has antecedents {0, 1} with equal pair scores -> attn 0.5/0.5
+    ante_ix = np.array([[-1, -1], [-1, -1], [0, 1]])
+    ante_sc = np.array([[0.0, 0.0], [0.0, 0.0], [2.0, 2.0]])
+    out = D.coref_propagate(scores, ante_ix, ante_sc, gate=0.5, rounds=1)
+    # spans without candidates unchanged; span 2: 0.5*5 + 0.5*(0.5*1 + 0.5*3)
+    assert out[0] == 1.0 and out[1] == 3.0
+    assert out[2] == pytest.approx(0.5 * 5.0 + 0.5 * 2.0)
+
+
+def test_coref_propagate_attention_prefers_higher_score():
+    scores = np.array([10.0, 0.0, 4.0])
+    ante_ix = np.array([[-1, -1], [-1, -1], [0, 1]])
+    ante_sc = np.array([[0.0, 0.0], [0.0, 0.0], [9.0, -9.0]])
+    out = D.coref_propagate(scores, ante_ix, ante_sc, gate=0.5, rounds=1)
+    # attention is ~all on antecedent 0 -> blended toward 10
+    assert out[2] > 6.9
+
+
+def test_coref_propagate_zero_rounds_identity():
+    scores = np.array([1.0, 2.0])
+    ante_ix = np.array([[-1], [0]])
+    ante_sc = np.array([[0.0], [5.0]])
+    out = D.coref_propagate(scores, ante_ix, ante_sc, rounds=0)
+    assert out.tolist() == [1.0, 2.0]
