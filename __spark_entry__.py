@@ -224,6 +224,11 @@ def q_arg_multiplicity(spark, sf_dir):
     return KE.arg_multiplicity(EX.extract_events(_turns(spark, sf_dir), max_dist=4))
 
 
+def q_greedy_match(spark, sf_dir):
+    turns = _turns(spark, sf_dir)
+    return KE.greedy_match(EX.emit_triples(turns), KE.gold_triples(turns))
+
+
 def q_long_turns(spark, sf_dir):
     """P5 length guardrail (check_sentence_length.py:21-33): report turns
     exceeding the encoder token budget (threshold scaled to the corpus)."""
@@ -424,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_turns": q_long_turns,
         "gold_alignment": q_gold_alignment,
         "label_confusion": q_label_confusion,
+        "greedy_match": q_greedy_match,
         # batch shaping + validation + TSV round-trip
         "collate": q_collate,
         "uncollate": q_uncollate,
@@ -484,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "long_turns": oracles_kg.long_turns_oracle(),
         "gold_alignment": oracles_kg.gold_alignment_oracle(),
         "label_confusion": oracles_kg.label_confusion_oracle(),
+        "greedy_match": oracles_kg.greedy_match_oracle(),
         "collate": oracles_kg.collate_oracle(),
         "uncollate": oracles_kg.uncollate_oracle(),
         "check_dense": oracles_kg.check_dense_oracle(),

@@ -262,6 +262,66 @@ def arg_multiplicity(events: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# G7 greedy one-to-one matching (diff / annotation_eval)
+# --------------------------------------------------------------------------
+
+def greedy_match(
+    pred: DataFrame, gold: DataFrame, metric: str = "substring"
+) -> DataFrame:
+    """G7 (eval_utils.py:498-563 ``diff`` / :567-617 ``annotation_eval``):
+    match pred and gold triples one-to-one with greedy dedup bookkeeping
+    (``seen_pred``/``seen_gold``), under a fuzzy span metric that makes the
+    candidate graph many-to-many.
+
+    Deterministic greedy order = lexicographic candidate key; pass 1 keeps
+    the first gold per pred (window rank), pass 2 keeps the first surviving
+    pred per gold — exactly the sequential first-wins scan, expressed as
+    two ranking windows. Output: the matched pairs.
+    """
+    m = _METRICS[metric]
+    p = pred.select(
+        "conv_id",
+        F.col("arg0").alias("p_arg0"),
+        F.col("arg1").alias("p_arg1"),
+        F.col("label").alias("p_label"),
+    ).distinct().alias("p")
+    g = gold.select(
+        "conv_id",
+        F.col("arg0").alias("g_arg0"),
+        F.col("arg1").alias("g_arg1"),
+        F.col("label").alias("g_label"),
+    ).distinct().alias("g")
+    cand = p.join(
+        g,
+        on=[
+            F.col("p.conv_id") == F.col("g.conv_id"),
+            m(F.col("p_arg0"), F.col("g_arg0")),
+            m(F.col("p_arg1"), F.col("g_arg1")),
+            F.col("p_label") == F.col("g_label"),
+        ],
+    ).select(
+        F.col("p.conv_id").alias("conv_id"),
+        "p_arg0", "p_arg1", "p_label", "g_arg0", "g_arg1", "g_label",
+    )
+    w_pred = Window.partitionBy("conv_id", "p_arg0", "p_arg1", "p_label").orderBy(
+        "g_arg0", "g_arg1", "g_label"
+    )
+    first_per_pred = (
+        cand.withColumn("_r", F.row_number().over(w_pred))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    w_gold = Window.partitionBy("conv_id", "g_arg0", "g_arg1", "g_label").orderBy(
+        "p_arg0", "p_arg1", "p_label"
+    )
+    return (
+        first_per_pred.withColumn("_r", F.row_number().over(w_gold))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+# --------------------------------------------------------------------------
 # K6 transitive closure
 # --------------------------------------------------------------------------
 

@@ -418,6 +418,39 @@ SELECT CAST(count(*) AS BIGINT) AS n_args,
 FROM per_span"""
 
 
+def greedy_match_oracle() -> str:
+    sub0 = (
+        "(contains(lower(trim(p_arg0)), lower(trim(g_arg0))) "
+        "OR contains(lower(trim(g_arg0)), lower(trim(p_arg0))))"
+    )
+    sub1 = (
+        "(contains(lower(trim(p_arg1)), lower(trim(g_arg1))) "
+        "OR contains(lower(trim(g_arg1)), lower(trim(p_arg1))))"
+    )
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+p AS (SELECT DISTINCT conv_id, arg0 AS p_arg0, arg1 AS p_arg1, label AS p_label FROM triples),
+g AS (SELECT DISTINCT conv_id, arg0 AS g_arg0, arg1 AS g_arg1, label AS g_label FROM gold),
+cand AS (
+    SELECT p.conv_id, p_arg0, p_arg1, p_label, g_arg0, g_arg1, g_label
+    FROM p JOIN g ON p.conv_id = g.conv_id AND p_label = g_label
+               AND {sub0} AND {sub1}
+),
+fpp AS (
+    SELECT * FROM (
+        SELECT c.*, row_number() OVER (
+            PARTITION BY conv_id, p_arg0, p_arg1, p_label
+            ORDER BY g_arg0, g_arg1, g_label) AS r
+        FROM cand c
+    ) WHERE r = 1
+)
+SELECT conv_id, p_arg0, p_arg1, p_label, g_arg0, g_arg1, g_label FROM (
+    SELECT f.*, row_number() OVER (
+        PARTITION BY conv_id, g_arg0, g_arg1, g_label
+        ORDER BY p_arg0, p_arg1, p_label) AS r2
+    FROM fpp f
+) WHERE r2 = 1"""
+
+
 def long_turns_oracle(limit: int = 8) -> str:
     return f"""WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()},
 lens AS (
