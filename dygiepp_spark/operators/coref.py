@@ -139,6 +139,9 @@ def connected_components(
             .groupBy("conv_id", F.col("src").alias("mention_ix"))
             .agg(F.min("n_label").alias("n_min"))
         )
+        # carry the round's starting label (_prev) through both hops so
+        # convergence is a filter on the SAME checkpointed frame — no
+        # extra join job per round
         hop = (
             labels.join(neigh, ["conv_id", "mention_ix"], "left")
             .select(
@@ -147,6 +150,7 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("_prev"),
             )
         )
         # pointer doubling: jump to the label of my label
@@ -163,16 +167,15 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("grand"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                "_prev",
             )
         ).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), ["conv_id", "mention_ix"])
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("cluster_id") != F.col("_prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     return labels
