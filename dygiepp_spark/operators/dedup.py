@@ -268,8 +268,15 @@ def jaccard_verify(
 
 
 def near_dups_minhash(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline over chunk rows."""
-    sh = shingles(chunks)
+    """Full MinHash-LSH near-dup pipeline over chunk rows.
+
+    The shingle frame feeds three consumers (signatures, intersection
+    counts, per-id sizes); without materialization each reference re-runs
+    tokenize+shingle from the source — 30+ scans in the physical plan. A
+    localCheckpoint pins it to ONE pass (production: an Iceberg stage
+    checkpoint via plans.pipeline).
+    """
+    sh = shingles(chunks).localCheckpoint(eager=False)
     cands = lsh_candidates(lsh_buckets(minhash_signatures(sh)))
     return jaccard_verify(cands, sh, thresh)
 
@@ -314,7 +321,7 @@ def near_dups_simhash(
     Banding is the recall/cost dial: 8 bands of 4 bits guarantee recall for
     Hamming <= 7 on 32 bits (pigeonhole) while keeping the self-join keyed.
     """
-    sigs = simhash_signatures(shingles(chunks), bits)
+    sigs = simhash_signatures(shingles(chunks), bits).localCheckpoint(eager=False)
     n_bands = bits // band_bits
     bands = F.array(
         *[
@@ -371,7 +378,9 @@ def ngram_jaccard_pairs(
     sets = sh.groupBy("id").agg(
         F.array_sort(F.collect_set("shingle")).alias("sh"),
         F.count(F.lit(1)).alias("n_sh"),
-    ).withColumn("block", F.floor(F.col("n_sh") / block_width))
+    ).withColumn(
+        "block", F.floor(F.col("n_sh") / block_width)
+    ).localCheckpoint(eager=False)
     a = sets.alias("a")
     b = sets.alias("b")
     return (
