@@ -139,8 +139,16 @@ def ie_eval(
         pred = pred.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= topk
         ).drop("_rn")
-    p = pred.select("conv_id", "arg0", "arg1", "label").alias("p")
-    g = gold.select("conv_id", "arg0", "arg1", "label").alias("g")
+    # four scalar actions follow (tp, tp_recall, n_pred, n_gold) — pin the
+    # upstream extraction once instead of re-running it per action
+    pred = pred.select("conv_id", "arg0", "arg1", "label").localCheckpoint(
+        eager=False
+    )
+    gold = gold.select("conv_id", "arg0", "arg1", "label").localCheckpoint(
+        eager=False
+    )
+    p = pred.alias("p")
+    g = gold.alias("g")
     cond = relation_match_cond(metric)
     matches = p.join(g, on=cond)
 
@@ -175,7 +183,8 @@ def ie_span_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
             .distinct()
         )
 
-    ps, gs = spans_of(pred), spans_of(gold)
+    ps = spans_of(pred).localCheckpoint(eager=False)
+    gs = spans_of(gold).localCheckpoint(eager=False)
     tp = ps.join(gs, ["conv_id", "span"]).count()
     n_p, n_g = ps.count(), gs.count()
     spark = pred.sparkSession
@@ -196,8 +205,12 @@ def micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """G1 (dygie/training/ner_metrics.py:22-64 + f1.py:6-17): micro P/R/F1
     with exact (arg0, arg1, label) matching, computed distributed — per-conv
     TP via join, global sums, safe division. One output row."""
-    p = pred.select("conv_id", "arg0", "arg1", "label").distinct()
-    g = gold.select("conv_id", "arg0", "arg1", "label").distinct()
+    p = pred.select("conv_id", "arg0", "arg1", "label").distinct().localCheckpoint(
+        eager=False
+    )
+    g = gold.select("conv_id", "arg0", "arg1", "label").distinct().localCheckpoint(
+        eager=False
+    )
     tp = p.join(g, ["conv_id", "arg0", "arg1", "label"]).count()
     n_p, n_g = p.count(), g.count()
     spark = pred.sparkSession
@@ -224,8 +237,8 @@ def ie_eval_event(pred_bin: DataFrame, gold_bin: DataFrame) -> DataFrame:
     reference accepts label-or-trigger-text; our event types ARE derived
     from trigger text, so one equality covers both). One output row."""
     key = ["conv_id", "arg0", "event_type", "arg1"]
-    p = pred_bin.select(*key).distinct()
-    g = gold_bin.select(*key).distinct()
+    p = pred_bin.select(*key).distinct().localCheckpoint(eager=False)
+    g = gold_bin.select(*key).distinct().localCheckpoint(eager=False)
     tp = p.join(g, key).count()
     n_p, n_g = p.count(), g.count()
     spark = pred_bin.sparkSession

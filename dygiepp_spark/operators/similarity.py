@@ -143,7 +143,10 @@ def ivf_topk(
     Approximation is by design — recall vs :func:`brute_force_topk` is the
     quality metric (tested). Output (query_id, neighbor_id, rnk, cos).
     """
-    cells = assign_cells(emb, n_centroids)
+    # cells feeds both the (broadcast) query side and the probe side —
+    # materialize so assignment runs once (production: the IVF index IS a
+    # stored table partitioned by cell)
+    cells = assign_cells(emb, n_centroids).localCheckpoint(eager=False)
     queries = cells.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
