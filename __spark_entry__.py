@@ -293,6 +293,17 @@ def q_split_disjointness(spark, sf_dir):
     return DA.split_disjointness(_turns(spark, sf_dir))
 
 
+def _consume_and_remove(df: DataFrame, base: str) -> DataFrame:
+    """Materialize ``df`` (eager localCheckpoint) so the scratch dir under
+    .tmp can be deleted immediately instead of accumulating across runs —
+    the returned frame no longer references the files."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_tsv_roundtrip(spark, sf_dir):
     """S3 TSV sink + S4 TSV scan round-trip (predict.py:36-42 /
     eval_metric.py:79-84): triples written as TSV and read back must hash
@@ -300,7 +311,7 @@ def q_tsv_roundtrip(spark, sf_dir):
     writer emits shortest-round-trip representations."""
     base = f"/root/repo/.tmp/tsv_{uuid.uuid4().hex[:8]}"
     JS.write_triples_tsv(EX.emit_triples(_turns(spark, sf_dir)), base)
-    return JS.read_triples_tsv(spark, base)
+    return _consume_and_remove(JS.read_triples_tsv(spark, base), base)
 
 
 # --------------------------------------------------------------------------
@@ -391,7 +402,7 @@ def q_streaming_mentions(spark, sf_dir):
     os.makedirs(in_dir, exist_ok=True)
     _turns(spark, sf_dir).write.mode("overwrite").parquet(in_dir)
     ST.run_mentions_stream(spark, in_dir, out_dir, ckpt)
-    return spark.read.parquet(out_dir)
+    return _consume_and_remove(spark.read.parquet(out_dir), base)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -12,9 +12,16 @@ Spark formulation: a greedy sequential packer does not distribute, so the
 pack is expressed with GLOBAL PREFIX SUMS over one total order — a turn's
 bin key is (floor(prefix_cost / cost_cap), floor(prefix_count /
 count_cap)); both components are non-decreasing along the order, so bins
-are contiguous runs honoring BOTH caps. This approximates greedy first-fit
-(bins average slightly under cap) while preserving the property the
-downstream applyInPandas kernels need: no pseudo-doc exceeds either cap.
+are contiguous runs bounding both dimensions. This approximates greedy
+first-fit (bins average slightly under cap). Cap guarantee, precisely:
+the COUNT cap is exact (never more than ``max_sents`` turns per bin); the
+COST cap is honored up to the last member's cost — a turn is assigned to
+``floor(exclusive_prefix / cost_cap)``, so a bin's total may exceed
+``cost_cap`` by at most ``max(cost)`` of its members (the reference greedy
+instead closes a doc *before* exceeding). Downstream kernels that size
+buffers must budget ``cost_cap + max_item_cost`` (the derived corpus's
+turns are ~12 tokens, cost ~144, so the overshoot is negligible there);
+callers needing a hard ceiling should pre-split outlier turns.
 
 The prefix sums themselves are computed with the scalable two-pass
 pattern, NOT an unpartitioned window (which would funnel the corpus

@@ -247,11 +247,29 @@ def emit_triples(turns: DataFrame, max_dist: int = RELATION_MAX_DIST) -> DataFra
     IO the scaling bottleneck (measured: 0.39 efficiency at 4x cores vs
     this formulation).
     """
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # token convention identical to _token_frame: positions come from the
+    # RAW split (posexplode-before-filter), empties dropped afterwards, and
+    # the '/.'/'/?' -> '.'/'?' normalization applied — so this fused path
+    # and the relational detect_mentions path agree on ANY input text
+    # (repeated spaces, normalized punctuation), not just the single-space
+    # derived corpus.
+    raw = F.split(F.col("text"), " ")
+    toks = F.filter(
+        F.transform(raw, lambda t, i: F.struct(i.alias("pos"), t.alias("tok"))),
+        lambda s: s["tok"] != "",
+    )
     n = F.size(toks)
     ments = F.filter(
         F.transform(
-            toks, lambda t, i: F.struct(i.alias("pos"), t.alias("tok"))
+            toks,
+            lambda s: F.struct(
+                s["pos"].alias("pos"),
+                F.when(
+                    s["tok"].isin("/.", "/?"), F.substring(s["tok"], 2, 8)
+                )
+                .otherwise(s["tok"])
+                .alias("tok"),
+            ),
         ),
         lambda s: s["tok"].isin(*ENTITY_VOCAB),
     )

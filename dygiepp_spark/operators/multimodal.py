@@ -59,8 +59,12 @@ def fake_image_meta(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for header decode: dimensions from the first
     two bytes, checksum over a strided byte sample."""
     n = len(payload)
-    width = 1 + payload[0] % 64
-    height = 1 + payload[1] % 64
+    # short payloads: missing header bytes read as 0, matching the DuckDB
+    # oracle's substr/ascii semantics (ascii('') = 0) instead of raising
+    b0 = payload[0] if n >= 1 else 0
+    b1 = payload[1] if n >= 2 else 0
+    width = 1 + b0 % 64
+    height = 1 + b1 % 64
     checksum = sum(payload[::FRAME_STRIDE]) % 256
     return n, width, height, checksum
 
