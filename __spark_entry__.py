@@ -186,6 +186,43 @@ def q_ie_eval_substring(spark, sf_dir):
     return KE.ie_eval(EX.emit_triples(turns), KE.gold_triples(turns), "substring")
 
 
+def q_ie_eval_reverse(spark, sf_dir):
+    """K2 consider_reverse (eval_utils.py:283-335): a pred also matches a
+    gold with swapped arguments (label equality on both branches)."""
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(
+        EX.emit_triples(turns), KE.gold_triples(turns), "exact",
+        consider_reverse=True,
+    )
+
+
+def q_ie_eval_topk(spark, sf_dir):
+    """K3 topK cut (predrels[:topK], eval_utils.py:783-785) — exercised
+    through the distributed k-th-score prefilter path."""
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(
+        EX.emit_triples(turns), KE.gold_triples(turns), "exact", topk=500
+    )
+
+
+def q_ie_eval_rouge(spark, sf_dir):
+    """K1 'rouge' (eval_utils.py:227-232): rouge-L f > 0.3 under the
+    pltrdy/rouge formula, vs context-widened gold spans."""
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(
+        EX.emit_triples(turns), KE.gold_triples_ctx(turns), "rouge"
+    )
+
+
+def q_ie_eval_head(spark, sf_dir):
+    """K1 'head' (eval_utils.py:221-226): head-token match (last-token
+    stand-in, documented), vs context-widened gold spans."""
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(
+        EX.emit_triples(turns), KE.gold_triples_ctx(turns), "head"
+    )
+
+
 def q_ie_span_eval(spark, sf_dir):
     turns = _turns(spark, sf_dir)
     return KE.ie_span_eval(EX.emit_triples(turns), KE.gold_triples(turns))
@@ -430,6 +467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eval layer
         "ie_eval_exact": q_ie_eval_exact,
         "ie_eval_substring": q_ie_eval_substring,
+        "ie_eval_reverse": q_ie_eval_reverse,
+        "ie_eval_topk": q_ie_eval_topk,
+        "ie_eval_rouge": q_ie_eval_rouge,
+        "ie_eval_head": q_ie_eval_head,
         "ie_span_eval": q_ie_span_eval,
         "micro_prf": q_micro_prf,
         "gold_transitive": q_gold_transitive,
@@ -491,6 +532,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_agg": oracles_kg.kg_edges_agg_oracle(),
         "ie_eval_exact": oracles_kg.ie_eval_exact_oracle(),
         "ie_eval_substring": oracles_kg.ie_eval_substring_oracle(),
+        "ie_eval_reverse": oracles_kg.ie_eval_reverse_oracle(),
+        "ie_eval_topk": oracles_kg.ie_eval_topk_oracle(k=500),
+        "ie_eval_rouge": oracles_kg.ie_eval_rouge_oracle(),
+        "ie_eval_head": oracles_kg.ie_eval_head_oracle(),
         "ie_span_eval": oracles_kg.ie_span_eval_oracle(),
         "micro_prf": oracles_kg.micro_prf_oracle(),
         "gold_transitive": oracles_kg.gold_transitive_oracle(rounds=2),

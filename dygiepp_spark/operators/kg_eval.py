@@ -31,6 +31,7 @@ exchange — a rank over one window, and only when topK is requested.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -64,22 +65,110 @@ def match_jaccard(a: Column, b: Column, thresh: float = 0.5) -> Column:
     return (inter / F.greatest(union, F.lit(1.0))) >= thresh
 
 
+def match_head(a: Column, b: Column) -> Column:
+    """K1 'head' (eval_utils.py:221-226): spaCy dependency-parse ROOT token
+    equality. HONEST BOUNDARY: no dependency parser exists in this
+    environment, so the head is approximated by the LAST whitespace token
+    (the head-final heuristic for English noun phrases); swap in a real
+    parser UDF in production. JVM-side expression, no Python in the path."""
+    ha = F.element_at(F.split(F.lower(F.trim(a)), " "), -1)
+    hb = F.element_at(F.split(F.lower(F.trim(b)), " "), -1)
+    return ha == hb
+
+
+def _rouge_l_f_py(a: str, b: str) -> float:
+    """rouge-L sentence-level F for one (hyp, ref) pair — the exact
+    formula of the ``rouge`` package the reference imports
+    (pltrdy/rouge rouge_score.py ``_f_p_r_lcs``: beta = P/R weighted F
+    with the package's 1e-12 / 1e-8 stabilizers), tokens = whitespace
+    split of lower(trim(x)). Full O(n*m) LCS dynamic program — general,
+    not a containment shortcut."""
+    ta = [t for t in a.strip().lower().split(" ") if t != ""]
+    tb = [t for t in b.strip().lower().split(" ") if t != ""]
+    n, m = len(ta), len(tb)
+    if n == 0 or m == 0:
+        return 0.0
+    prev = [0] * (m + 1)
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        for j in range(1, m + 1):
+            if ta[i - 1] == tb[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    llcs = prev[m]
+    p_lcs = llcs / n          # hyp = span1 = pred
+    r_lcs = llcs / m          # ref = span2 = gold
+    beta = p_lcs / (r_lcs + 1e-12)
+    num = (1 + beta ** 2) * r_lcs * p_lcs
+    denom = r_lcs + (beta ** 2) * p_lcs
+    return num / (denom + 1e-8)
+
+
+def rouge_l_f() -> Column:
+    """Arrow-batched pandas UDF computing rouge-L F over two string
+    columns. Python is unavoidable for the LCS DP (no Spark builtin); the
+    batch transfer is Arrow, never row-at-a-time."""
+
+    @F.pandas_udf("double")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_rouge_l_f_py(x or "", y or "") for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+    return _udf
+
+
+ROUGE_THRESH = 0.3
+
+
+def match_rouge(a: Column, b: Column, thresh: float = ROUGE_THRESH) -> Column:
+    """K1 'rouge' (eval_utils.py:227-232): rouge-L f STRICTLY greater than
+    ``thresh`` (the reference's ``scores[0]['rouge-l']['f'] > thresh``)."""
+    return rouge_l_f()(a, b) > F.lit(thresh)
+
+
 _METRICS = {
     "exact": match_exact,
     "substring": match_substring,
     "jaccard": match_jaccard,
+    "head": match_head,
+    "rouge": match_rouge,
 }
 
 
-def relation_match_cond(metric: str = "exact", collapse: bool = False) -> list[Column]:
+def relation_match_cond(
+    metric: str = "exact",
+    collapse: bool = False,
+    consider_reverse: bool = False,
+    reverse_labels: list[str] | None = None,
+) -> list[Column]:
     """K2: join predicate pred x gold — arg0, arg1 (and label unless
-    collapsed) must match under the chosen span metric."""
+    collapsed) must match under the chosen span metric.
+
+    ``consider_reverse`` (eval_utils.py:283-335 ``consider_reverse``): a
+    pair also matches with its arguments SWAPPED (pred.arg0 vs gold.arg1
+    and vice versa). ``reverse_labels`` restricts the reverse branch to
+    predictions carrying one of the given labels — the reference's
+    ``reverse_on_effect`` hardcodes {'effect', 'EFFECT'}
+    (eval_utils.py:325-326); here the label set is a parameter since the
+    corpus vocabulary differs. Label equality applies to both branches,
+    exactly as the reference checks ``labels[0]==labels[1]`` inside each.
+    """
     m = _METRICS[metric]
-    cond = [
-        F.col("p.conv_id") == F.col("g.conv_id"),
-        m(F.col("p.arg0"), F.col("g.arg0")),
-        m(F.col("p.arg1"), F.col("g.arg1")),
-    ]
+    fwd = m(F.col("p.arg0"), F.col("g.arg0")) & m(F.col("p.arg1"), F.col("g.arg1"))
+    if consider_reverse:
+        rev = m(F.col("p.arg0"), F.col("g.arg1")) & m(
+            F.col("p.arg1"), F.col("g.arg0")
+        )
+        if reverse_labels is not None:
+            rev = rev & F.col("p.label").isin(*reverse_labels)
+        arg_match = fwd | rev
+    else:
+        arg_match = fwd
+    cond = [F.col("p.conv_id") == F.col("g.conv_id"), arg_match]
     if not collapse:
         cond.append(F.col("p.label") == F.col("g.label"))
     return cond
@@ -111,6 +200,56 @@ def gold_triples(turns: DataFrame, max_dist: int = 3) -> DataFrame:
     )
 
 
+def gold_triples_ctx(
+    turns: DataFrame, max_dist: int = 3, window: int = 1
+) -> DataFrame:
+    """Gold triples whose argument surfaces carry ±``window`` tokens of
+    sentence context around the mention span.
+
+    The reference evaluates against human-annotated gold whose spans are
+    multi-word phrases; the synthetic corpus's mentions are single tokens,
+    which would make every fuzzy span metric (substring/jaccard/rouge/
+    head) collapse to exact-match. Widening the gold surfaces restores the
+    many-to-one matching structure those metrics exist for. Context is
+    sliced from the raw whitespace split of the sentence (the same
+    position convention as the token frame), clipped at sentence edges.
+    Dedup: first occurrence per (conv, arg0, arg1) in document order, like
+    :func:`gold_triples` / eval_utils.py:755-756.
+    """
+    from dygiepp_spark.operators.extraction import _beam_filter
+
+    mentions = _beam_filter(
+        detect_mentions(turns, with_context=True), 0.5, None, "ceil", "start"
+    ).drop("n_tokens")
+    pairs = relation_pairs(mentions, max_dist)
+    arr = F.split(F.col("sent_text"), " ")
+    n = F.size(arr)
+
+    def ctx(s: Column, e: Column) -> Column:
+        start1 = F.greatest(s - window + 1, F.lit(1))  # 1-based max(0, s-w)
+        end1 = F.least(n, e + window + 1)              # 1-based min(n-1, e+w)
+        return F.array_join(F.slice(arr, start1, end1 - start1 + 1), " ")
+
+    widened = pairs.select(
+        "conv_id",
+        "turn_idx",
+        "s1",
+        "s2",
+        ctx(F.col("s1"), F.col("e1")).alias("arg0"),
+        ctx(F.col("s2"), F.col("e2")).alias("arg1"),
+        "label",
+        "conf",
+    )
+    w = Window.partitionBy("conv_id", "arg0", "arg1").orderBy(
+        "turn_idx", "s1", "s2"
+    )
+    return (
+        widened.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "arg0", "arg1", "label", "conf")
+    )
+
+
 # --------------------------------------------------------------------------
 # K3 / K4 / G1
 # --------------------------------------------------------------------------
@@ -124,6 +263,8 @@ def ie_eval(
     gold: DataFrame,
     metric: str = "exact",
     topk: int | None = None,
+    consider_reverse: bool = False,
+    reverse_labels: list[str] | None = None,
 ) -> DataFrame:
     """K3: global P/R/F1 of predicted triples vs gold (eval_utils.py:753-863).
 
@@ -133,10 +274,21 @@ def ie_eval(
     R = TP_recall / n_gold.
     """
     if topk is not None:
+        # reference cut is HEAD-k (predrels[:topK], eval_utils.py:783-785),
+        # not rank-ties — deterministic tiebreak on the triple key. Scale-
+        # safe: first cut to score >= k-th score distributively (no global
+        # window over the corpus), then rank only the ~k survivors; the
+        # residual single-task window sees k + ties rows, not the frame.
+        from dygiepp_spark.operators.pruning import kth_score_threshold
+
+        thr = kth_score_threshold(pred, "conf", topk)
+        survivors = pred.join(
+            F.broadcast(thr), on=F.col("conf") >= F.col("_thr"), how="inner"
+        ).drop("_thr")
         w = Window.orderBy(
             F.col("conf").desc(), "conv_id", "arg0", "arg1", "label"
         )
-        pred = pred.withColumn("_rn", F.row_number().over(w)).filter(
+        pred = survivors.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= topk
         ).drop("_rn")
     # four scalar actions follow (tp, tp_recall, n_pred, n_gold) — pin the
@@ -149,7 +301,9 @@ def ie_eval(
     )
     p = pred.alias("p")
     g = gold.alias("g")
-    cond = relation_match_cond(metric)
+    cond = relation_match_cond(
+        metric, consider_reverse=consider_reverse, reverse_labels=reverse_labels
+    )
     matches = p.join(g, on=cond)
 
     tp = matches.select("p.conv_id", "p.arg0", "p.arg1").distinct().count()

@@ -73,16 +73,65 @@ def beam_prune_spans(
     return topk_per_group(spans, list(group_cols), score_col, k)
 
 
+def kth_score_threshold(
+    df: DataFrame, score_col: str, k: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Distributed k-th-highest-score threshold: one row ``(_thr)`` where
+    ``_thr`` = the smallest score s such that fewer than ``k`` rows score
+    strictly above s (NULL when ``df`` is empty).
+
+    ``filter(score >= _thr)`` is then EXACTLY ``rank() <= k``: a row
+    survives rank() <= k iff #(rows with strictly greater score) < k, and
+    that count is monotone in the score, so the cut is a threshold.
+
+    Plan: no unpartitioned window over the data — per-score counts
+    (map-side combinable agg), range-partitioned descending, per-partition
+    prefix sums, plus one tiny collect (one row per partition) for the
+    cross-partition offsets — the same two-pass prefix-sum pattern as
+    :func:`dygiepp_spark.operators.collate.collate`. Work through any
+    single task is O(distinct-scores / partitions).
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    counts = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_n"))
+    srt = (
+        counts.repartitionByRange(p, F.col(score_col).desc())
+        .sortWithinPartitions(F.col(score_col).desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids for both passes
+    )
+    wloc = Window.partitionBy("_pid").orderBy(F.col(score_col).desc())
+    loc = srt.withColumn("_cum_in", F.sum("_n").over(wloc))
+    totals = sorted(
+        srt.groupBy("_pid").agg(F.sum("_n").alias("_pn")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, off = [], 0
+    for r in totals:
+        offsets.append((r["_pid"], off))
+        off += r["_pn"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint")
+    cum = loc.join(F.broadcast(off_df), "_pid")
+    # rows strictly above this score = _off + _cum_in - _n
+    eligible = cum.filter(F.col("_off") + F.col("_cum_in") - F.col("_n") < k)
+    return eligible.agg(F.min(score_col).alias("_thr"))
+
+
 def global_topk_with_ties(df: DataFrame, score_col: str, k: int) -> DataFrame:
     """K7 (``Dataset.prune``, dygie_visualize_util.py:63-148): global top-k
     by confidence where the cut extends through ties — ``rank()`` not
-    ``row_number()``."""
-    w = Window.orderBy(F.col(score_col).desc())
-    return (
-        df.withColumn("_rk", F.rank().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    ``row_number()`` semantics.
+
+    Scale-safe formulation: a ``Window.orderBy(score)`` with no
+    partitionBy funnels the whole frame through ONE task; instead the
+    k-th score is found distributively (:func:`kth_score_threshold`) and
+    the cut is a broadcast-threshold filter evaluated at the scan — the
+    same output set, including tie extension, with no global exchange.
+    """
+    thr = kth_score_threshold(df, score_col, k)
+    return df.join(
+        F.broadcast(thr), on=F.col(score_col) >= F.col("_thr"), how="inner"
+    ).drop("_thr")
 
 
 def best_per_span(

@@ -261,6 +261,137 @@ SELECT n_pred, n_gold, tp, tp_recall,
 FROM counts"""
 
 
+def _gold_ctx_cte(max_dist: int = 3, window: int = 1) -> str:
+    """Twin of kg_eval.gold_triples_ctx: gold args widened by ±window raw
+    tokens, clipped at sentence edges, first-occurrence dedup."""
+
+    def ctx(s: str, e: str) -> str:
+        return (
+            "array_to_string(array_slice(string_split(t.text, ' '), "
+            f"greatest({s} - {window} + 1, 1), "
+            f"least(len(string_split(t.text, ' ')), {e} + {window} + 1)), ' ')"
+        )
+
+    return f"""gold_ctx AS (
+    SELECT conv_id, arg0, arg1, label, conf FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, arg0, arg1
+                                     ORDER BY turn_idx, s1, s2) AS rn
+        FROM (
+            SELECT p.conv_id AS conv_id, p.turn_idx AS turn_idx,
+                   p.s1 AS s1, p.s2 AS s2, p.label AS label, p.conf AS conf,
+                   {ctx('p.s1', 'p.e1')} AS arg0,
+                   {ctx('p.s2', 'p.e2')} AS arg1
+            FROM (SELECT * FROM pairs WHERE dist <= {max_dist}) p
+            JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+        )
+    ) WHERE rn = 1
+)"""
+
+
+def _ie_eval_sql2(
+    match_expr: str,
+    gold_cte: str,
+    gold_name: str,
+    pred_cte: str = "",
+    pred_name: str = "triples",
+) -> str:
+    """Generalized K3 skeleton: arbitrary match predicate (reverse unions),
+    pluggable gold CTE (context-widened variants) and pred CTE (top-k
+    cuts). Label equality stays in the join like _ie_eval_sql."""
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(n_pred, 1) AS DOUBLE)"
+    rec = "CAST(tp_recall AS DOUBLE) / CAST(greatest(n_gold, 1) AS DOUBLE)"
+    pred_part = f" , {pred_cte.strip()}" if pred_cte else ""
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {gold_cte.strip()}{pred_part},
+m AS (
+    SELECT p.conv_id AS pc, p.arg0 AS pa0, p.arg1 AS pa1,
+           g.conv_id AS gc, g.arg0 AS ga0, g.arg1 AS ga1
+    FROM (SELECT DISTINCT conv_id, arg0, arg1, label FROM {pred_name}) p
+    JOIN {gold_name} g ON p.conv_id = g.conv_id AND p.label = g.label
+               AND ({match_expr})
+),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM (SELECT DISTINCT conv_id, arg0, arg1 FROM {pred_name})) AS n_pred,
+      (SELECT count(*) FROM (SELECT DISTINCT conv_id, arg0, arg1, label FROM {gold_name})) AS n_gold,
+      (SELECT count(*) FROM (SELECT DISTINCT pc, pa0, pa1 FROM m)) AS tp,
+      (SELECT count(*) FROM (SELECT DISTINCT gc, ga0, ga1 FROM m)) AS tp_recall
+)
+SELECT n_pred, n_gold, tp, tp_recall,
+       {prec} AS precision,
+       {rec} AS recall,
+       {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
+
+
+def ie_eval_reverse_oracle() -> str:
+    """K2 consider_reverse (eval_utils.py:283-335): forward OR swapped-args
+    match, label equality on both branches."""
+    ex = "lower(trim(p.arg{a})) = lower(trim(g.arg{b}))"
+    fwd = f"({ex.format(a=0, b=0)}) AND ({ex.format(a=1, b=1)})"
+    rev = f"({ex.format(a=0, b=1)}) AND ({ex.format(a=1, b=0)})"
+    return _ie_eval_sql2(f"({fwd}) OR ({rev})", _GOLD_CTE, "gold")
+
+
+def ie_eval_topk_oracle(k: int) -> str:
+    """K3 topK cut: HEAD-k by confidence (predrels[:topK]), deterministic
+    tiebreak on the triple key — twin of ie_eval(topk=k)."""
+    pred_cte = f"""pred_cut AS (
+    SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
+        SELECT t.*, row_number() OVER (
+            ORDER BY conf DESC, conv_id, arg0, arg1, label) AS rn
+        FROM triples t
+    ) WHERE rn <= {k}
+)"""
+    ex0 = "lower(trim(p.arg0)) = lower(trim(g.arg0))"
+    ex1 = "lower(trim(p.arg1)) = lower(trim(g.arg1))"
+    return _ie_eval_sql2(
+        f"({ex0}) AND ({ex1})", _GOLD_CTE, "gold",
+        pred_cte=pred_cte, pred_name="pred_cut",
+    )
+
+
+def _rouge_f_sql(pred_arg: str, gold_arg: str) -> str:
+    """rouge-L f of (1-token pred, multi-token gold) — mirrors
+    kg_eval._rouge_l_f_py's formula (pltrdy/rouge ``_f_p_r_lcs``) with the
+    same stabilizers and evaluation order. The LCS of a single-token
+    hypothesis degenerates to list membership, which is what makes this
+    twin SQL-expressible; the Spark side runs the full DP for arbitrary
+    spans (unit-tested against brute force)."""
+    toks_g = f"string_split(lower(trim({gold_arg})), ' ')"
+    llcs = (
+        f"(CASE WHEN list_contains({toks_g}, lower(trim({pred_arg}))) "
+        "THEN 1 ELSE 0 END)"
+    )
+    p_lcs = f"(CAST({llcs} AS DOUBLE) / 1.0)"
+    r_lcs = f"(CAST({llcs} AS DOUBLE) / CAST(len({toks_g}) AS DOUBLE))"
+    beta = f"({p_lcs} / ({r_lcs} + 1e-12))"
+    num = f"((1 + pow({beta}, 2)) * {r_lcs} * {p_lcs})"
+    denom = f"({r_lcs} + (pow({beta}, 2) * {p_lcs}))"
+    return f"({num} / ({denom} + 1e-8))"
+
+
+def ie_eval_rouge_oracle(thresh: float = 0.3) -> str:
+    """K1 'rouge' (eval_utils.py:227-232): rouge-L f strictly > thresh,
+    against the context-widened gold."""
+    m0 = f"{_rouge_f_sql('p.arg0', 'g.arg0')} > {thresh}"
+    m1 = f"{_rouge_f_sql('p.arg1', 'g.arg1')} > {thresh}"
+    return _ie_eval_sql2(
+        f"({m0}) AND ({m1})", _gold_ctx_cte(), "gold_ctx"
+    )
+
+
+def ie_eval_head_oracle() -> str:
+    """K1 'head' (eval_utils.py:221-226): head-token equality with the
+    documented last-token stand-in (no dependency parser in-env), against
+    the context-widened gold."""
+    last = "(string_split(lower(trim({x})), ' '))[-1]"
+    m0 = f"{last.format(x='p.arg0')} = {last.format(x='g.arg0')}"
+    m1 = f"{last.format(x='p.arg1')} = {last.format(x='g.arg1')}"
+    return _ie_eval_sql2(
+        f"({m0}) AND ({m1})", _gold_ctx_cte(), "gold_ctx"
+    )
+
+
 def ie_eval_exact_oracle() -> str:
     ex0 = "lower(trim(p.arg0)) = lower(trim(g.arg0))"
     ex1 = "lower(trim(p.arg1)) = lower(trim(g.arg1))"
