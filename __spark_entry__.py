@@ -113,6 +113,20 @@ def q_triples_kernel(spark, sf_dir):
     return KX.kernel_triples(KX.extract(turns, RuleScorer()), turns).drop("conf")
 
 
+def q_triples_kernel_corefprop(spark, sf_dir):
+    """M17 end-to-end: the Arrow kernel with ONE round of coref
+    propagation (dygie.py:227-235, coref.py:111-154) re-ranking the
+    relation beam — same triple-set contract as triples_kernel but under
+    the propagated scores of CorefRuleScorer."""
+    from dygiepp_spark.kernels import extract as KX
+    from dygiepp_spark.kernels.scorer import CorefRuleScorer
+
+    turns = _turns(spark, sf_dir)
+    return KX.kernel_triples(
+        KX.extract(turns, CorefRuleScorer(), coref_prop=1), turns
+    ).drop("conf")
+
+
 def q_events(spark, sf_dir):
     return EX.extract_events(_turns(spark, sf_dir))
 
@@ -150,6 +164,12 @@ def q_coref_muc(spark, sf_dir):
 
 def q_coref_b3(spark, sf_dir):
     return CO.b3_counts(*_cluster_frames(spark, sf_dir))
+
+
+def q_coref_ceafe(spark, sf_dir):
+    """G5 CEAF-e: optimal pred/gold cluster alignment under φ4, exact
+    Kuhn–Munkres per conversation (completes the CoNLL triple)."""
+    return CO.ceafe_stats(*_cluster_frames(spark, sf_dir))
 
 
 def q_linked_mentions(spark, sf_dir):
@@ -264,6 +284,22 @@ def q_arg_multiplicity(spark, sf_dir):
 def q_greedy_match(spark, sf_dir):
     turns = _turns(spark, sf_dir)
     return KE.greedy_match(EX.emit_triples(turns), KE.gold_triples(turns))
+
+
+def q_baseline_allpairs(spark, sf_dir):
+    """K9 allpairs_base (eval_utils.py:388-412): exhaustive ordered
+    mention-pair baseline."""
+    from dygiepp_spark.operators import baselines as BL
+
+    return BL.allpairs_baseline(_turns(spark, sf_dir))
+
+
+def q_baseline_depparse(spark, sf_dir):
+    """K9 depparse_base (eval_utils.py:414-463): trigger-pivot
+    subject/object baseline (parser-free stand-in, documented)."""
+    from dygiepp_spark.operators import baselines as BL
+
+    return BL.depparse_baseline(_turns(spark, sf_dir))
 
 
 def q_long_turns(spark, sf_dir):
@@ -442,6 +478,23 @@ def q_streaming_mentions(spark, sf_dir):
     return _consume_and_remove(spark.read.parquet(out_dir), base)
 
 
+def q_streaming_assembly(spark, sf_dir):
+    """Stateful streaming doc-assembly (applyInPandasWithState keyed on
+    conv_id): conversations are hash-spread over multiple input files and
+    drained a few files per micro-batch, so most straddle batch
+    boundaries; the state store must reassemble them exactly — the oracle
+    is the BATCH doc-assembly SQL."""
+    base = f"/root/repo/.tmp/stream_asm_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    turns = TT.turns_from_documents(spark, sf_dir, with_ts=True)
+    ST.with_turn_totals(turns).repartition(8).write.mode("overwrite").parquet(in_dir)
+    ST.run_assembly_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    return _consume_and_remove(
+        spark.read.parquet(out_dir).select("conv_id", "n_turns", "doc_text"), base
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction core
@@ -453,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples": q_triples,
         "triples_mechanism": q_triples_mechanism,
         "triples_kernel": q_triples_kernel,
+        "triples_kernel_corefprop": q_triples_kernel_corefprop,
         "events": q_events,
         "events_binary": q_events_binary,
         # coref / linking / graph
@@ -460,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coref_canonical": q_coref_canonical,
         "coref_muc": q_coref_muc,
         "coref_b3": q_coref_b3,
+        "coref_ceafe": q_coref_ceafe,
         "linked_mentions": q_linked_mentions,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
@@ -482,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_alignment": q_gold_alignment,
         "label_confusion": q_label_confusion,
         "greedy_match": q_greedy_match,
+        "baseline_allpairs": q_baseline_allpairs,
+        "baseline_depparse": q_baseline_depparse,
         # batch shaping + validation + TSV round-trip
         "collate": q_collate,
         "uncollate": q_uncollate,
@@ -507,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         # streaming
         "streaming_mentions": q_streaming_mentions,
+        "streaming_assembly": q_streaming_assembly,
     }
 
 
@@ -520,12 +578,14 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.triples_oracle(),
         "triples_mechanism": oracles.triples_mechanism_oracle(),
         "triples_kernel": oracles.triples_set_oracle(),
+        "triples_kernel_corefprop": oracles.triples_set_corefprop_oracle(),
         "events": oracles.events_oracle(),
         "events_binary": oracles.events_binary_oracle(),
         "coref_clusters": oracles_kg.coref_clusters_oracle(),
         "coref_canonical": oracles_kg.coref_canonical_oracle(),
         "coref_muc": oracles_kg.coref_muc_oracle(),
         "coref_b3": oracles_kg.coref_b3_counts_oracle(),
+        "coref_ceafe": oracles_kg.coref_ceafe_oracle(),
         "linked_mentions": oracles_kg.linked_mentions_oracle(),
         "kg_edges": oracles_kg.kg_edges_oracle(),
         "kg_nodes": oracles_kg.kg_nodes_oracle(),
@@ -547,6 +607,8 @@ def oracle_sql() -> dict[str, str]:
         "gold_alignment": oracles_kg.gold_alignment_oracle(),
         "label_confusion": oracles_kg.label_confusion_oracle(),
         "greedy_match": oracles_kg.greedy_match_oracle(),
+        "baseline_allpairs": oracles_kg.baseline_allpairs_oracle(),
+        "baseline_depparse": oracles_kg.baseline_depparse_oracle(),
         "collate": oracles_kg.collate_oracle(),
         "uncollate": oracles_kg.uncollate_oracle(),
         "check_dense": oracles_kg.check_dense_oracle(),
@@ -566,4 +628,5 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": oracles_data.image_meta_oracle(),
         "frame_samples": oracles_data.frame_samples_oracle(),
         "streaming_mentions": oracles.mentions_oracle(),
+        "streaming_assembly": oracles.doc_assembly_oracle(),
     }

@@ -112,18 +112,18 @@ def decode_relations(
     pred = np.argmax(rel_logits, axis=-1) - 1          # null -> -1
     raw = np.max(rel_logits, axis=-1)
     soft = np.max(softmax(rel_logits, axis=-1), axis=-1)
-    out = []
-    for i in range(min(k, keep)):
-        for j in range(min(k, keep)):
-            if pred[i, j] >= 0:
-                out.append(
-                    (
-                        int(kept_spans[i, 0]), int(kept_spans[i, 1]),
-                        int(kept_spans[j, 0]), int(kept_spans[j, 1]),
-                        labels[pred[i, j]], float(raw[i, j]), float(soft[i, j]),
-                    )
-                )
-    return out
+    kk = min(k, keep)
+    # vectorized emission: nonzero walks row-major, identical to the
+    # nested i/j loop order
+    ii, jj = np.nonzero(pred[:kk, :kk] >= 0)
+    return [
+        (
+            int(kept_spans[i, 0]), int(kept_spans[i, 1]),
+            int(kept_spans[j, 0]), int(kept_spans[j, 1]),
+            labels[pred[i, j]], float(raw[i, j]), float(soft[i, j]),
+        )
+        for i, j in zip(ii, jj)
+    ]
 
 
 def decode_events(
@@ -157,22 +157,28 @@ def decode_events(
         a_pred = np.argmax(arg_logits, axis=-1) - 1
         a_raw = np.max(arg_logits, axis=-1)
         a_soft = np.max(softmax(arg_logits, axis=-1), axis=-1)
-        trig_set = {t[0] for t in triggers}
-        beam = range(n_tok) if trig_beam is None else trig_beam
-        for ix in beam:
-            ix = int(ix)
-            if ix not in trig_set:
-                continue
-            for a in range(arg_spans.shape[0]):
-                if a_pred[ix, a] >= 0:
-                    arguments.append(
-                        (
-                            int(ix),
-                            int(arg_spans[a, 0]), int(arg_spans[a, 1]),
-                            role_labels[a_pred[ix, a]],
-                            float(a_raw[ix, a]), float(a_soft[ix, a]),
-                        )
-                    )
+        trig_mask = np.zeros(n_tok, dtype=bool)
+        if triggers:
+            trig_mask[[t[0] for t in triggers]] = True
+        beam = (
+            np.arange(n_tok, dtype=np.int64)
+            if trig_beam is None
+            else np.asarray(trig_beam, dtype=np.int64)
+        )
+        elig = beam[trig_mask[beam]]
+        if elig.size:
+            # vectorized over (eligible trigger, arg span); elig ascending,
+            # nonzero row-major -> identical to the nested loop order
+            rows, cols = np.nonzero(a_pred[elig] >= 0)
+            arguments = [
+                (
+                    int(elig[r]),
+                    int(arg_spans[a, 0]), int(arg_spans[a, 1]),
+                    role_labels[a_pred[elig[r], a]],
+                    float(a_raw[elig[r], a]), float(a_soft[elig[r], a]),
+                )
+                for r, a in zip(rows, cols)
+            ]
     return triggers, arguments
 
 

@@ -44,7 +44,7 @@ ARG_CAP = 30
 
 
 def _decode_sentence(scorer: Scorer, conv_id: str, turn_idx: int, tokens: list[str],
-                     max_span_width: int, out: list) -> None:
+                     max_span_width: int, out: list, coref_prop: int = 0) -> None:
     n = len(tokens)
     if n == 0:
         return
@@ -57,8 +57,21 @@ def _decode_sentence(scorer: Scorer, conv_id: str, turn_idx: int, tokens: list[s
     ):
         out.append((conv_id, turn_idx, "mention", s, e, -1, -1, lab, raw, soft))
 
-    # --- relation beam + pair decode (relation.py:112-177)
+    # --- M17 coref propagation (dygie.py:227-235): for coref_prop > 0
+    #     rounds, refresh span scores as a gated mix with their antecedent
+    #     candidates' scores (coref.py:111-154) BEFORE the relation beam —
+    #     the reference's primary consumer of the propagated embeddings is
+    #     the relation pruner (relation.py:112-130); the event beams keep
+    #     the un-propagated head, matching events' separate trigger/arg
+    #     scorers
     prune = scorer.span_prune_scores(ctx, spans)
+    if coref_prop > 0:
+        cands = scorer.coref_antecedents(ctx, spans)
+        if cands is not None:
+            prune = D.coref_propagate(
+                prune, cands[0], cands[1], gate=0.5, rounds=coref_prop
+            )
+    # --- relation beam + pair decode (relation.py:112-177)
     kept_ix = D.topk_prune(prune, RELATION_SPANS_PER_WORD, n)
     kept = spans[kept_ix]
     rels = D.decode_relations(
@@ -99,11 +112,15 @@ def extract(
     scorer: Scorer,
     max_span_width: int = D.MAX_SPAN_WIDTH,
     max_tokens_per_chunk: int = 500,
+    coref_prop: int = 0,
 ) -> DataFrame:
     """Run the extraction kernel over all conversations.
 
     One shuffle (groupBy chunk_key); group sizes bounded by
     ``max_tokens_per_chunk`` so no conversation stragglers.
+    ``coref_prop``: rounds of M17 coref propagation applied to the span
+    scores before the relation beam (reference default 0/1,
+    template.libsonnet:95, scierc.jsonnet:17-23).
     """
     chunked = assign_chunks(turns, max_tokens_per_chunk)
 
@@ -115,7 +132,8 @@ def extract(
         ):
             tokens = [t for t in text.split(" ") if t != ""]
             _decode_sentence(
-                scorer, conv_id, int(turn_idx), tokens, max_span_width, rows
+                scorer, conv_id, int(turn_idx), tokens, max_span_width, rows,
+                coref_prop=coref_prop,
             )
         return pd.DataFrame(
             rows,

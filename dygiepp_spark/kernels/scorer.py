@@ -71,6 +71,14 @@ class Scorer:
     def arg_logits(self, ctx, arg_spans: np.ndarray, n_tokens: int) -> np.ndarray:
         raise NotImplementedError
 
+    def coref_antecedents(self, ctx, spans: np.ndarray):
+        """M17 hook: antecedent candidates for coref propagation —
+        ``(ante_ix, ante_scores)`` arrays of shape (S, A) with -1 padding
+        (AdjacencyFieldAssym convention), or ``None`` when the scorer has
+        no coref head (propagation is then a no-op, matching the
+        reference's ``coref_prop: 0`` configuration)."""
+        return None
+
 
 class RuleScorer(Scorer):
     """Planted-pattern logits reproducing the relational rule extraction."""
@@ -142,6 +150,49 @@ class RuleScorer(Scorer):
                     role = 0 if arg_spans[a, 0] < ix else 1
                     out[ix, a, 1 + role] = POS
         return out
+
+
+class CorefRuleScorer(RuleScorer):
+    """RuleScorer variant exercising M17 coref propagation end-to-end
+    (dygie.py:227-235 feeds ``coref_propagation`` output into the
+    downstream span consumers; coref.py:111-154).
+
+    Differences from :class:`RuleScorer`, chosen so every float the decode
+    compares is EXACTLY representable (sums/halves of small integers) and
+    the DuckDB oracle can reproduce the beam bit-for-bit:
+
+    * span-prune head is GRADED: mention spans score ``100 - start``
+      (earlier mentions rank higher) instead of a constant, so propagation
+      observably re-ranks the relation beam;
+    * coref head: each mention span's single antecedent candidate is its
+      NEAREST PREVIOUS same-surface mention in the sentence (the argmax
+      convention of ``decode_antecedents`` — one antecedent per span),
+      pair score 1.0.
+
+    With gate 0.5 and one round, a repeated mention's score becomes
+    ``100 - (s + p)/2`` — between its antecedent's and its own — which can
+    overtake mentions positioned after the midpoint (tests pin a fixture
+    where the beam changes).
+    """
+
+    def coref_antecedents(self, ctx, spans):
+        tokens = ctx["tokens"]
+        m = self._is_mention(tokens, spans)
+        S = spans.shape[0]
+        ix = np.full((S, 1), -1, dtype=np.int64)
+        last_seen: dict = {}
+        for i in range(S):
+            if not m[i]:
+                continue
+            t = tokens[spans[i, 0]]
+            if t in last_seen:
+                ix[i, 0] = last_seen[t]
+            last_seen[t] = i
+        return ix, np.where(ix >= 0, 1.0, 0.0)
+
+    def span_prune_scores(self, ctx, spans):
+        m = self._is_mention(ctx["tokens"], spans)
+        return np.where(m, 100.0 - spans[:, 0], NEG)
 
 
 class ReplayScorer(Scorer):

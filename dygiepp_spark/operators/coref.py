@@ -181,6 +181,64 @@ def connected_components(
     return labels
 
 
+def pointer_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components when every node has AT MOST ONE backward edge —
+    the shape the coref decode actually produces (each span argmaxes a
+    single antecedent, decode_antecedents / coref.py:312-322), i.e. a
+    forest of parent pointers into strictly-smaller mention indices.
+
+    Pure pointer doubling: label(x) <- label(label(x)) until fixpoint —
+    the root of each chain is its minimum index, so labels equal
+    :func:`connected_components` output on this edge class, at HALF the
+    per-round cost (one self-join per round, no symmetric edge
+    materialization, no neighbor-min aggregate). O(log D) rounds.
+    """
+    parents = edges.select(
+        "conv_id",
+        F.col("anaphor_ix").alias("mention_ix"),
+        F.col("antecedent_ix").alias("cluster_id"),
+    )
+    labels = (
+        nodes.select("conv_id", "mention_ix")
+        .join(parents, ["conv_id", "mention_ix"], "left")
+        .select(
+            "conv_id",
+            "mention_ix",
+            F.coalesce(F.col("cluster_id"), F.col("mention_ix")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        parent = labels.select(
+            "conv_id",
+            F.col("mention_ix").alias("cluster_id"),
+            F.col("cluster_id").alias("grand"),
+        )
+        new_labels = (
+            labels.join(parent, ["conv_id", "cluster_id"], "left")
+            .select(
+                "conv_id",
+                "mention_ix",
+                F.coalesce(F.col("grand"), F.col("cluster_id")).alias("cluster_id"),
+                F.col("cluster_id").alias("_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.filter(F.col("cluster_id") != F.col("_prev"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.drop("_prev")
+        if changed == 0:
+            break
+    return labels
+
+
 def coref_clusters(mentions: DataFrame, max_antecedents: int = MAX_ANTECEDENTS) -> DataFrame:
     """Full stub-coref pass: same-surface antecedent edges -> components.
 
@@ -188,10 +246,15 @@ def coref_clusters(mentions: DataFrame, max_antecedents: int = MAX_ANTECEDENTS) 
     component is provably "all mentions of a surface within a conversation"
     whenever consecutive same-surface mentions are <= max_antecedents
     apart — which is what the DuckDB oracle exploits.
+
+    The decode emits ONE antecedent per anaphor (argmax), so the edge set
+    is a pointer forest and the cheaper :func:`pointer_components` applies;
+    :func:`connected_components` remains the operator for arbitrary edge
+    sets (e.g. cross-doc entity merging).
     """
     ordered = mention_order(mentions)
     edges = coref_edges_same_surface(mentions, max_antecedents)
-    labels = connected_components(
+    labels = pointer_components(
         edges, ordered.select("conv_id", "mention_ix")
     )
     return ordered.join(labels, ["conv_id", "mention_ix"])
@@ -274,15 +337,116 @@ def b3_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
 
 
 def b3_scores(counts) -> tuple[float, float, float]:
-    """Driver-side fold of :func:`b3_counts` output -> (P, R, F1)."""
-    rows = counts.collect()
-    n = sum(r["n_pg"] for r in rows)
+    """Fold of :func:`b3_counts` output -> (P, R, F1).
+
+    Fully distributed: the ratio sums ``sum(n_pg²/n_p)`` / ``sum(n_pg²/n_g)``
+    are computed as ONE aggregate row (map-side partial sums), never by
+    collecting the (pred × gold) overlap pairs to the driver — at corpus
+    scale that table is huge. Floating-point sum order is partition-
+    dependent, so results agree with a sequential fold to ~1e-12 relative
+    (the hash-verified artifact remains the integer b3_counts table).
+    """
+    row = counts.agg(
+        F.sum("n_pg").alias("n"),
+        F.sum(
+            (F.col("n_pg") * F.col("n_pg")).cast("double")
+            / F.col("n_p").cast("double")
+        ).alias("sp"),
+        F.sum(
+            (F.col("n_pg") * F.col("n_pg")).cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("sr"),
+    ).collect()[0]
+    n = row["n"] or 0
     if n == 0:
         return 0.0, 0.0, 0.0
-    p = sum(r["n_pg"] ** 2 / r["n_p"] for r in rows) / n
-    r_ = sum(r["n_pg"] ** 2 / r["n_g"] for r in rows) / n
+    p = row["sp"] / n
+    r_ = row["sr"] / n
     f1 = 2 * p * r_ / (p + r_) if p + r_ > 0 else 0.0
     return p, r_, f1
+
+
+def ceafe_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """G5 CEAF-e sufficient statistics (completes the CoNLL triple the
+    reference averages — dygie/models/coref.py:15-16, use :355-361).
+
+    Per conversation, solves the optimal one-to-one alignment of pred to
+    gold clusters under φ4 = 2·|p∩g|/(|p|+|g|) with an EXACT-rational
+    Kuhn–Munkres kernel (:mod:`dygiepp_spark.kernels.assignment`) inside
+    ``applyInPandas`` over the integer overlap table — documents align
+    independently, so the expensive step is embarrassingly parallel and
+    each group is beam-bounded.
+
+    Output: one row per matched gold cluster —
+    (conv_id, gc, phi_num = 2·n_pg, phi_den = n_p+n_g), integer-exact like
+    :func:`b3_counts` so the result is hash-verifiable; the float division
+    happens only in :func:`ceafe_score`.
+    """
+    import pandas as pd
+
+    from dygiepp_spark.kernels.assignment import (
+        ceafe_phi4,
+        max_weight_assignment,
+    )
+
+    counts = b3_counts(pred, gold)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        pcs = sorted(pdf["pc"].unique().tolist())
+        gcs = sorted(pdf["gc"].unique().tolist())
+        p_ix = {c: i for i, c in enumerate(pcs)}
+        g_ix = {c: i for i, c in enumerate(gcs)}
+        zero = ceafe_phi4(0, 1, 1)
+        w = [[zero] * len(gcs) for _ in pcs]
+        npg = {}
+        for r in pdf.itertuples(index=False):
+            w[p_ix[r.pc]][g_ix[r.gc]] = ceafe_phi4(r.n_pg, r.n_p, r.n_g)
+            npg[(p_ix[r.pc], g_ix[r.gc])] = (int(r.n_pg), int(r.n_p), int(r.n_g))
+        rows = []
+        for (pi, gi) in max_weight_assignment(w):
+            n_pg, n_p, n_g = npg[(pi, gi)]
+            rows.append((conv, int(gcs[gi]), 2 * n_pg, n_p + n_g))
+        return pd.DataFrame(
+            rows, columns=["conv_id", "gc", "phi_num", "phi_den"]
+        )
+
+    return counts.groupBy("conv_id").applyInPandas(
+        kernel, "conv_id string, gc bigint, phi_num bigint, phi_den bigint"
+    )
+
+
+def ceafe_score(pred: DataFrame, gold: DataFrame) -> tuple[float, float, float]:
+    """CEAF-e (P, R, F1): P = Σφ4 / #pred clusters, R = Σφ4 / #gold
+    clusters over the optimal alignment. One aggregate per term."""
+    stats = ceafe_stats(pred, gold)
+    s = stats.agg(
+        F.sum(
+            F.col("phi_num").cast("double") / F.col("phi_den").cast("double")
+        ).alias("phi")
+    ).collect()[0]["phi"] or 0.0
+    n_p = pred.select("conv_id", "cluster_id").distinct().count()
+    n_g = gold.select("conv_id", "cluster_id").distinct().count()
+    p = s / n_p if n_p else 0.0
+    r = s / n_g if n_g else 0.0
+    f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return p, r, f1
+
+
+def conll_score(pred: DataFrame, gold: DataFrame) -> dict:
+    """The reference's headline coref number: the CoNLL average of MUC,
+    B³ and CEAF-e F1 (allennlp ConllCorefScores semantics; coref.py:355-361
+    logs the three and their mean)."""
+    muc = muc_score(pred, gold).collect()[0]
+    b3 = b3_scores(b3_counts(pred, gold))
+    ceafe = ceafe_score(pred, gold)
+    f1s = (muc["f1"], b3[2], ceafe[2])
+    return {
+        "muc_f1": f1s[0],
+        "b3_f1": f1s[1],
+        "ceafe_f1": f1s[2],
+        "conll_f1": sum(f1s) / 3.0,
+    }
 
 
 def canonicalize_clusters(clustered: DataFrame) -> DataFrame:

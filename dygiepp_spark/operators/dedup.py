@@ -365,39 +365,83 @@ def near_dups_simhash(
 # --------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    chunks: DataFrame, thresh: float = 0.25, block_width: int = 16
+    chunks: DataFrame,
+    thresh: float = 0.25,
+    block_width: int = 16,
+    max_block: int = 4000,
 ) -> DataFrame:
     """Blocked all-pairs exact Jaccard: pairs within the same
     floor(n_shingles / block_width) size block (near-dups have near-equal
     shingle counts, so same-block is a cheap high-recall blocker).
 
-    The quadratic blow-up is bounded per block; blocks are uniform on real
-    corpora after the exact pass removes identical docs.
+    Skew guard: a block with more than ``max_block`` members would go
+    quadratic (a real corpus has size modes — boilerplate, templated
+    pages — that land whole sub-corpora in one block), so OVERSIZED blocks
+    are rerouted through banded MinHash LSH candidate generation and then
+    verified with the SAME exact Jaccard — recall inside a hot block
+    becomes LSH-probabilistic instead of exhaustive, precision is
+    unchanged (every emitted pair carries its true Jaccard). Small blocks
+    keep exhaustive all-pairs, so results on a corpus with no oversized
+    block are identical to the uncapped operator.
     """
-    sh = shingles(chunks)
+    sh = shingles(chunks).localCheckpoint(eager=False)
     sets = sh.groupBy("id").agg(
         F.array_sort(F.collect_set("shingle")).alias("sh"),
         F.count(F.lit(1)).alias("n_sh"),
     ).withColumn(
         "block", F.floor(F.col("n_sh") / block_width)
     ).localCheckpoint(eager=False)
-    a = sets.alias("a")
-    b = sets.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.block") == F.col("b.block"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+
+    block_counts = sets.groupBy("block").agg(F.count(F.lit(1)).alias("_n"))
+    hot = F.broadcast(block_counts.filter(F.col("_n") > max_block))
+    small = sets.join(hot, "block", "left_anti")
+
+    def exact_pairs(a_df: DataFrame, join_cond) -> DataFrame:
+        a = a_df.alias("a")
+        b = a_df.alias("b")
+        return (
+            a.join(b, on=join_cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (
+                    F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                    / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= thresh)
         )
+
+    pairs_small = exact_pairs(
+        small,
+        [F.col("a.block") == F.col("b.block"), F.col("a.id") < F.col("b.id")],
+    )
+
+    # LSH reroute for hot blocks: banded buckets bound the self-join fanout;
+    # the same-block predicate keeps the output a SUBSET of the uncapped
+    # blocker's pair space (LSH candidates may span blocks otherwise)
+    hot_ids = sets.join(hot, "block", "left_semi").select("id", "sh", "block")
+    hot_sh = sh.join(hot_ids.select("id"), "id", "left_semi")
+    cands = lsh_candidates(lsh_buckets(minhash_signatures(hot_sh)))
+    pairs_hot = (
+        cands.join(hot_ids.withColumnRenamed("id", "id_a").alias("a"), "id_a")
+        .join(
+            hot_ids.select(
+                F.col("id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("block").alias("block_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("a.block") == F.col("block_b"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             (
-                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+                F.size(F.array_intersect("a.sh", "sh_b")).cast("double")
+                / F.size(F.array_union("a.sh", "sh_b")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= thresh)
     )
+    return pairs_small.unionByName(pairs_hot)

@@ -433,17 +433,27 @@ def arg_multiplicity(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def greedy_match(
-    pred: DataFrame, gold: DataFrame, metric: str = "substring"
+    pred: DataFrame, gold: DataFrame, metric: str = "substring",
+    max_rounds: int = 64,
 ) -> DataFrame:
     """G7 (eval_utils.py:498-563 ``diff`` / :567-617 ``annotation_eval``):
     match pred and gold triples one-to-one with greedy dedup bookkeeping
     (``seen_pred``/``seen_gold``), under a fuzzy span metric that makes the
     candidate graph many-to-many.
 
-    Deterministic greedy order = lexicographic candidate key; pass 1 keeps
-    the first gold per pred (window rank), pass 2 keeps the first surviving
-    pred per gold — exactly the sequential first-wins scan, expressed as
-    two ranking windows. Output: the matched pairs.
+    Semantics: the EXACT sequential first-wins greedy over candidates in
+    lexicographic (pred key, gold key) order — computed distributively by
+    iterated local-minima selection: each round accepts every candidate
+    that is simultaneously its pred's first remaining gold AND its gold's
+    first remaining pred (both ranked over ALL remaining candidates), then
+    removes the touched preds/golds. A candidate is accepted by the
+    sequential scan iff no earlier candidate sharing its pred or gold is
+    accepted; the round-r accepted set is exactly the r-th wave of that
+    recursion, so the fixpoint equals the sequential result (the
+    globally-minimal remaining candidate is always locally minimal, so
+    every round progresses). Rounds needed = conflict-chain depth —
+    bounded by ``max_rounds`` as an engine guard; convergence before the
+    bound is asserted by the driver-side empty check.
     """
     m = _METRICS[metric]
     p = pred.select(
@@ -469,22 +479,32 @@ def greedy_match(
     ).select(
         F.col("p.conv_id").alias("conv_id"),
         "p_arg0", "p_arg1", "p_label", "g_arg0", "g_arg1", "g_label",
-    )
-    w_pred = Window.partitionBy("conv_id", "p_arg0", "p_arg1", "p_label").orderBy(
-        "g_arg0", "g_arg1", "g_label"
-    )
-    first_per_pred = (
-        cand.withColumn("_r", F.row_number().over(w_pred))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
-    )
-    w_gold = Window.partitionBy("conv_id", "g_arg0", "g_arg1", "g_label").orderBy(
-        "p_arg0", "p_arg1", "p_label"
-    )
-    return (
-        first_per_pred.withColumn("_r", F.row_number().over(w_gold))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
+    ).localCheckpoint(eager=True)
+
+    pk = ["p_arg0", "p_arg1", "p_label"]
+    gk = ["g_arg0", "g_arg1", "g_label"]
+    w_pred = Window.partitionBy("conv_id", *pk).orderBy(*gk)
+    w_gold = Window.partitionBy("conv_id", *gk).orderBy(*pk)
+    spark = pred.sparkSession
+    matched = spark.createDataFrame([], cand.schema)
+    for _ in range(max_rounds):
+        accepted = (
+            cand.withColumn("_rp", F.row_number().over(w_pred))
+            .withColumn("_rg", F.row_number().over(w_gold))
+            .filter((F.col("_rp") == 1) & (F.col("_rg") == 1))
+            .drop("_rp", "_rg")
+            .localCheckpoint(eager=True)
+        )
+        matched = matched.unionByName(accepted)
+        cand = (
+            cand.join(accepted.select("conv_id", *pk), ["conv_id", *pk], "left_anti")
+            .join(accepted.select("conv_id", *gk), ["conv_id", *gk], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if cand.limit(1).count() == 0:
+            break
+    return matched.select(
+        "conv_id", "p_arg0", "p_arg1", "p_label", "g_arg0", "g_arg1", "g_label"
     )
 
 

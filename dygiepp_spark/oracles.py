@@ -159,6 +159,54 @@ SELECT DISTINCT p.conv_id AS conv_id, t.text AS sent_text, p.arg0, p.arg1, p.lab
 FROM pairs p JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx"""
 
 
+def triples_set_corefprop_oracle() -> str:
+    """Kernel path with coref_prop=1 under CorefRuleScorer: the relation
+    beam ranks mentions by the PROPAGATED score
+    ``0.5·(100-start) + 0.5·(100-antecedent_start)`` (antecedent = nearest
+    previous same-surface mention; no antecedent -> score unchanged),
+    tie -> lower start. All values are halves of small integers, so the
+    float comparison is exact in both engines (see CorefRuleScorer)."""
+    from dygiepp_spark.tables import RELATION_LABELS, RELATION_MAX_DIST
+
+    return f"""{_PRELUDE},
+ante AS (
+    SELECT m.conv_id, m.turn_idx, m.start, max(p.start) AS ante_start
+    FROM mentions m JOIN mentions p
+      ON p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+     AND p.surface = m.surface AND p.start < m.start
+    GROUP BY m.conv_id, m.turn_idx, m.start
+),
+scored AS (
+    SELECT m.conv_id, m.turn_idx, m.start, m.surface, l.n_tokens,
+           CASE WHEN a.ante_start IS NOT NULL
+                THEN 0.5 * CAST(100 - m.start AS DOUBLE)
+                     + 0.5 * CAST(100 - a.ante_start AS DOUBLE)
+                ELSE CAST(100 - m.start AS DOUBLE) END AS prop_score
+    FROM mentions m
+    JOIN lens l ON m.conv_id = l.conv_id AND m.turn_idx = l.turn_idx
+    LEFT JOIN ante a ON a.conv_id = m.conv_id AND a.turn_idx = m.turn_idx
+                    AND a.start = m.start
+),
+mentions_prop AS (
+    SELECT * FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY prop_score DESC, start) AS rnp
+        FROM scored s
+    ) WHERE rnp <= greatest(CAST(ceil(0.5 * n_tokens) AS BIGINT), 1)
+),
+pairs_prop AS (
+    SELECT a.conv_id AS conv_id, a.turn_idx AS turn_idx,
+           a.surface AS arg0, b.surface AS arg1,
+           {_LABELS}[((len(a.surface) + 2 * len(b.surface)) % {len(RELATION_LABELS)}) + 1] AS label
+    FROM mentions_prop a
+    JOIN mentions_prop b
+      ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+     AND b.start > a.start AND b.start - a.start <= {RELATION_MAX_DIST}
+)
+SELECT DISTINCT p.conv_id AS conv_id, t.text AS sent_text, p.arg0, p.arg1, p.label
+FROM pairs_prop p JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx"""
+
+
 def triples_mechanism_oracle() -> str:
     return f"""{_PRELUDE}
 SELECT conv_id, sent_text, arg0, arg1, 'MECHANISM' AS label, conf

@@ -119,6 +119,63 @@ JOIN np ON np.conv_id = pair.conv_id AND np.pc = pair.pc
 JOIN ng ON ng.conv_id = pair.conv_id AND ng.gc = pair.gc"""
 
 
+def baseline_allpairs_oracle() -> str:
+    """K9 allpairs_base twin: every ordered same-sentence mention pair."""
+    return f"""{_BASE}
+SELECT DISTINCT a.conv_id AS conv_id, a.surface AS arg0, b.surface AS arg1
+FROM mentions a JOIN mentions b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND a.start <> b.start"""
+
+
+def baseline_depparse_oracle() -> str:
+    """K9 depparse_base twin (trigger-pivot stand-in): mention-left,
+    trigger, mention-right bridges."""
+    from dygiepp_spark.tables import TRIGGER_VOCAB
+
+    trigs = ", ".join(f"'{t}'" for t in TRIGGER_VOCAB)
+    return f"""{_BASE},
+trigs AS (SELECT conv_id, turn_idx, tok_ix FROM tokens WHERE token IN ({trigs}))
+SELECT DISTINCT s.conv_id AS conv_id, s.surface AS arg0, o.surface AS arg1
+FROM mentions s
+JOIN trigs t ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+            AND s.start < t.tok_ix
+JOIN mentions o ON o.conv_id = t.conv_id AND o.turn_idx = t.turn_idx
+               AND o.start > t.tok_ix"""
+
+
+def coref_ceafe_oracle() -> str:
+    """Twin of coref.ceafe_stats. The oracle does NOT solve a general
+    assignment problem in SQL — it exploits the corpus's laminar overlap
+    structure: every windowed pred cluster (conv, surface, segment) lies
+    entirely inside one global gold cluster (conv, surface), so per-gold
+    choices are independent and the optimal Kuhn–Munkres alignment equals
+    the per-gold argmax of φ4. Ties are harmless: equal φ4 under
+    laminarity implies identical (phi_num, phi_den) output. The Spark side
+    runs the general exact-rational Hungarian (unit-tested against brute
+    force on non-laminar inputs)."""
+    return f"""{_BASE} , {_COREF_CTES.strip()} , {_G5_CTES.strip()},
+pair AS (SELECT conv_id, pc, gc, count(*) AS n_pg FROM j GROUP BY 1, 2, 3),
+np AS (SELECT conv_id, pc, count(*) AS n_p FROM j GROUP BY 1, 2),
+ng AS (SELECT conv_id, gc, count(*) AS n_g FROM j GROUP BY 1, 2),
+ov AS (
+    SELECT pair.conv_id, pair.pc, pair.gc, pair.n_pg, np.n_p, ng.n_g
+    FROM pair
+    JOIN np ON np.conv_id = pair.conv_id AND np.pc = pair.pc
+    JOIN ng ON ng.conv_id = pair.conv_id AND ng.gc = pair.gc
+)
+SELECT conv_id, CAST(gc AS BIGINT) AS gc,
+       CAST(phi_num AS BIGINT) AS phi_num, CAST(phi_den AS BIGINT) AS phi_den
+FROM (
+    SELECT conv_id, gc, 2 * n_pg AS phi_num, n_p + n_g AS phi_den,
+           row_number() OVER (
+               PARTITION BY conv_id, gc
+               ORDER BY CAST(2 * n_pg AS DOUBLE) / CAST(n_p + n_g AS DOUBLE) DESC,
+                        pc) AS rn
+    FROM ov
+) WHERE rn = 1"""
+
+
 # --------------------------------------------------------------------------
 # linking + graph materialization
 # --------------------------------------------------------------------------
@@ -549,7 +606,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_args,
 FROM per_span"""
 
 
-def greedy_match_oracle() -> str:
+def greedy_match_oracle(rounds: int = 6) -> str:
+    """Twin of kg_eval.greedy_match's iterated local-minima greedy:
+    ``rounds`` unrolled SQL rounds (each = accept candidates ranked first
+    on BOTH sides, then anti-join out the touched preds/golds). The Spark
+    side iterates to an empty candidate set; on the eval corpora that
+    fixpoint is reached well inside the unroll depth (extra unrolled
+    rounds operate on an empty set and contribute nothing)."""
     sub0 = (
         "(contains(lower(trim(p_arg0)), lower(trim(g_arg0))) "
         "OR contains(lower(trim(g_arg0)), lower(trim(p_arg0))))"
@@ -558,28 +621,49 @@ def greedy_match_oracle() -> str:
         "(contains(lower(trim(p_arg1)), lower(trim(g_arg1))) "
         "OR contains(lower(trim(g_arg1)), lower(trim(p_arg1))))"
     )
-    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
-p AS (SELECT DISTINCT conv_id, arg0 AS p_arg0, arg1 AS p_arg1, label AS p_label FROM triples),
-g AS (SELECT DISTINCT conv_id, arg0 AS g_arg0, arg1 AS g_arg1, label AS g_label FROM gold),
-cand AS (
+    cols = "conv_id, p_arg0, p_arg1, p_label, g_arg0, g_arg1, g_label"
+    # MATERIALIZED: each cand{r} is referenced twice (acc{r} and
+    # cand{r+1}); inlining would re-evaluate the whole chain per reference
+    # — exponential in the unroll depth
+    ctes = [
+        f"""cand0 AS MATERIALIZED (
     SELECT p.conv_id, p_arg0, p_arg1, p_label, g_arg0, g_arg1, g_label
     FROM p JOIN g ON p.conv_id = g.conv_id AND p_label = g_label
                AND {sub0} AND {sub1}
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""acc{r} AS MATERIALIZED (
+    SELECT {cols} FROM (
+        SELECT c.*,
+               row_number() OVER (PARTITION BY conv_id, p_arg0, p_arg1, p_label
+                                  ORDER BY g_arg0, g_arg1, g_label) AS rp,
+               row_number() OVER (PARTITION BY conv_id, g_arg0, g_arg1, g_label
+                                  ORDER BY p_arg0, p_arg1, p_label) AS rg
+        FROM cand{r} c
+    ) WHERE rp = 1 AND rg = 1
 ),
-fpp AS (
-    SELECT * FROM (
-        SELECT c.*, row_number() OVER (
-            PARTITION BY conv_id, p_arg0, p_arg1, p_label
-            ORDER BY g_arg0, g_arg1, g_label) AS r
-        FROM cand c
-    ) WHERE r = 1
-)
-SELECT conv_id, p_arg0, p_arg1, p_label, g_arg0, g_arg1, g_label FROM (
-    SELECT f.*, row_number() OVER (
-        PARTITION BY conv_id, g_arg0, g_arg1, g_label
-        ORDER BY p_arg0, p_arg1, p_label) AS r2
-    FROM fpp f
-) WHERE r2 = 1"""
+cand{r + 1} AS MATERIALIZED (
+    SELECT c.* FROM cand{r} c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM acc{r} a
+        WHERE a.conv_id = c.conv_id AND a.p_arg0 = c.p_arg0
+          AND a.p_arg1 = c.p_arg1 AND a.p_label = c.p_label
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM acc{r} a
+        WHERE a.conv_id = c.conv_id AND a.g_arg0 = c.g_arg0
+          AND a.g_arg1 = c.g_arg1 AND a.g_label = c.g_label
+    )
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT {cols} FROM acc{r}" for r in range(rounds))
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+p AS (SELECT DISTINCT conv_id, arg0 AS p_arg0, arg1 AS p_arg1, label AS p_label FROM triples),
+g AS (SELECT DISTINCT conv_id, arg0 AS g_arg0, arg1 AS g_arg1, label AS g_label FROM gold),
+{", ".join(ctes)}
+{union}"""
 
 
 def long_turns_oracle(limit: int = 8) -> str:

@@ -5,10 +5,16 @@ naturally a stream of turns; the extraction stages split cleanly into:
 
 * **stateless stages** (tokenize, mention/trigger detection — narrow ops
   only): run directly on the stream, any output mode, no state store.
-* **per-conversation stages** (beams, pair generation, doc assembly):
-  need grouping — run via ``foreachBatch``, which hands each micro-batch
-  to the full batch pipeline (the standard pattern for reusing complex
-  batch logic; exactly-once via checkpointed batch ids + idempotent sink).
+* **per-conversation stages** (beams, pair generation): run via
+  ``foreachBatch``, which hands each micro-batch to the full batch
+  pipeline (the standard pattern for reusing complex batch logic);
+  exactly-once = checkpointed batch ids + an IDEMPOTENT sink (the batch_id
+  partition is dynamically overwritten on replay, see run_triples_stream).
+* **cross-batch stateful stages** (doc assembly when a conversation's
+  turns straddle micro-batches): ``applyInPandasWithState`` keyed on
+  conv_id — the state store buffers partial conversations and emits each
+  document exactly when its last turn arrives
+  (:func:`assemble_conversations_stateful`).
 
 With ``trigger(availableNow=True)`` the same code is a catch-up batch job
 — that is how the parity gate runs it (stream results == batch results on
@@ -17,9 +23,13 @@ the same input).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dygiepp_spark.operators import extraction as EX
 
@@ -72,23 +82,135 @@ def run_triples_stream(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
     """Micro-batch triple extraction via foreachBatch: each batch runs the
-    FULL batch pipeline (beams + pair join + dedup) and appends.
+    FULL batch pipeline (beams + pair join + dedup) into a batch_id-
+    partitioned sink.
 
-    Note the per-batch dedup scope: triples are deduped within a micro-batch
-    (same as the reference's per-document dict semantics — a conversation's
-    turns arrive together in the transcript feed); cross-batch dedup, when
-    conversations straddle batches, is the downstream aggregate_edges rollup.
+    Exactly-once on replay: a retried micro-batch re-runs ``_emit`` with
+    the SAME batch_id, and dynamic partition overwrite replaces exactly
+    that batch's partition — duplicates cannot survive a
+    write-succeeded/checkpoint-failed crash window (the blind
+    ``mode('append')`` alternative is only at-least-once).
+
+    Per-batch dedup scope: triples are deduped within a micro-batch (the
+    reference's per-document dict semantics — a conversation's turns
+    arrive together in the transcript feed); cross-batch dedup, when
+    conversations straddle batches, is the downstream aggregate_edges
+    rollup or the stateful assembly path.
     """
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
-        EX.emit_triples(batch_df).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_dir)
+        (
+            EX.emit_triples(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     q = (
         stream_turns(spark, input_dir)
         .writeStream.foreachBatch(_emit)
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# stateful doc assembly (conversations straddling micro-batches)
+# --------------------------------------------------------------------------
+
+#: stream schema for the stateful assembly path: each turn row additionally
+#: carries the conversation's total turn count (known at transcript-export
+#: time), which is the deterministic emission trigger
+TURNS_TOTALS_SCHEMA = T.StructType(
+    TURNS_STREAM_SCHEMA.fields
+    + [T.StructField("n_turns", T.IntegerType(), True)]
+)
+
+_ASSEMBLY_STATE_SCHEMA = "idxs array<int>, texts array<string>, total int"
+_ASSEMBLY_OUT_SCHEMA = "conv_id string, n_turns int, doc_text string"
+
+
+def with_turn_totals(turns: DataFrame) -> DataFrame:
+    """Attach the per-conversation total turn count (batch helper for
+    producing the stream input). One map-side-combinable aggregate +
+    broadcast-friendly join back."""
+    totals = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns")
+    )
+    return turns.join(totals, "conv_id")
+
+
+def assemble_conversations_stateful(turns_stream: DataFrame) -> DataFrame:
+    """A2 doc assembly as a stateful streaming operator
+    (``applyInPandasWithState`` keyed on conv_id).
+
+    The state store buffers (turn_idx, text) per conversation across
+    micro-batches; when the buffered count reaches the row-carried
+    ``n_turns`` total, the assembled document (turns joined in turn_idx
+    order — identical to the batch ``assemble_documents``) is emitted ONCE
+    and the state dropped. Conversations split across micro-batches are
+    therefore assembled correctly, closing the cross-batch gap of the pure
+    foreachBatch path. No timeout: the corpus contract is that every
+    conversation's turns eventually arrive; a production deployment adds
+    ``ProcessingTimeTimeout`` to flush stragglers.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            idxs, texts, total = state.get
+            idxs, texts = list(idxs), list(texts)
+        else:
+            idxs, texts, total = [], [], None
+        for pdf in pdfs:
+            idxs.extend(int(i) for i in pdf["turn_idx"])
+            texts.extend(pdf["text"])
+            if total is None and len(pdf) > 0:
+                total = int(pdf["n_turns"].iloc[0])
+        if total is not None and len(idxs) >= total:
+            order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+            doc = " ".join(texts[i] for i in order)
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "n_turns": [total], "doc_text": [doc]}
+            )
+        else:
+            state.update((idxs, texts, total))
+
+    return turns_stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_ASSEMBLY_OUT_SCHEMA,
+        stateStructType=_ASSEMBLY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_assembly_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a (turns + n_turns) parquet drop directory through the
+    stateful assembly into a parquet sink. ``max_files_per_trigger=1``
+    forces one input file per micro-batch, so multi-file conversations
+    genuinely cross batch boundaries (the condition under test)."""
+    src = (
+        spark.readStream.schema(TURNS_TOTALS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        assemble_conversations_stateful(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -82,3 +82,39 @@ def test_linking_hits_and_fallback(spark):
     assert linked["Spark "]["entity_id"] == "E000"  # normalized strip+lower hit
     assert linked["unknownthing"]["entity_id"] == "S:unknownthing"
     assert linked["unknownthing"]["type"] == "UNKNOWN"
+
+
+def test_pointer_components_equals_generic_cc(spark, sf_dir):
+    # the coref edge set is a pointer forest (one antecedent per anaphor);
+    # the specialized pointer-doubling CC must agree with the generic
+    # neighbor-min CC on it
+    from dygiepp_spark.operators import extraction as EX
+
+    mentions = EX.detect_mentions(
+        TT.turns_from_documents(spark, sf_dir, with_ts=False).filter(
+            F.col("conv_id").cast("int") < 60
+        )
+    )
+    ordered = CO.mention_order(mentions)
+    edges = CO.coref_edges_same_surface(mentions)
+    nodes = ordered.select("conv_id", "mention_ix")
+    a = CO.pointer_components(edges, nodes)
+    b = CO.connected_components(edges, nodes)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pointer_components_long_chain(spark):
+    # chain 0<-1<-2<-...<-9 plus an island: all chain nodes label 0
+    edges = spark.createDataFrame(
+        [("c", i, i - 1) for i in range(1, 10)],
+        "conv_id string, anaphor_ix int, antecedent_ix int",
+    )
+    nodes = spark.createDataFrame(
+        [("c", i) for i in range(10)] + [("c", 42)],
+        "conv_id string, mention_ix int",
+    )
+    got = {
+        (r["mention_ix"], r["cluster_id"])
+        for r in CO.pointer_components(edges, nodes).collect()
+    }
+    assert got == {(i, 0) for i in range(10)} | {(42, 42)}

@@ -122,3 +122,45 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     )
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_ngram_jaccard_hot_block_reroutes_subquadratic(spark):
+    # pathological equal-size corpus: every doc has the same shingle count,
+    # so ALL land in one block; with max_block exceeded the all-pairs path
+    # must reroute through LSH instead of going quadratic
+    n = 40
+    rows = []
+    for i in range(n):
+        # 12 distinct tokens per doc -> same n_sh for all docs
+        toks = [f"w{i}_{j}" for j in range(12)]
+        rows.append((i, " ".join(toks)))
+    # plant one near-dup pair (ids 100/101 share 11 of 12 tokens)
+    base = [f"dup_{j}" for j in range(11)]
+    rows.append((100, " ".join(base + ["xx"])))
+    rows.append((101, " ".join(base + ["yy"])))
+    chunks = spark.createDataFrame(rows, "chunk_id bigint, text string")
+
+    capped = DD.ngram_jaccard_pairs(chunks, thresh=0.25, max_block=10)
+    uncapped = DD.ngram_jaccard_pairs(chunks, thresh=0.25, max_block=10**9)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    # precision: every emitted pair carries its true Jaccard (subset of full)
+    for k, v in got.items():
+        assert k in full and v == full[k]
+    # recall on the planted high-similarity pair survives the LSH reroute
+    assert (100, 101) in got
+    # sub-quadratic candidate generation: the LSH path's candidate count is
+    # far below the all-pairs count for the hot block
+    sh = DD.shingles(chunks)
+    cands = DD.lsh_candidates(DD.lsh_buckets(DD.minhash_signatures(sh)))
+    n_docs = chunks.count()
+    assert cands.count() < n_docs * (n_docs - 1) // 4
+
+
+def test_ngram_jaccard_unchanged_when_no_hot_block(spark, chunks):
+    # default cap far above testdata block sizes -> identical result sets
+    a = DD.ngram_jaccard_pairs(chunks)
+    b = DD.ngram_jaccard_pairs(chunks, max_block=10**9)
+    ra = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in a.collect()}
+    rb = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in b.collect()}
+    assert ra == rb

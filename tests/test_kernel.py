@@ -226,3 +226,71 @@ def test_coref_propagate_zero_rounds_identity():
     ante_sc = np.array([[0.0], [5.0]])
     out = D.coref_propagate(scores, ante_ix, ante_sc, rounds=0)
     assert out.tolist() == [1.0, 2.0]
+
+
+# --------------------------------------------------------------------------
+# M17 wired end-to-end (round 2)
+# --------------------------------------------------------------------------
+
+def _one_turn(spark, text):
+    return spark.createDataFrame(
+        [("c0", 0, "user", text, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+
+
+def test_coref_prop_changes_relation_beam(spark):
+    """Crafted fixture where one propagation round changes the decode:
+    'spark table beta row spark' — n=5, beam k=3. Without propagation the
+    graded scores (100-start) keep {spark@0, table@1, row@3}; with one
+    round, spark@4 inherits half of spark@0's score (98 > row@3's 97) and
+    displaces row from the beam."""
+    from dygiepp_spark.kernels.scorer import CorefRuleScorer
+
+    turns = _one_turn(spark, "spark table beta row spark")
+    scorer = CorefRuleScorer()
+
+    def triple_set(coref_prop):
+        ext = K.extract(turns, scorer, coref_prop=coref_prop)
+        return {
+            (r["arg0"], r["arg1"], r["label"])
+            for r in K.kernel_triples(ext, turns).collect()
+        }
+
+    no_prop = triple_set(0)
+    prop = triple_set(1)
+    assert no_prop == {
+        ("spark", "table", "USED-FOR"),
+        ("spark", "row", "FEATURE-OF"),
+        ("table", "row", "FEATURE-OF"),
+    }
+    assert prop == {
+        ("spark", "table", "USED-FOR"),
+        ("spark", "spark", "USED-FOR"),   # (0,4) within RELATION_MAX_DIST=6
+        ("table", "spark", "USED-FOR"),
+    }
+    assert no_prop != prop
+
+
+def test_coref_prop_noop_without_coref_head(spark, small_turns):
+    # RuleScorer has no coref head -> coref_prop must be a no-op
+    base = K.kernel_triples(K.extract(small_turns, RuleScorer()), small_turns)
+    prop = K.kernel_triples(
+        K.extract(small_turns, RuleScorer(), coref_prop=1), small_turns
+    )
+    assert base.exceptAll(prop).count() == 0
+    assert prop.exceptAll(base).count() == 0
+
+
+def test_coref_rule_scorer_antecedent_is_nearest_previous():
+    from dygiepp_spark.kernels.scorer import CorefRuleScorer
+
+    s = CorefRuleScorer()
+    tokens = "spark beta spark spark".split()
+    spans = D.enumerate_spans(len(tokens), 8)
+    ix, sc = s.coref_antecedents({"tokens": tokens}, spans)
+    span_list = [tuple(x) for x in spans.tolist()]
+    i0, i2, i3 = (span_list.index((p, p)) for p in (0, 2, 3))
+    assert ix[i0, 0] == -1 and sc[i0, 0] == 0.0
+    assert ix[i2, 0] == i0 and sc[i2, 0] == 1.0
+    assert ix[i3, 0] == i2  # nearest previous, not first

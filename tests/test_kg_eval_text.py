@@ -185,3 +185,162 @@ def test_streaming_mentions_equals_batch(spark, sf_dir, tmp_path):
     want = EX.detect_mentions(turns)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+# --------------------------------------------------------------------------
+# K1 rouge-L / head + K2 reverse (round 2)
+# --------------------------------------------------------------------------
+
+def _lcs_bruteforce(a: list[str], b: list[str]) -> int:
+    """Independent LCS: enumerate all subsequences of the shorter side."""
+    import itertools
+
+    if len(a) > len(b):
+        a, b = b, a
+    best = 0
+    for r in range(len(a), 0, -1):
+        for sub in itertools.combinations(a, r):
+            # is `sub` a subsequence of b?
+            it = iter(b)
+            if all(tok in it for tok in sub):
+                return r
+    return best
+
+
+def test_rouge_l_f_matches_bruteforce_lcs():
+    cases = [
+        ("the fast join algorithm", "a fast algorithm for join"),
+        ("spark sql engine", "engine sql spark"),
+        ("a b c d", "a b c d"),
+        ("x", "y"),
+        ("one two", "two one two two"),
+        ("", "nonempty"),
+    ]
+    for a, b in cases:
+        ta, tb = a.split(), b.split()
+        if not ta or not tb:
+            assert KE._rouge_l_f_py(a, b) == 0.0
+            continue
+        llcs = _lcs_bruteforce(ta, tb)
+        p, r = llcs / len(ta), llcs / len(tb)
+        beta = p / (r + 1e-12)
+        expect = ((1 + beta**2) * r * p) / ((r + beta**2 * p) + 1e-8)
+        assert KE._rouge_l_f_py(a, b) == pytest.approx(expect, abs=1e-12)
+
+
+def test_match_rouge_thresholds(spark):
+    p = _triples(spark, [("c1", "join algorithm", "the sort phase", "R", 1.0)])
+    g = _triples(spark, [("c1", "fast join algorithm", "sort phase", "R", 1.0)])
+    hit = KE.ie_eval(p, g, "rouge").collect()[0]
+    assert hit["tp"] == 1  # f(2-of-2 vs 2-of-3) and f(2-of-3 vs 2-of-2) > 0.3
+    miss = KE.ie_eval(
+        _triples(spark, [("c1", "alpha", "beta", "R", 1.0)]), g, "rouge"
+    ).collect()[0]
+    assert miss["tp"] == 0
+
+
+def test_match_head_last_token_standin(spark):
+    p = _triples(spark, [("c1", "the merge join", "hash TABLE", "R", 1.0)])
+    g = _triples(spark, [("c1", "a blocked merge join", "table", "R", 1.0)])
+    out = KE.ie_eval(p, g, "head").collect()[0]
+    assert out["tp"] == 1  # heads: join==join, table==table (case-folded)
+    out2 = KE.ie_eval(p, _triples(spark, [("c1", "join plan", "table", "R", 1.0)]), "head").collect()[0]
+    assert out2["tp"] == 0  # head 'plan' != 'join'
+
+
+def test_ie_eval_reverse_swapped_args(spark):
+    p = _triples(spark, [("c1", "a", "b", "R", 1.0)])
+    g = _triples(spark, [("c1", "b", "a", "R", 1.0)])
+    fwd = KE.ie_eval(p, g, "exact").collect()[0]
+    rev = KE.ie_eval(p, g, "exact", consider_reverse=True).collect()[0]
+    assert fwd["tp"] == 0 and rev["tp"] == 1
+
+
+def test_ie_eval_reverse_label_gate(spark):
+    p = _triples(spark, [("c1", "a", "b", "R", 1.0)])
+    g = _triples(spark, [("c1", "b", "a", "R", 1.0)])
+    gated_out = KE.ie_eval(
+        p, g, "exact", consider_reverse=True, reverse_labels=["OTHER"]
+    ).collect()[0]
+    gated_in = KE.ie_eval(
+        p, g, "exact", consider_reverse=True, reverse_labels=["R"]
+    ).collect()[0]
+    assert gated_out["tp"] == 0 and gated_in["tp"] == 1
+
+
+def test_gold_triples_ctx_widens_and_clips(spark):
+    # 'spark' and 'table' are planted entities; 'alpha'/'beta' are context
+    turns = spark.createDataFrame(
+        [("c1", 0, "u", "alpha spark table beta", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    got = KE.gold_triples_ctx(turns, max_dist=3, window=1).collect()
+    assert len(got) == 1
+    assert got[0]["arg0"] == "alpha spark table"   # clipped at left edge +1
+    assert got[0]["arg1"] == "spark table beta"    # clipped at right edge
+
+    # edge clipping: mention at position 0 keeps only right context
+    turns2 = spark.createDataFrame(
+        [("c1", 0, "u", "spark table beta", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    got2 = KE.gold_triples_ctx(turns2, max_dist=3, window=1).collect()
+    assert got2[0]["arg0"] == "spark table"
+    assert got2[0]["arg1"] == "spark table beta"
+
+
+def test_greedy_match_fallback_to_next_gold(spark):
+    # advisor case: pred B's first-choice gold X is taken by the earlier
+    # pred A; the sequential greedy then matches B to its next gold Y —
+    # a two-pass (non-iterated) formulation would drop B entirely
+    pred = _triples(spark, [("c", "ax", "z", "R", 1.0), ("c", "x", "z", "R", 1.0)])
+    gold = _triples(spark, [("c", "ax", "z", "R", 1.0), ("c", "xq", "z", "R", 1.0)])
+    got = {
+        (r["p_arg0"], r["g_arg0"])
+        for r in KE.greedy_match(pred, gold, "substring").collect()
+    }
+    assert got == {("ax", "ax"), ("x", "xq")}
+
+
+def test_greedy_match_equals_sequential_scan(spark):
+    # randomized check vs a literal sequential seen_pred/seen_gold scan
+    import random
+
+    random.seed(11)
+    toks = ["a", "ab", "abc", "b", "bc", "c", "ca"]
+    pred_rows = [
+        ("c%d" % (i % 3), random.choice(toks), random.choice(toks), "R", 1.0)
+        for i in range(30)
+    ]
+    gold_rows = [
+        ("c%d" % (i % 3), random.choice(toks), random.choice(toks), "R", 1.0)
+        for i in range(30)
+    ]
+    pred = _triples(spark, pred_rows)
+    gold = _triples(spark, gold_rows)
+
+    def sub(a, b):
+        return a in b or b in a
+
+    p_keys = sorted({(r[0], r[1], r[2], r[3]) for r in pred_rows})
+    g_keys = sorted({(r[0], r[1], r[2], r[3]) for r in gold_rows})
+    seen_p, seen_g, expect = set(), set(), set()
+    for pk in p_keys:
+        for gk in g_keys:
+            if pk[0] != gk[0] or pk[3] != gk[3]:
+                continue
+            if not (sub(pk[1], gk[1]) and sub(pk[2], gk[2])):
+                continue
+            if pk in seen_p or gk in seen_g:
+                continue
+            seen_p.add(pk)
+            seen_g.add(gk)
+            expect.add((pk, gk))
+    got = {
+        (
+            (r["conv_id"], r["p_arg0"], r["p_arg1"], r["p_label"]),
+            (r["conv_id"], r["g_arg0"], r["g_arg1"], r["g_label"]),
+        )
+        for r in KE.greedy_match(pred, gold, "substring").collect()
+    }
+    assert got == expect

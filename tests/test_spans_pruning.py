@@ -96,3 +96,29 @@ def test_best_per_span(spark):
         for r in PR.best_per_span(df, score_col="score").collect()
     }
     assert got == {(1, "A"), (3, "C")}
+
+
+def test_global_topk_threshold_equals_rank_window(spark):
+    # adversarial tie structure incl. duplicate scores straddling the cut
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = [(i, float(s)) for i, s in enumerate(
+        [9, 7, 7, 7, 5, 5, 4, 3, 3, 3, 3, 2, 1, 1, 0]
+    )]
+    df = spark.createDataFrame(rows, "id int, conf double")
+    for k in (1, 2, 3, 4, 7, 11, 15, 100):
+        got = {r["id"] for r in PR.global_topk_with_ties(df, "conf", k).collect()}
+        w = Window.orderBy(F.col("conf").desc())
+        ref = {
+            r["id"]
+            for r in df.withColumn("_rk", F.rank().over(w))
+            .filter(F.col("_rk") <= k)
+            .collect()
+        }
+        assert got == ref, f"k={k}"
+
+
+def test_kth_score_threshold_empty_frame(spark):
+    df = spark.createDataFrame([], "id int, conf double")
+    assert PR.global_topk_with_ties(df, "conf", 5).count() == 0

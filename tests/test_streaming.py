@@ -38,3 +38,74 @@ def test_triples_stream_checkpoint_idempotent(spark, sf_dir, tmp_path):
     # second drain with the same checkpoint: no new files, no duplicates
     ST.run_triples_stream(spark, in_dir, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == n1
+
+
+# --------------------------------------------------------------------------
+# stateful assembly (round 2)
+# --------------------------------------------------------------------------
+
+def _turn_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "n_turns int",
+    )
+
+
+def test_stateful_assembly_conversation_across_batches(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+    # one conversation split across TWO files -> two micro-batches at
+    # maxFilesPerTrigger=1; turn order deliberately scrambled
+    _turn_rows(
+        spark, [("c1", 2, "u", "gamma", None, 3), ("c1", 0, "u", "alpha", None, 3)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _turn_rows(
+        spark, [("c1", 1, "a", "beta", None, 3)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    ST.run_assembly_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=1)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_text"] == "alpha beta gamma"
+    assert rows[0]["n_turns"] == 3
+
+
+def test_stateful_assembly_incremental_drains(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+    # drain 1: only a partial conversation arrives -> nothing emitted,
+    # state persisted in the checkpoint
+    _turn_rows(
+        spark, [("c9", 0, "u", "first", None, 2)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    ST.run_assembly_stream(spark, in_dir, out_dir, ckpt)
+    import glob
+
+    files = glob.glob(f"{out_dir}/**/*.parquet", recursive=True)
+    assert not files or spark.read.parquet(out_dir).count() == 0
+    # drain 2: the rest arrives in a NEW query run restoring the state
+    _turn_rows(
+        spark, [("c9", 1, "a", "second", None, 2)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    ST.run_assembly_stream(spark, in_dir, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1 and rows[0]["doc_text"] == "first second"
+
+
+def test_stateful_assembly_equals_batch(spark, sf_dir, tmp_path):
+    from dygiepp_spark.operators import doc_assembly as DA
+
+    turns = TT.turns_from_documents(spark, sf_dir, with_ts=True).filter(
+        F.col("conv_id").cast("int") < 80
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+    ST.with_turn_totals(turns).repartition(6).write.mode("overwrite").parquet(in_dir)
+    ST.run_assembly_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    got = spark.read.parquet(out_dir).select("conv_id", "n_turns", "doc_text")
+    want = DA.assemble_documents(turns).select("conv_id", "n_turns", "doc_text")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
