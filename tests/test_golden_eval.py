@@ -77,3 +77,51 @@ def test_substring_recall_dominates_exact(spark, gold, pred):
     sub = KE.ie_eval(p, g, "substring").collect()[0]
     assert sub["tp"] >= exact["tp"]
     assert sub["tp_recall"] >= exact["tp_recall"]
+
+
+def test_relation_rouge_match_frozen(spark, gold, pred):
+    """K1 rouge-L on the reference's real multi-word spans — full-LCS DP
+    path (not the single-token degeneracy of the synthetic corpus)."""
+    p = pred.select(
+        "conv_id", "arg0", "arg1",
+        F.col("event_type").alias("label"), F.lit(1.0).alias("conf"),
+    )
+    g = gold.select(
+        "conv_id", "arg0", "arg1",
+        F.col("event_type").alias("label"), F.lit(1.0).alias("conf"),
+    )
+    out = KE.ie_eval(p, g, "rouge").collect()[0]
+    assert (out["tp"], out["tp_recall"]) == (162, 136)
+    assert out["precision"] == pytest.approx(0.5510204081632653)
+    assert out["recall"] == pytest.approx(0.31336405529953915)
+    assert out["f1"] == pytest.approx(0.3995212708083995)
+
+
+def test_relation_head_match_frozen(spark, gold, pred):
+    p = pred.select(
+        "conv_id", "arg0", "arg1",
+        F.col("event_type").alias("label"), F.lit(1.0).alias("conf"),
+    )
+    g = gold.select(
+        "conv_id", "arg0", "arg1",
+        F.col("event_type").alias("label"), F.lit(1.0).alias("conf"),
+    )
+    out = KE.ie_eval(p, g, "head").collect()[0]
+    assert (out["tp"], out["tp_recall"]) == (135, 125)
+    assert out["f1"] == pytest.approx(0.35399622404027686)
+
+
+def test_rouge_recall_between_exact_and_substring(spark, gold, pred):
+    # sanity ordering: rouge@0.3 is looser than exact, usually tighter
+    # than substring on multi-word spans
+    p = pred.select(
+        "conv_id", "arg0", "arg1",
+        F.col("event_type").alias("label"), F.lit(1.0).alias("conf"),
+    )
+    g = gold.select(
+        "conv_id", "arg0", "arg1",
+        F.col("event_type").alias("label"), F.lit(1.0).alias("conf"),
+    )
+    exact = KE.ie_eval(p, g, "exact").collect()[0]
+    rouge = KE.ie_eval(p, g, "rouge").collect()[0]
+    assert rouge["tp"] >= exact["tp"]
