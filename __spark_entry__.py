@@ -423,6 +423,14 @@ def q_ann_ivf(spark, sf_dir):
     return SIM.ivf_topk(_emb(spark, sf_dir))
 
 
+def q_near_dups_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: SRP-LSH banding + hot-bucket cap +
+    exact quantized-cosine verify. The synthetic table has no natural
+    near-dups (max pairwise cos ~0.51), so deterministic perturbed twins
+    are derived in-query — identically in both engines."""
+    return SIM.embedding_near_dups(_emb(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents table)
 # --------------------------------------------------------------------------
@@ -554,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
+        "near_dups_embedding": q_near_dups_embedding,
         # text analysis
         "token_counts": q_token_counts,
         "langid": q_langid,
@@ -621,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": oracles_data.ngram_jaccard_oracle(),
         "ann_brute_force": oracles_data.ann_brute_force_oracle(),
         "ann_ivf": oracles_data.ann_ivf_oracle(),
+        "near_dups_embedding": oracles_data.embedding_near_dups_oracle(),
         "token_counts": oracles_data.token_counts_oracle(),
         "langid": oracles_data.langid_oracle(),
         "quality": oracles_data.quality_oracle(),

@@ -132,6 +132,123 @@ def assign_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     return qz.join(best, "vec_id")
 
 
+SRP_PLANES = 24
+SRP_ROWS_PER_BAND = 8
+NEAR_DUP_COS = 0.99
+_TWIN_OFFSET = 100_000
+
+
+def _srp_weight(plane: int, i: Column) -> Column:
+    """Deterministic ±1 hyperplane weight for (plane, dim): parity of the
+    portable md5-based hash60 — identical in Spark and DuckDB, so the
+    random projections are reproducible across engines (a real deployment
+    swaps in seeded Gaussian planes; the LSH structure is what is under
+    test)."""
+    from dygiepp_spark.functions.hashing import hash60
+
+    h = hash60(F.concat(F.lit(f"{plane}:"), i.cast("string")))
+    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+
+
+def srp_buckets(qz: DataFrame, n_planes: int = SRP_PLANES,
+                rows_per_band: int = SRP_ROWS_PER_BAND) -> DataFrame:
+    """Sign-random-projection LSH buckets over quantized vectors.
+
+    bit_p = [sum_d w(p,d) * q_d >= 0] — exact BIGINT arithmetic (the SRP
+    cosine sketch: P[bit match] = 1 - angle/pi). Bits are packed into
+    ``n_planes / rows_per_band`` band buckets; near-identical vectors
+    share every band, unrelated ones match a band with prob ~(1 -
+    angle/pi)^rows_per_band. Output (id, band, bucket) — feeds the shared
+    :func:`dygiepp_spark.operators.dedup.lsh_candidates` hot-bucket-capped
+    self-join. All per-row work is JVM array lambdas, no shuffle."""
+    def bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.transform(F.col("q"), lambda x, i: x * _srp_weight(p, i)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            F.when(proj >= 0, F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias(f"_bit{p}")
+        )
+
+    bits = [bit(p) for p in range(n_planes)]
+    with_bits = qz.select(F.col("vec_id").alias("id"), *bits)
+    n_bands = n_planes // rows_per_band
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    F.col(f"_bit{b * rows_per_band + r}") * F.lit(1 << r)
+                    for r in range(rows_per_band)
+                ).cast("string").alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return with_bits.select("id", F.explode(entries).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+
+
+def with_planted_twins(qz: DataFrame) -> DataFrame:
+    """Union the corpus with a deterministic near-duplicate of every
+    vector: twin id = id + 100000, first quantized component +5 milli-
+    units (cos vs the original ~0.99999). The synthetic embeddings table
+    has no natural near-dups (max pairwise cos ~0.51), so the duplicates
+    the detector must find are derived IN the query — identically in both
+    engines — rather than shipped as extra data."""
+    twin_q = F.concat(
+        F.array(F.element_at("q", 1) + F.lit(5)), F.slice(F.col("q"), 2, 1 << 20)
+    )
+    twins = qz.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"), twin_q.alias("q")
+    ).withColumn(
+        "nq",
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x),
+    )
+    return qz.unionByName(twins)
+
+
+def embedding_near_dups(
+    emb: DataFrame, thresh: float = NEAR_DUP_COS, plant_twins: bool = True
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed.
+
+    The scale path for 'are these two documents the same content?' over
+    an embedding column: SRP banding generates candidate pairs (never the
+    all-pairs cross product), a hot-bucket cap bounds degenerate clusters,
+    and every surviving pair is verified with the EXACT integer-quantized
+    cosine — precision 1.0, recall = the SRP band guarantee. Output
+    (id_a, id_b, cos) for cos >= thresh.
+    """
+    from dygiepp_spark.operators.dedup import lsh_candidates
+
+    qz = quantized(emb)
+    if plant_twins:
+        qz = with_planted_twins(qz)
+    qz = qz.localCheckpoint(eager=False)  # feeds buckets AND verify
+    cands = lsh_candidates(srp_buckets(qz))
+    a = qz.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    b = qz.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _cos(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= thresh)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = TOP_K,

@@ -213,6 +213,70 @@ qe AS (
 """
 
 
+def embedding_near_dups_oracle(
+    thresh: float = 0.99,
+    n_planes: int = 24,
+    rows_per_band: int = 8,
+    max_bucket: int = 1000,
+    twin_offset: int = 100_000,
+) -> str:
+    """Twin of similarity.embedding_near_dups: planted twins + SRP-LSH
+    banding (portable md5-parity hyperplanes) + hot-bucket cap + exact
+    quantized-cosine verify."""
+    return f"""WITH {_QZ_SQL.strip()},
+qt AS (
+    SELECT vec_id, q, nq FROM qn
+    UNION ALL
+    SELECT vec_id + {twin_offset},
+           list_prepend(q[1] + 5, q[2:]) AS q,
+           CAST(list_sum(list_transform(list_prepend(q[1] + 5, q[2:]),
+                x -> x * x)) AS BIGINT) AS nq
+    FROM qn
+),
+qe2 AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM qt),
+w AS (
+    SELECT p, i,
+           CASE WHEN (('0x' || substr(md5(p || ':' || (i - 1)), 1, 15))::BIGINT) % 2 = 0
+                THEN 1 ELSE -1 END AS wt
+    FROM generate_series(0, {n_planes - 1}) AS gp(p),
+         generate_series(1, 64) AS gi(i)
+),
+bits AS (
+    SELECT e.vec_id, w.p,
+           CASE WHEN sum(e.v * w.wt) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM qe2 e JOIN w ON w.i = e.i
+    GROUP BY e.vec_id, w.p
+),
+buckets AS (
+    SELECT vec_id AS id, CAST(p // {rows_per_band} AS INT) AS band,
+           CAST(CAST(sum(bit * (1 << (p % {rows_per_band}))) AS BIGINT) AS VARCHAR) AS bucket
+    FROM bits GROUP BY vec_id, p // {rows_per_band}
+),
+sizes AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
+ok AS (
+    SELECT b.* FROM buckets b
+    JOIN sizes s ON s.band = b.band AND s.bucket = b.bucket AND s.n <= {max_bucket}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+dots AS (
+    SELECT c.id_a, c.id_b, CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
+    FROM cand c
+    JOIN qe2 ea ON ea.vec_id = c.id_a
+    JOIN qe2 eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, cos FROM (
+    SELECT d.id_a, d.id_b,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) AS cos
+    FROM dots d
+    JOIN qt na ON na.vec_id = d.id_a
+    JOIN qt nb ON nb.vec_id = d.id_b
+) WHERE cos >= {thresh}"""
+
+
 def ann_brute_force_oracle(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
     return f"""WITH {_QZ_SQL.strip()},
 dots AS (

@@ -164,3 +164,23 @@ def test_ngram_jaccard_unchanged_when_no_hot_block(spark, chunks):
     ra = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in a.collect()}
     rb = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in b.collect()}
     assert ra == rb
+
+
+def test_embedding_near_dups_finds_planted_twins(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = [int(r["vec_id"]) for r in emb.select("vec_id").collect()]
+    pairs = SIM.embedding_near_dups(emb).collect()
+    # every planted twin pair (v, v+100000) recovered through the SRP
+    # bands, nothing else passes the 0.99 verify
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 100_000) for i in ids}
+    assert all(r["cos"] >= 0.99 for r in pairs)
+
+
+def test_srp_buckets_band_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+    qz = SIM.quantized(emb)
+    b = SIM.srp_buckets(qz)
+    rows = b.collect()
+    assert len(rows) == 10 * (SIM.SRP_PLANES // SIM.SRP_ROWS_PER_BAND)
+    assert all(0 <= int(r["bucket"]) < (1 << SIM.SRP_ROWS_PER_BAND) for r in rows)
