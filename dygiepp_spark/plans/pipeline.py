@@ -108,3 +108,61 @@ class Pipeline:
                 StageResult(name, data_path, n, time.time() - t0, resumed=False)
             )
         return ctx
+
+
+def build_kg_pipeline(
+    spark: SparkSession,
+    warehouse: str,
+    sf_dir: str,
+    with_coref: bool = True,
+    with_eval: bool = True,
+) -> Pipeline:
+    """The full production DAG (M18/B4): transcript turns -> mentions ->
+    triples -> coref clusters -> canonical entities -> KG edges -> edge
+    rollup -> eval row, every stage checkpointed + resumable. This is the
+    orchestration a cluster deployment schedules (reference analog: the
+    training/predict/eval subprocess chain, scripts/train/predict.py);
+    module gating via the ``enabled`` flags mirrors the reference's
+    loss-weight gating (dygie.py:227-254).
+    """
+    from dygiepp_spark import tables as TT
+    from dygiepp_spark.operators import coref as CO
+    from dygiepp_spark.operators import extraction as EX
+    from dygiepp_spark.operators import graph as GR
+    from dygiepp_spark.operators import kg_eval as KE
+
+    p = Pipeline(spark, warehouse)
+
+    @p.stage("turns")
+    def _turns(ctx):
+        return TT.turns_from_documents(spark, sf_dir, with_ts=False)
+
+    @p.stage("mentions")
+    def _mentions(ctx):
+        return EX.detect_mentions(ctx["turns"])
+
+    @p.stage("triples")
+    def _triples(ctx):
+        return EX.emit_triples(ctx["turns"])
+
+    @p.stage("coref_clusters", enabled=with_coref)
+    def _clusters(ctx):
+        return CO.coref_clusters(ctx["mentions"])
+
+    @p.stage("canonical_entities", enabled=with_coref)
+    def _canonical(ctx):
+        return CO.canonicalize_clusters(ctx["coref_clusters"])
+
+    @p.stage("kg_edges")
+    def _edges(ctx):
+        return GR.build_edges(ctx["turns"], TT.entity_dict(spark))
+
+    @p.stage("kg_edges_agg")
+    def _edges_agg(ctx):
+        return GR.aggregate_edges(ctx["kg_edges"])
+
+    @p.stage("eval_exact", enabled=with_eval)
+    def _eval(ctx):
+        return KE.ie_eval(ctx["triples"], KE.gold_triples(ctx["turns"]), "exact")
+
+    return p

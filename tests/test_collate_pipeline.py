@@ -80,3 +80,31 @@ def test_pipeline_checkpoint_and_resume(spark, sf_dir, tmp_path):
     out2 = p2.run()
     assert [r.resumed for r in p2.results] == [True, True]
     assert out2["mentions"].count() == n_mentions
+
+
+def test_full_kg_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
+    from dygiepp_spark.plans.pipeline import build_kg_pipeline
+
+    wh = str(tmp_path / "wh")
+    p1 = build_kg_pipeline(spark, wh, sf_dir)
+    ctx = p1.run()
+    assert set(ctx) >= {
+        "turns", "mentions", "triples", "coref_clusters",
+        "canonical_entities", "kg_edges", "kg_edges_agg", "eval_exact",
+    }
+    assert ctx["triples"].count() > 0
+    assert ctx["eval_exact"].collect()[0]["f1"] > 0
+    assert not any(r.resumed for r in p1.results)
+
+    # second run resumes EVERY stage from the manifests
+    p2 = build_kg_pipeline(spark, wh, sf_dir)
+    ctx2 = p2.run()
+    assert all(r.resumed for r in p2.results)
+    assert ctx2["triples"].count() == ctx["triples"].count()
+
+    # module gating: coref/eval stages can be switched off like the
+    # reference's zero loss weights
+    p3 = build_kg_pipeline(spark, str(tmp_path / "wh2"), sf_dir,
+                           with_coref=False, with_eval=False)
+    names = [n for n, _ in p3.stages]
+    assert "coref_clusters" not in names and "eval_exact" not in names
