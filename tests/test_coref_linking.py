@@ -118,3 +118,77 @@ def test_pointer_components_long_chain(spark):
         for r in CO.pointer_components(edges, nodes).collect()
     }
     assert got == {(i, 0) for i in range(10)} | {(42, 42)}
+
+
+def test_coref_fixture_cluster_replay(spark):
+    """M13-M16 against the reference's own SciERC fixture: replay the gold
+    clusters as antecedent chains (each member points to the previous one —
+    the reference's coref label construction, dygie.py:58-67) and verify
+    our component labeling reproduces the cluster PARTITION exactly."""
+    import json
+
+    fixture = "/root/reference/dygie/tests/fixtures/scierc_article.json"
+    doc = json.loads(open(fixture).readline())
+    clusters = [
+        [tuple(span) for span in cl] for cl in doc["clusters"] if len(cl) >= 1
+    ]
+    all_spans = sorted({s for cl in clusters for s in cl})
+    ix = {s: i for i, s in enumerate(all_spans)}  # textual order = mention_ix
+
+    edge_rows = []
+    for cl in clusters:
+        members = sorted(cl)
+        for prev, cur in zip(members, members[1:]):
+            edge_rows.append(("d", ix[cur], ix[prev]))
+    edges = spark.createDataFrame(
+        edge_rows, "conv_id string, anaphor_ix int, antecedent_ix int"
+    )
+    nodes = spark.createDataFrame(
+        [("d", i) for i in range(len(all_spans))],
+        "conv_id string, mention_ix int",
+    )
+    for cc in (CO.pointer_components, CO.connected_components):
+        labels = cc(edges, nodes)
+        got = {}
+        for r in labels.collect():
+            got.setdefault(r["cluster_id"], set()).add(r["mention_ix"])
+        got_partition = {frozenset(v) for v in got.values()}
+        expected = {frozenset(ix[s] for s in cl) for cl in clusters}
+        # singletons in `got` are spans not in any multi-span cluster
+        got_multi = {p for p in got_partition if len(p) > 1}
+        exp_multi = {p for p in expected if len(p) > 1}
+        assert got_multi == exp_multi, cc.__name__
+
+
+def test_coref_fixture_canonicalization_longest_member(spark):
+    """K11 against the fixture: exemplar = longest member span
+    (coref_to_tsv.py:11-33), cross-checked with a direct Python fold."""
+    import json
+
+    fixture = "/root/reference/dygie/tests/fixtures/scierc_article.json"
+    doc = json.loads(open(fixture).readline())
+    toks = [t for sent in doc["sentences"] for t in sent]
+    clusters = [cl for cl in doc["clusters"] if len(cl) >= 2]
+    all_spans = sorted({tuple(s) for cl in clusters for s in cl})
+    ix = {s: i for i, s in enumerate(all_spans)}
+
+    rows = [
+        ("d", 0, s[0], s[1], " ".join(toks[s[0]: s[1] + 1]), ix[s], ci)
+        for ci, cl in enumerate(clusters)
+        for s in (tuple(x) for x in cl)
+    ]
+    clustered = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, start int, end int, surface string, "
+        "mention_ix int, cluster_id int",
+    )
+    got = {
+        r["cluster_id"]: r["exemplar_text"]
+        for r in CO.canonicalize_clusters(clustered).collect()
+    }
+    for ci, cl in enumerate(clusters):
+        best = min(
+            sorted((tuple(s) for s in cl), key=lambda s: ix[s]),
+            key=lambda s: (-(s[1] - s[0]), ix[s]),
+        )
+        assert got[ci] == " ".join(toks[best[0]: best[1] + 1])
