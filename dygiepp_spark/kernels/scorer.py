@@ -42,6 +42,49 @@ NEG = -20.0
 POS = 10.0
 
 
+def bucket_width(width: int, num_identity: int = 4, num_total: int = 10) -> int:
+    """AllenNLP ``util.bucket_values`` semantics for span-width features:
+    identity buckets below ``num_identity``, log2 buckets above, clamped
+    to ``num_total`` buckets."""
+    import math
+
+    if width <= num_identity:
+        ix = width
+    else:
+        ix = int(math.floor(math.log(width, 2))) + num_identity - 2
+    return max(0, min(ix, num_total - 1))
+
+
+def span_representation(
+    token_vecs: np.ndarray, spans: np.ndarray, num_width_buckets: int = 10
+) -> np.ndarray:
+    """M2 span representation (dygie.py:74-89, :218:
+    ``EndpointSpanExtractor`` with a width embedding): per span, the
+    concatenation of
+
+    * start-endpoint vector, end-endpoint vector (x,y of the extractor),
+    * the span-interior mean (uniform-attention stand-in for the learned
+      ``SelfAttentiveSpanExtractor`` head — swap in real attention weights
+      with a trained model),
+    * a one-hot width-bucket feature (the ``span_width_embedding`` slot).
+
+    Runs inside the Arrow kernel on numpy arrays — this is the
+    representation a :class:`TransformerScorer` feeds its FFNN heads; the
+    rule/replay scorers bypass it because their logits are planted.
+    Output: (S, 3*d + num_width_buckets) float64.
+    """
+    S = spans.shape[0]
+    d = token_vecs.shape[1] if token_vecs.ndim == 2 else 0
+    out = np.zeros((S, 3 * d + num_width_buckets), dtype=np.float64)
+    for s_ix in range(S):
+        s, e = int(spans[s_ix, 0]), int(spans[s_ix, 1])
+        out[s_ix, :d] = token_vecs[s]
+        out[s_ix, d: 2 * d] = token_vecs[e]
+        out[s_ix, 2 * d: 3 * d] = token_vecs[s: e + 1].mean(axis=0)
+        out[s_ix, 3 * d + bucket_width(e - s + 1, num_total=num_width_buckets)] = 1.0
+    return out
+
+
 class Scorer:
     """Interface. ``spans`` is an (S, 2) int array; logits are numpy."""
 

@@ -183,6 +183,85 @@ def read_dygie_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_dygie_jsonl(turns: DataFrame, path: str, dataset: str = "transcript") -> None:
+    """S2 JSONL sink (``Dataset.to_jsonl``, document.py:88-92 /
+    predictor ``dump_line`` dygie/predictors/dygie.py:37-39): reassemble
+    turn rows into one DyGIE-format document per conversation
+    (``doc_key`` + ``sentences`` token lists) and write JSON lines.
+
+    One aggregation (map-side combinable collect_list) + JVM-side
+    ``to_json`` serialization — no Python in the path. Round-trips through
+    :func:`read_dygie_jsonl` (tested)."""
+    import pyspark.sql.functions as F
+
+    docs = (
+        turns.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_t")
+        )
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("conv_id").alias("doc_key"),
+                    F.lit(dataset).alias("dataset"),
+                    F.transform(
+                        F.col("_t"),
+                        lambda t: F.filter(
+                            F.split(t["text"], " "), lambda x: x != ""
+                        ),
+                    ).alias("sentences"),
+                )
+            ).alias("value")
+        )
+    )
+    docs.write.mode("overwrite").text(path)
+
+
+#: P1 field whitelist (document.py:143-156 ``Document._check_fields``):
+#: known annotation fields, their predicted_* counterparts, or
+#: underscore-prefixed metadata
+ALLOWED_FIELDS = (
+    "doc_key",
+    "dataset",
+    "sentences",
+    "weight",
+    "ner",
+    "relations",
+    "clusters",
+    "events",
+    "sentence_starts",
+    "predicted_ner",
+    "predicted_relations",
+    "predicted_clusters",
+    "predicted_events",
+)
+
+
+def check_fields(spark: SparkSession, path: str) -> DataFrame:
+    """P1: distributed field-whitelist validation. Returns one row
+    (doc_key, bad_field) per unknown non-underscore-prefixed field — empty
+    output means the corpus passes the reference's ``_check_fields`` gate
+    (document.py:143-156: unknown fields must be ``_``-metadata).
+    mapInPandas over the raw lines, same scan shape as read_dygie_jsonl."""
+    raw = spark.read.text(path)
+    allowed = set(ALLOWED_FIELDS)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                if not line.strip():
+                    continue
+                doc = json.loads(line)
+                key = doc.get("doc_key", "<missing doc_key>")
+                for fieldname in doc:
+                    if fieldname not in allowed and not fieldname.startswith("_"):
+                        rows.append((key, fieldname))
+            yield pd.DataFrame(rows, columns=["doc_key", "bad_field"])
+
+    return raw.mapInPandas(scan, "doc_key string, bad_field string")
+
+
 def write_triples_tsv(df: DataFrame, path: str) -> None:
     """S3 TSV triple sink (predict.py:36-42 column order)."""
     df.select("conv_id", "sent_text", "arg0", "arg1", "label", "conf").write.mode(

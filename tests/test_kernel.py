@@ -294,3 +294,54 @@ def test_coref_rule_scorer_antecedent_is_nearest_previous():
     assert ix[i0, 0] == -1 and sc[i0, 0] == 0.0
     assert ix[i2, 0] == i0 and sc[i2, 0] == 1.0
     assert ix[i3, 0] == i2  # nearest previous, not first
+
+
+# --------------------------------------------------------------------------
+# S2 JSONL sink roundtrip + P1 field whitelist + M2 span representation
+# --------------------------------------------------------------------------
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    src = J.turns_from_jsonl(spark, SCIERC_FIXTURE).select(
+        "conv_id", "turn_idx", "text"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    J.write_dygie_jsonl(
+        J.turns_from_jsonl(spark, SCIERC_FIXTURE), out
+    )
+    back = J.read_dygie_jsonl(spark, out + "/part-*").select(
+        "conv_id", "turn_idx", "text"
+    )
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_check_fields_whitelist(spark, tmp_path):
+    import json as _json
+
+    good = {"doc_key": "a", "dataset": "x", "sentences": [["hi"]],
+            "_meta": {"ok": 1}, "predicted_ner": []}
+    bad = {"doc_key": "b", "sentences": [["yo"]], "rogue_field": 1,
+           "another_bad": 2}
+    p = tmp_path / "docs.jsonl"
+    p.write_text(_json.dumps(good) + "\n" + _json.dumps(bad) + "\n")
+    rows = {(r["doc_key"], r["bad_field"])
+            for r in J.check_fields(spark, str(p)).collect()}
+    assert rows == {("b", "rogue_field"), ("b", "another_bad")}
+
+
+def test_span_representation_shape_and_features():
+    from dygiepp_spark.kernels.scorer import bucket_width, span_representation
+
+    vecs = np.arange(12, dtype=np.float64).reshape(4, 3)  # 4 tokens, d=3
+    spans = np.array([[0, 0], [0, 2], [1, 3]])
+    rep = span_representation(vecs, spans)
+    assert rep.shape == (3, 3 * 3 + 10)
+    # endpoints
+    assert np.allclose(rep[1, :3], vecs[0]) and np.allclose(rep[1, 3:6], vecs[2])
+    # interior mean
+    assert np.allclose(rep[1, 6:9], vecs[0:3].mean(axis=0))
+    # width one-hot: width 3 -> bucket 3 (identity range)
+    assert rep[1, 9 + bucket_width(3)] == 1.0 and rep[1, 9:].sum() == 1.0
+    # bucketing: identity below 4, log2 buckets above, clamped
+    assert [bucket_width(w) for w in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert bucket_width(8) == int(np.floor(np.log2(8))) + 2
+    assert bucket_width(10 ** 6) == 9
