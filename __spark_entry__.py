@@ -258,6 +258,13 @@ def q_micro_prf(spark, sf_dir):
     return KE.micro_prf(EX.emit_triples(turns), KE.gold_triples(turns))
 
 
+def q_micro_prf_namespaced(spark, sf_dir):
+    """G6 namespace averaging: per-shard micro P/R/F1 + __mean__ row
+    (dygie.py:139-158 namespaces; shard = conv_id % 3 stand-in)."""
+    turns = _turns(spark, sf_dir)
+    return KE.micro_prf_by_namespace(EX.emit_triples(turns), KE.gold_triples(turns))
+
+
 def q_gold_transitive(spark, sf_dir):
     return KE.transitive_closure(KE.gold_triples(_turns(spark, sf_dir)), rounds=2)
 
@@ -541,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_head": q_ie_eval_head,
         "ie_span_eval": q_ie_span_eval,
         "micro_prf": q_micro_prf,
+        "micro_prf_namespaced": q_micro_prf_namespaced,
         "gold_transitive": q_gold_transitive,
         "triples_topk": q_triples_topk,
         "best_label_per_pair": q_best_label_per_pair,
@@ -612,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "ie_eval_head": oracles_kg.ie_eval_head_oracle(),
         "ie_span_eval": oracles_kg.ie_span_eval_oracle(),
         "micro_prf": oracles_kg.micro_prf_oracle(),
+        "micro_prf_namespaced": oracles_kg.micro_prf_namespaced_oracle(),
         "gold_transitive": oracles_kg.gold_transitive_oracle(rounds=2),
         "triples_topk": oracles_kg.triples_topk_oracle(k=50),
         "best_label_per_pair": oracles_kg.best_label_per_pair_oracle(),

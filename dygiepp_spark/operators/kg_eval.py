@@ -381,6 +381,65 @@ def micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def micro_prf_by_namespace(
+    pred: DataFrame, gold: DataFrame, n_namespaces: int = 3
+) -> DataFrame:
+    """G6 namespace averaging (dygie.py:139-158 label namespaces;
+    ``get_metrics``'s per-namespace scores + their mean): per-namespace
+    micro P/R/F1 rows plus a ``__mean__`` row averaging the F-scores.
+
+    The transcript corpus is single-dataset, so the namespace is a
+    deterministic conversation shard (``conv_id % n``) — the stand-in for
+    the reference's per-dataset label namespaces; swap the shard column
+    for a real ``dataset`` column when one exists.
+
+    All counts are integer aggregates; the mean row is folded in FIXED
+    namespace order (left-associated sum over ns = 0..n-1), so the double
+    is reproducible bit-for-bit in any engine.
+    """
+    ns = (F.col("conv_id").cast("bigint") % n_namespaces).alias("namespace")
+    key = ["conv_id", "arg0", "arg1", "label"]
+    p = pred.select(ns, *key).distinct().localCheckpoint(eager=False)
+    g = gold.select(ns, *key).distinct().localCheckpoint(eager=False)
+    tp = (
+        p.join(g, ["namespace", *key])
+        .groupBy("namespace")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    np_ = p.groupBy("namespace").agg(F.count(F.lit(1)).alias("n_pred"))
+    ng_ = g.groupBy("namespace").agg(F.count(F.lit(1)).alias("n_gold"))
+    per_ns_rows = sorted(
+        np_.join(ng_, "namespace", "full_outer")
+        .join(tp, "namespace", "left")
+        .fillna(0, ["n_pred", "n_gold", "tp"])
+        .collect(),
+        key=lambda r: r["namespace"],
+    )
+
+    def prf(tp_, n_p, n_g):
+        prec = tp_ / max(n_p, 1)
+        rec = tp_ / max(n_g, 1)
+        f1 = 2.0 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        return prec, rec, f1
+
+    out = []
+    acc_p = acc_r = acc_f = 0.0
+    for r in per_ns_rows:
+        prec, rec, f1 = prf(r["tp"], r["n_pred"], r["n_gold"])
+        out.append(
+            (str(r["namespace"]), r["n_pred"], r["n_gold"], r["tp"], prec, rec, f1)
+        )
+        acc_p, acc_r, acc_f = acc_p + prec, acc_r + rec, acc_f + f1
+    k = max(len(per_ns_rows), 1)
+    out.append(("__mean__", None, None, None, acc_p / k, acc_r / k, acc_f / k))
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        out,
+        "namespace string, n_pred bigint, n_gold bigint, tp bigint, "
+        "precision double, recall double, f1 double",
+    )
+
+
 # --------------------------------------------------------------------------
 # K5 event-tuple eval + G4 argument multiplicity
 # --------------------------------------------------------------------------

@@ -119,6 +119,48 @@ JOIN np ON np.conv_id = pair.conv_id AND np.pc = pair.pc
 JOIN ng ON ng.conv_id = pair.conv_id AND ng.gc = pair.gc"""
 
 
+def micro_prf_namespaced_oracle(n_namespaces: int = 3) -> str:
+    """G6 twin: per-namespace micro P/R/F1 + fixed-order __mean__ row
+    (left-associated fold over ns = 0..n-1 matching the Python fold)."""
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(n_pred, 1) AS DOUBLE)"
+    rec = "CAST(tp AS DOUBLE) / CAST(greatest(n_gold, 1) AS DOUBLE)"
+    f1 = (
+        f"CASE WHEN ({prec}) + ({rec}) > 0 "
+        f"THEN 2.0 * ({prec}) * ({rec}) / (({prec}) + ({rec})) "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+    def fold(col: str) -> str:
+        expr = f"(SELECT {col} FROM rows WHERE namespace = '0')"
+        for i in range(1, n_namespaces):
+            expr = f"({expr} + (SELECT {col} FROM rows WHERE namespace = '{i}'))"
+        return f"{expr} / {float(n_namespaces)}"
+
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+p2 AS (SELECT DISTINCT CAST(conv_id AS BIGINT) % {n_namespaces} AS ns,
+              conv_id, arg0, arg1, label FROM triples),
+g2 AS (SELECT DISTINCT CAST(conv_id AS BIGINT) % {n_namespaces} AS ns,
+              conv_id, arg0, arg1, label FROM gold),
+np2 AS (SELECT ns, count(*) AS n_pred FROM p2 GROUP BY ns),
+ng2 AS (SELECT ns, count(*) AS n_gold FROM g2 GROUP BY ns),
+tp2 AS (SELECT p2.ns AS ns, count(*) AS tp
+        FROM p2 JOIN g2 USING (ns, conv_id, arg0, arg1, label) GROUP BY p2.ns),
+rows AS MATERIALIZED (
+    SELECT CAST(coalesce(np2.ns, ng2.ns) AS VARCHAR) AS namespace,
+           CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(coalesce(n_gold, 0) AS BIGINT) AS n_gold,
+           CAST(coalesce(tp, 0) AS BIGINT) AS tp
+    FROM np2 FULL JOIN ng2 ON np2.ns = ng2.ns
+    LEFT JOIN tp2 ON tp2.ns = coalesce(np2.ns, ng2.ns)
+)
+SELECT namespace, n_pred, n_gold, tp,
+       {prec} AS precision, {rec} AS recall, {f1} AS f1
+FROM rows
+UNION ALL
+SELECT '__mean__', NULL, NULL, NULL,
+       {fold(prec)}, {fold(rec)}, {fold(f1)}"""
+
+
 def baseline_allpairs_oracle() -> str:
     """K9 allpairs_base twin: every ordered same-sentence mention pair."""
     return f"""{_BASE}
