@@ -306,8 +306,14 @@ def ie_eval(
     )
     matches = p.join(g, on=cond)
 
-    tp = matches.select("p.conv_id", "p.arg0", "p.arg1").distinct().count()
-    tp_recall = matches.select("g.conv_id", "g.arg0", "g.arg1").distinct().count()
+    # ONE job over the (possibly expensive, fuzzy-predicate) match join
+    # for both distinct counts — two separate .count() actions would run
+    # the join twice
+    tp_row = matches.agg(
+        F.count_distinct("p.conv_id", "p.arg0", "p.arg1").alias("tp"),
+        F.count_distinct("g.conv_id", "g.arg0", "g.arg1").alias("tp_recall"),
+    ).collect()[0]
+    tp, tp_recall = tp_row["tp"], tp_row["tp_recall"]
     n_pred = pred.select("conv_id", "arg0", "arg1").distinct().count()
     n_gold = g.distinct().count()
 
