@@ -84,3 +84,70 @@ def test_emit_triples_matches_python_model(sess, corpus):
     }
     want = python_model_triples(corpus)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round-2 property tests (pure-python kernels)
+# --------------------------------------------------------------------------
+
+@given(
+    a=st.lists(st.sampled_from("abcde"), max_size=7),
+    b=st.lists(st.sampled_from("abcde"), max_size=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_rouge_lcs_property(a, b):
+    """_rouge_l_f_py's DP LCS equals the brute-force subsequence maximum,
+    and the F formula is symmetric in its inputs only through P/R."""
+    import itertools
+
+    from dygiepp_spark.operators.kg_eval import _rouge_l_f_py
+
+    def brute_lcs(x, y):
+        best = 0
+        for r in range(len(x), 0, -1):
+            for sub in itertools.combinations(x, r):
+                it = iter(y)
+                if all(tok in it for tok in sub):
+                    return r
+        return best
+
+    sa, sb = " ".join(a), " ".join(b)
+    got = _rouge_l_f_py(sa, sb)
+    if not a or not b:
+        assert got == 0.0
+        return
+    llcs = brute_lcs(a, b)
+    p, r = llcs / len(a), llcs / len(b)
+    beta = p / (r + 1e-12)
+    expect = ((1 + beta**2) * r * p) / ((r + beta**2 * p) + 1e-8)
+    assert got == expect
+
+
+@given(
+    w=st.lists(
+        st.lists(st.fractions(min_value=0, max_value=3), min_size=1, max_size=4),
+        min_size=1,
+        max_size=4,
+    ).filter(lambda rows: len({len(r) for r in rows}) == 1)
+)
+@settings(max_examples=150, deadline=None)
+def test_hungarian_optimality_property(w):
+    """Exact Kuhn-Munkres total equals the brute-force permutation max."""
+    import itertools
+    from fractions import Fraction
+
+    from dygiepp_spark.kernels.assignment import max_weight_assignment
+
+    got = max_weight_assignment(w)
+    got_total = sum((w[i][j] for i, j in got), Fraction(0))
+    n_r, n_c = len(w), len(w[0])
+    best = Fraction(0)
+    for r_sel in range(min(n_r, n_c), -1, -1):
+        for rows in itertools.combinations(range(n_r), r_sel):
+            for perm in itertools.permutations(range(n_c), r_sel):
+                t = sum((w[i][j] for i, j in zip(rows, perm)), Fraction(0))
+                best = max(best, t)
+    assert got_total == best
+    # validity: one-to-one
+    assert len({i for i, _ in got}) == len(got)
+    assert len({j for _, j in got}) == len(got)
