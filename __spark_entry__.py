@@ -515,6 +515,22 @@ def q_streaming_assembly(spark, sf_dir):
     )
 
 
+def q_streaming_windowed(spark, sf_dir):
+    """Event-time windowed mention counts with a watermark: the streaming
+    drain (plus one horizon sentinel that closes the trailing windows)
+    must equal the batch rollup — the oracle is the batch SQL."""
+    base = f"/root/repo/.tmp/stream_win_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    TT.turns_from_documents(spark, sf_dir, with_ts=True).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    ST.run_windowed_stream(spark, in_dir, out_dir, ckpt)
+    return _consume_and_remove(
+        spark.read.parquet(out_dir).select("window_start", "surface", "n"), base
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction core
@@ -587,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming
         "streaming_mentions": q_streaming_mentions,
         "streaming_assembly": q_streaming_assembly,
+        "streaming_windowed": q_streaming_windowed,
     }
 
 
@@ -653,4 +670,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_samples": oracles_data.frame_samples_oracle(),
         "streaming_mentions": oracles.mentions_oracle(),
         "streaming_assembly": oracles.doc_assembly_oracle(),
+        "streaming_windowed": oracles.windowed_mention_counts_oracle(),
     }

@@ -159,6 +159,25 @@ SELECT DISTINCT p.conv_id AS conv_id, t.text AS sent_text, p.arg0, p.arg1, p.lab
 FROM pairs p JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx"""
 
 
+def windowed_mention_counts_oracle(window_sec: int = 60) -> str:
+    """Twin of streaming.windowed_mention_counts after a full drain (the
+    sentinel horizon closes every real window, so the streaming result
+    equals the batch rollup): per 60s event-time bucket, per entity
+    surface, the mention count. time_bucket and Spark's window() both
+    align to whole minutes here (base ts is minute-aligned)."""
+    return f"""WITH {TURNS_SQL.strip()},
+tok AS (
+    SELECT TIMESTAMP '2024-01-01 00:00:00' + turn_idx * INTERVAL 1 SECOND AS ts,
+           unnest(string_split(text, ' ')) AS token
+    FROM turns
+)
+SELECT time_bucket(INTERVAL {window_sec} SECONDS, ts) AS window_start,
+       token AS surface, count(*) AS n
+FROM tok
+WHERE token IN ({_ENTS})
+GROUP BY 1, 2"""
+
+
 def triples_set_corefprop_oracle() -> str:
     """Kernel path with coref_prop=1 under CorefRuleScorer: the relation
     beam ranks mentions by the PROPAGATED score

@@ -119,6 +119,84 @@ def run_triples_stream(
 
 
 # --------------------------------------------------------------------------
+# event-time windowed aggregation with a watermark (late data)
+# --------------------------------------------------------------------------
+
+#: turn stream schema WITH the event-time column
+TURNS_TS_SCHEMA = T.StructType(
+    TURNS_STREAM_SCHEMA.fields + [T.StructField("ts", T.TimestampType(), True)]
+)
+
+
+def windowed_mention_counts(
+    turns_stream: DataFrame, window_sec: int = 60, watermark_sec: int = 120
+) -> DataFrame:
+    """Event-time tumbling-window mention counts with a watermark — the
+    canonical streaming rollup for late-arriving transcript turns.
+
+    The watermark is attached to the TURN stream (before any filtering),
+    so every arriving turn advances event time; mention detection and the
+    per-(window, surface) count run downstream. Append mode emits a window
+    only once the watermark passes its end; rows later than
+    ``watermark_sec`` behind the max seen event time are dropped by the
+    state store — the documented at-most-late bound.
+    """
+    from dygiepp_spark.tables import ENTITY_VOCAB
+
+    marked = turns_stream.withWatermark("ts", f"{watermark_sec} seconds")
+    toks = marked.select(
+        "ts", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token").isin(*ENTITY_VOCAB))
+    return (
+        toks.groupBy(
+            F.window("ts", f"{window_sec} seconds").alias("w"), "token"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("token").alias("surface"),
+            "n",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    horizon_ts: str = "2024-06-01 00:00:00",
+) -> None:
+    """Drain the turn drop dir through the windowed rollup, then advance
+    the watermark past every real window with one far-future sentinel turn
+    (no mention tokens, so it adds no counts) and drain again — append
+    mode otherwise withholds the trailing open windows forever on a
+    bounded corpus. Two availableNow runs over one checkpoint."""
+
+    def drain():
+        src = (
+            spark.readStream.schema(TURNS_TS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(input_dir)
+        )
+        q = (
+            windowed_mention_counts(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    sentinel = spark.createDataFrame(
+        [("__horizon__", 0, "system", "eof", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit(horizon_ts).cast("timestamp"))
+    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    drain()
+
+
+# --------------------------------------------------------------------------
 # stateful doc assembly (conversations straddling micro-batches)
 # --------------------------------------------------------------------------
 

@@ -109,3 +109,39 @@ def test_stateful_assembly_equals_batch(spark, sf_dir, tmp_path):
     want = DA.assemble_documents(turns).select("conv_id", "n_turns", "doc_text")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_windowed_watermark_drops_late_rows(spark, tmp_path):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def turn(conv, idx, text, ts):
+        return spark.createDataFrame(
+            [(conv, idx, "u", text, None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).withColumn("ts", F.lit(ts).cast("timestamp"))
+
+    # batch 1: one mention in the 00:00 window, plus a row far ahead that
+    # advances the watermark (2-min delay) beyond the 00:00 window's end
+    turn("c1", 0, "spark", "2024-01-01 00:00:10").unionByName(
+        turn("c2", 0, "beta", "2024-01-01 00:10:00")
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    ST.run_windowed_stream(spark, in_dir, out_dir, ckpt)
+
+    # batch 2: a LATE mention for the long-closed 00:00 window -> must be
+    # dropped by the watermark, not resurrect the emitted window
+    turn("c3", 0, "spark", "2024-01-01 00:00:30").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    ST.run_windowed_stream(spark, in_dir, out_dir, ckpt)
+
+    rows = [
+        (r["window_start"].isoformat(), r["surface"], r["n"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert ("2024-01-01T00:00:00", "spark", 1) in rows
+    # the late row did not produce a second emission for the same window
+    assert sum(1 for w, s, _ in rows if s == "spark" and w == "2024-01-01T00:00:00") == 1
+    total_spark = sum(n for w, s, n in rows if s == "spark")
+    assert total_spark == 1  # late mention dropped
