@@ -230,6 +230,22 @@ def q_ie_eval_topk(spark, sf_dir):
     )
 
 
+def q_ie_eval_coref_expand(spark, sf_dir):
+    """K2 coref/alias-expanded matching (read_coref_matches,
+    eval_utils.py:265-287): gold is written in deterministic shorthand
+    (vowels stripped), so exact matching finds nothing and only the alias
+    expansion recovers the pairs."""
+    turns = _turns(spark, sf_dir)
+    gold = (
+        KE.gold_triples(turns)
+        .withColumn("arg0", F.regexp_replace("arg0", "[aeiou]", ""))
+        .withColumn("arg1", F.regexp_replace("arg1", "[aeiou]", ""))
+    )
+    return KE.ie_eval(
+        EX.emit_triples(turns), gold, "exact", aliases=TT.alias_pairs(spark)
+    )
+
+
 def q_ie_eval_rouge(spark, sf_dir):
     """K1 'rouge' (eval_utils.py:227-232): rouge-L f > 0.3 under the
     pltrdy/rouge formula, vs context-widened gold spans."""
@@ -561,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_reverse": q_ie_eval_reverse,
         "ie_eval_topk": q_ie_eval_topk,
         "ie_eval_rouge": q_ie_eval_rouge,
+        "ie_eval_coref_expand": q_ie_eval_coref_expand,
         "ie_eval_head": q_ie_eval_head,
         "ie_span_eval": q_ie_span_eval,
         "micro_prf": q_micro_prf,
@@ -634,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "ie_eval_reverse": oracles_kg.ie_eval_reverse_oracle(),
         "ie_eval_topk": oracles_kg.ie_eval_topk_oracle(k=500),
         "ie_eval_rouge": oracles_kg.ie_eval_rouge_oracle(),
+        "ie_eval_coref_expand": oracles_kg.ie_eval_coref_expand_oracle(),
         "ie_eval_head": oracles_kg.ie_eval_head_oracle(),
         "ie_span_eval": oracles_kg.ie_span_eval_oracle(),
         "micro_prf": oracles_kg.micro_prf_oracle(),

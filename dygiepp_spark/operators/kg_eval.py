@@ -265,6 +265,7 @@ def ie_eval(
     topk: int | None = None,
     consider_reverse: bool = False,
     reverse_labels: list[str] | None = None,
+    aliases: DataFrame | None = None,
 ) -> DataFrame:
     """K3: global P/R/F1 of predicted triples vs gold (eval_utils.py:753-863).
 
@@ -299,11 +300,56 @@ def ie_eval(
     gold = gold.select("conv_id", "arg0", "arg1", "label").localCheckpoint(
         eager=False
     )
-    p = pred.alias("p")
+    if aliases is not None:
+        # K2 coref/alias expansion (eval_utils.py:265-287
+        # ``read_coref_matches`` + the alias loops in relation_matching):
+        # try every alias variant of each PRED argument; tp/n_pred still
+        # count the ORIGINAL pred keys. The alias dim is tiny -> two
+        # broadcast joins, no extra shuffle; unknown surfaces fall back to
+        # themselves via the left join + coalesce.
+        a0 = F.broadcast(
+            aliases.select(
+                F.col("name").alias("arg0"), F.col("variant").alias("_v0")
+            )
+        )
+        a1 = F.broadcast(
+            aliases.select(
+                F.col("name").alias("arg1"), F.col("variant").alias("_v1")
+            )
+        )
+        p_exp = (
+            pred.join(a0, "arg0", "left")
+            .join(a1, "arg1", "left")
+            .select(
+                "conv_id",
+                "arg0",
+                "arg1",
+                "label",
+                F.coalesce(F.col("_v0"), F.col("arg0")).alias("_m0"),
+                F.coalesce(F.col("_v1"), F.col("arg1")).alias("_m1"),
+            )
+        )
+    else:
+        p_exp = pred.select(
+            "conv_id", "arg0", "arg1", "label",
+            F.col("arg0").alias("_m0"), F.col("arg1").alias("_m1"),
+        )
+    p = p_exp.alias("p")
     g = gold.alias("g")
-    cond = relation_match_cond(
-        metric, consider_reverse=consider_reverse, reverse_labels=reverse_labels
-    )
+    m = _METRICS[metric]
+    fwd = m(F.col("p._m0"), F.col("g.arg0")) & m(F.col("p._m1"), F.col("g.arg1"))
+    if consider_reverse:
+        rev = m(F.col("p._m0"), F.col("g.arg1")) & m(F.col("p._m1"), F.col("g.arg0"))
+        if reverse_labels is not None:
+            rev = rev & F.col("p.label").isin(*reverse_labels)
+        arg_match = fwd | rev
+    else:
+        arg_match = fwd
+    cond = [
+        F.col("p.conv_id") == F.col("g.conv_id"),
+        arg_match,
+        F.col("p.label") == F.col("g.label"),
+    ]
     matches = p.join(g, on=cond)
 
     # ONE job over the (possibly expensive, fuzzy-predicate) match join

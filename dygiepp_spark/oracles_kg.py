@@ -119,6 +119,50 @@ JOIN np ON np.conv_id = pair.conv_id AND np.pc = pair.pc
 JOIN ng ON ng.conv_id = pair.conv_id AND ng.gc = pair.gc"""
 
 
+def ie_eval_coref_expand_oracle() -> str:
+    """K2 coref/alias expansion twin: pred args try every alias variant
+    (the shorthand dimension of tables.ALIAS_SQL); gold is written in
+    shorthand, so plain exact matching scores 0 and only the expansion
+    finds the pairs. tp/n_pred count ORIGINAL pred keys."""
+    from dygiepp_spark.tables import ALIAS_SQL
+
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(n_pred, 1) AS DOUBLE)"
+    rec = "CAST(tp_recall AS DOUBLE) / CAST(greatest(n_gold, 1) AS DOUBLE)"
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()} , {ALIAS_SQL},
+gold_sh AS (
+    SELECT conv_id, regexp_replace(arg0, '[aeiou]', '', 'g') AS arg0,
+           regexp_replace(arg1, '[aeiou]', '', 'g') AS arg1, label
+    FROM gold
+),
+pv AS (
+    SELECT p.conv_id, p.arg0, p.arg1, p.label,
+           coalesce(a0.variant, p.arg0) AS m0,
+           coalesce(a1.variant, p.arg1) AS m1
+    FROM (SELECT DISTINCT conv_id, arg0, arg1, label FROM triples) p
+    LEFT JOIN al a0 ON a0.name = p.arg0
+    LEFT JOIN al a1 ON a1.name = p.arg1
+),
+m AS (
+    SELECT p.conv_id AS pc, p.arg0 AS pa0, p.arg1 AS pa1,
+           g.conv_id AS gc, g.arg0 AS ga0, g.arg1 AS ga1
+    FROM pv p JOIN gold_sh g ON p.conv_id = g.conv_id AND p.label = g.label
+        AND lower(trim(p.m0)) = lower(trim(g.arg0))
+        AND lower(trim(p.m1)) = lower(trim(g.arg1))
+),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM (SELECT DISTINCT conv_id, arg0, arg1 FROM triples)) AS n_pred,
+      (SELECT count(*) FROM (SELECT DISTINCT conv_id, arg0, arg1, label FROM gold_sh)) AS n_gold,
+      (SELECT count(*) FROM (SELECT DISTINCT pc, pa0, pa1 FROM m)) AS tp,
+      (SELECT count(*) FROM (SELECT DISTINCT gc, ga0, ga1 FROM m)) AS tp_recall
+)
+SELECT n_pred, n_gold, tp, tp_recall,
+       {prec} AS precision,
+       {rec} AS recall,
+       {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
+
+
 def micro_prf_namespaced_oracle(n_namespaces: int = 3) -> str:
     """G6 twin: per-namespace micro P/R/F1 + fixed-order __mean__ row
     (left-associated fold over ns = 0..n-1 matching the Python fold)."""

@@ -300,6 +300,43 @@ def entity_dict(spark: SparkSession) -> DataFrame:
     )
 
 
+def _devowel(w: str) -> str:
+    return "".join(c for c in w if c not in "aeiou") or w
+
+
+def alias_pairs(spark: SparkSession) -> DataFrame:
+    """Coref/alias dimension for K2 alias-expanded matching
+    (eval_utils.py:265-287 ``read_coref_matches``): every entity surface
+    is linked to a deterministic shorthand variant (vowels stripped —
+    'spark' ~ 'sprk'), both directions plus identities. The reference
+    reads these alias groups from the coref model's TSV; here the table is
+    derived so both engines reconstruct it identically. Tiny — always
+    broadcast."""
+    rows = []
+    for w in ENTITY_VOCAB:
+        v = _devowel(w)
+        variants = {w, v}
+        for a in variants:
+            for b in variants:
+                rows.append((a, b))
+    return spark.createDataFrame(sorted(set(rows)), "name string, variant string")
+
+
+#: DuckDB twin of alias_pairs()
+def _alias_sql() -> str:
+    rows = set()
+    for w in ENTITY_VOCAB:
+        v = _devowel(w)
+        for a in {w, v}:
+            for b in {w, v}:
+                rows.add((a, b))
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in sorted(rows))
+    return f"al AS (SELECT * FROM (VALUES {vals}) AS t(name, variant))"
+
+
+ALIAS_SQL = _alias_sql()
+
+
 #: DuckDB twin of entity_dict()
 ENTITY_DICT_SQL = (
     "entity_dict AS (SELECT * FROM (VALUES "

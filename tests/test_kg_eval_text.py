@@ -344,3 +344,26 @@ def test_greedy_match_equals_sequential_scan(spark):
         for r in KE.greedy_match(pred, gold, "substring").collect()
     }
     assert got == expect
+
+
+def test_ie_eval_alias_expansion_recovers_shorthand(spark):
+    from dygiepp_spark import tables as TT
+
+    p = _triples(spark, [("c1", "spark", "table", "R", 1.0)])
+    g = _triples(spark, [("c1", "sprk", "tbl", "R", 1.0)])  # shorthand gold
+    plain = KE.ie_eval(p, g, "exact").collect()[0]
+    expanded = KE.ie_eval(
+        p, g, "exact", aliases=TT.alias_pairs(spark)
+    ).collect()[0]
+    assert plain["tp"] == 0 and expanded["tp"] == 1
+    # counts stay in ORIGINAL pred-key space despite the variant fan-out
+    assert expanded["n_pred"] == 1 and expanded["n_gold"] == 1
+
+
+def test_ie_eval_alias_unknown_surface_falls_back_to_itself(spark):
+    from dygiepp_spark import tables as TT
+
+    p = _triples(spark, [("c1", "zzz", "qqq", "R", 1.0)])
+    g = _triples(spark, [("c1", "zzz", "qqq", "R", 1.0)])
+    out = KE.ie_eval(p, g, "exact", aliases=TT.alias_pairs(spark)).collect()[0]
+    assert out["tp"] == 1
