@@ -249,8 +249,26 @@ def jaccard_verify(
 
     The shingle-join key is (id_b, shingle) — uniform by construction
     (shingles are distinct per id), so no skew.
+
+    Length-ratio prefilter (the PPJoin length filter): J(A,B) <=
+    min(|A|,|B|) / max(|A|,|B|), so candidate pairs whose size ratio is
+    below ``thresh`` can NEVER verify — they are cut with two cheap
+    joins against the per-id counts BEFORE their shingles are exploded
+    into the pair join. Provably output-identical; on the template-heavy
+    synthetic corpus it removes a large share of the LSH candidate set.
     """
     counts = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pre_a = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("_na"))
+    pre_b = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    candidates = (
+        candidates.join(pre_a, "id_a")
+        .join(pre_b, "id_b")
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(thresh) * F.greatest("_na", "_nb").cast("double")
+        )
+        .select("id_a", "id_b")
+    )
     a_sh = candidates.join(shingled.withColumnRenamed("id", "id_a"), "id_a")
     inter = (
         a_sh.join(
