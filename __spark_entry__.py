@@ -541,7 +541,9 @@ def q_streaming_windowed(spark, sf_dir):
     TT.turns_from_documents(spark, sf_dir, with_ts=True).write.mode(
         "overwrite"
     ).parquet(in_dir)
-    ST.run_windowed_stream(spark, in_dir, out_dir, ckpt)
+    # 4s windows: the derived corpus spans only ~8s of event time (1s per
+    # turn), so production-scale 60s windows would collapse to one bucket
+    ST.run_windowed_stream(spark, in_dir, out_dir, ckpt, window_sec=4)
     return _consume_and_remove(
         spark.read.parquet(out_dir).select("window_start", "surface", "n"), base
     )
@@ -688,5 +690,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_samples": oracles_data.frame_samples_oracle(),
         "streaming_mentions": oracles.mentions_oracle(),
         "streaming_assembly": oracles.doc_assembly_oracle(),
-        "streaming_windowed": oracles.windowed_mention_counts_oracle(),
+        "streaming_windowed": oracles.windowed_mention_counts_oracle(window_sec=4),
     }

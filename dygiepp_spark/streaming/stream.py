@@ -162,7 +162,8 @@ def windowed_mention_counts(
 
 def run_windowed_stream(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
-    horizon_ts: str = "2024-06-01 00:00:00",
+    horizon_ts: str = "2024-06-01 00:00:00", window_sec: int = 60,
+    watermark_sec: int = 120,
 ) -> None:
     """Drain the turn drop dir through the windowed rollup, then advance
     the watermark past every real window with one far-future sentinel turn
@@ -177,7 +178,7 @@ def run_windowed_stream(
             .parquet(input_dir)
         )
         q = (
-            windowed_mention_counts(src)
+            windowed_mention_counts(src, window_sec, watermark_sec)
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", checkpoint_dir)
