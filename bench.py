@@ -84,22 +84,33 @@ def main() -> None:
     # headline = sum of per-query best walls (directly comparable across
     # rounds regardless of BENCH_REPS); harness_wall_sec = raw loop wall
     total = sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "synth_turns": n_turns,
-                "turns_per_sec": round(turns_per_sec, 1),
-                "cpus": cpus,
-                "reps": BENCH_REPS,
-                "harness_wall_sec": round(time.time() - t_total0, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "e2e_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "synth_turns": n_turns,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "cpus": cpus,
+        "reps": BENCH_REPS,
+        "harness_wall_sec": round(time.time() - t_total0, 3),
+    }
+    # carry the north-rule evidence (process-executor N vs 4N protocol,
+    # scripts/scaling.py -> BENCH/BASELINE.md) alongside the timings
+    try:
+        import re
+
+        baseline = open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH", "BASELINE.md")
+        ).read()
+        m = re.search(r"Scaling efficiency = [^=]*= (\d+\.\d+)", baseline)
+        if m:
+            out["scaling_efficiency_n_vs_4n"] = float(m.group(1))
+    except OSError:
+        pass
+    print(json.dumps(out))
 
 
 #: subset of queries() worth timing (skip near-duplicates of these paths)
