@@ -43,15 +43,18 @@ POS = 10.0
 
 
 def bucket_width(width: int, num_identity: int = 4, num_total: int = 10) -> int:
-    """AllenNLP ``util.bucket_values`` semantics for span-width features:
-    identity buckets below ``num_identity``, log2 buckets above, clamped
-    to ``num_total`` buckets."""
+    """AllenNLP ``util.bucket_values``: identity buckets for values BELOW
+    ``num_identity``, else ``floor(log2(v)) + (num_identity - 1)``, clamped
+    to ``num_total`` buckets. (The reference model itself constructs its
+    span-width embedding with ``bucket_widths=False`` — dygie.py:77-79 —
+    i.e. raw widths; this helper exists for the bucketed variant of the
+    extractor and follows the AllenNLP formula exactly.)"""
     import math
 
-    if width <= num_identity:
+    if width < num_identity:
         ix = width
     else:
-        ix = int(math.floor(math.log(width, 2))) + num_identity - 2
+        ix = int(math.floor(math.log(width, 2))) + num_identity - 1
     return max(0, min(ix, num_total - 1))
 
 

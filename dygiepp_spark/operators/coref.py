@@ -449,6 +449,59 @@ def conll_score(pred: DataFrame, gold: DataFrame) -> dict:
     }
 
 
+def mention_recall(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """G5 MentionRecall (imported by the reference next to
+    ConllCorefScores, dygie/models/coref.py:15-16; AllenNLP
+    ``MentionRecall``): the fraction of gold cluster mentions that the
+    predicted clustering also treats as mentions.
+
+    Mentions = spans belonging to a NON-SINGLETON cluster on their side
+    (a cluster in the CoNLL sense has >= 2 members; the band-limited
+    predicted clustering drops long-range links, turning their mentions
+    into singletons — exactly what this metric exists to surface).
+
+    Input frames: (conv_id, mention_ix, cluster_id). Output: one row per
+    conversation that has gold mentions — (conv_id, n_gold, n_recalled,
+    recall) — plus a ``__total__`` row with the corpus-level counts (the
+    AllenNLP accumulator semantics: recalled and total summed over docs,
+    one division at the end).
+
+    Plan: two map-side-combinable size aggregations + one semi-join on
+    (conv_id, mention_ix) + one rollup — all keyed on conv_id.
+    """
+
+    def ns_mentions(df: DataFrame) -> DataFrame:
+        sizes = df.groupBy("conv_id", "cluster_id").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return (
+            df.join(sizes.filter(F.col("_n") >= 2), ["conv_id", "cluster_id"])
+            .select("conv_id", "mention_ix")
+        )
+
+    g = ns_mentions(gold).localCheckpoint(eager=False)
+    p = ns_mentions(pred)
+    flagged = g.join(
+        p.withColumn("_hit", F.lit(1)), ["conv_id", "mention_ix"], "left"
+    )
+    per_conv = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_gold"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_recalled"),
+    ).localCheckpoint(eager=False)
+    total = per_conv.agg(
+        F.lit("__total__").alias("conv_id"),
+        F.sum("n_gold").cast("bigint").alias("n_gold"),
+        F.sum("n_recalled").cast("bigint").alias("n_recalled"),
+    )
+    rec = F.col("n_recalled").cast("double") / F.greatest(
+        F.col("n_gold"), F.lit(1)
+    ).cast("double")
+    return (
+        per_conv.unionByName(total)
+        .select("conv_id", "n_gold", "n_recalled", rec.alias("recall"))
+    )
+
+
 def canonicalize_clusters(clustered: DataFrame) -> DataFrame:
     """K11: exemplar = longest member span; first occurrence breaks ties.
 

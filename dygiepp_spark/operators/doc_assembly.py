@@ -112,6 +112,101 @@ def assign_chunks(turns: DataFrame, max_tokens_per_chunk: int = 500) -> DataFram
     )
 
 
+def split_documents(
+    turns: DataFrame,
+    max_tokens_per_doc: int = 500,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """A4 EXACT ``Document.split`` semantics (document.py:184-236,
+    normalize.py:39-68) — the opt-in precise variant of
+    :func:`assign_chunks` (which keeps the cheap fixed-width window form).
+
+    Reference contract, reproduced exactly:
+
+    * a document whose total token count is <= ``max_tokens_per_doc`` is
+      passed through UNCHANGED — original doc_key, no ``_SPLIT`` suffix
+      (document.py:195-197);
+    * otherwise sentences are grouped GREEDILY in order: a sentence joins
+      the current group iff ``group_length + len(sentence) <= max``, else
+      it starts a new group (:203-226);
+    * split docs get ``doc_key = <orig>_SPLIT_<i>`` (:229) and each
+      sentence's ``sentence_start`` / ``sentence_ix`` are rebased by the
+      ORIGINAL offsets of its group's first sentence (:217-224 — the
+      offsets are captured before the group-starter is itself rebased);
+    * a single sentence longer than ``max`` raises (:206-208);
+    * coreference annotations present -> refuse with NotImplementedError
+      (:191-193).
+
+    The greedy restart-cumsum is inherently sequential per document, so it
+    runs as an Arrow ``applyInPandas`` kernel keyed on conv_id over the
+    narrow (lengths + offsets + text) projection — rows are tiny, and the
+    per-group state is three integers, so even a million-turn conversation
+    is one cheap task (this operator's OUTPUT is what bounds every other
+    per-doc kernel's group size).
+    """
+    if clusters is not None:
+        raise NotImplementedError(
+            "Splitting documents with coreference annotations not implemented."
+        )  # document.py:191-193
+
+    off = with_sentence_offsets(turns).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "n_tokens", "sentence_start",
+    )
+    out_schema = (
+        "doc_key string, conv_id string, orig_turn_idx int, turn_idx int, "
+        "sentence_start int, n_tokens int, role string, text string, tool string"
+    )
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        n_tok = pdf["n_tokens"].to_numpy()
+        starts = pdf["sentence_start"].to_numpy()
+        ixs = pdf["turn_idx"].to_numpy()
+        conv = pdf["conv_id"].iloc[0]
+        too_long = n_tok > max_tokens_per_doc
+        if too_long.any():
+            bad = pdf["text"].iloc[int(too_long.argmax())]
+            raise ValueError(
+                f'Sentence "{bad}" has more than {max_tokens_per_doc} '
+                "tokens. Please split this sentence."
+            )  # document.py:206-208
+        if int(n_tok.sum()) <= max_tokens_per_doc:
+            keys = [conv] * len(pdf)
+            new_ix, new_start = ixs, starts
+        else:
+            keys, new_ix, new_start = [], [], []
+            g, group_len, tok_off, ix_off = 0, 0, 0, 0
+            for i in range(len(pdf)):
+                length = int(n_tok[i])
+                if group_len + length <= max_tokens_per_doc:
+                    group_len += length
+                else:
+                    g += 1
+                    tok_off, ix_off = int(starts[i]), int(ixs[i])
+                    group_len = length
+                keys.append(f"{conv}_SPLIT_{g}")
+                new_ix.append(int(ixs[i]) - ix_off)
+                new_start.append(int(starts[i]) - tok_off)
+        return pd.DataFrame(
+            {
+                "doc_key": keys,
+                "conv_id": pdf["conv_id"],
+                "orig_turn_idx": ixs,
+                "turn_idx": new_ix,
+                "sentence_start": new_start,
+                "n_tokens": n_tok,
+                "role": pdf["role"],
+                "text": pdf["text"],
+                "tool": pdf["tool"],
+            }
+        )
+
+    return off.groupBy("conv_id").applyInPandas(fn, out_schema)
+
+
 def check_dense_turns(turns: DataFrame) -> DataFrame:
     """P6/B1 dense-index validation only (oracle-checkable subset of
     :func:`check_turn_invariant`): conv_ids whose turn_idx sequence is not

@@ -407,6 +407,162 @@ def ie_span_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def eval_grid(
+    pred: DataFrame,
+    gold: DataFrame,
+    metrics: tuple = ("exact", "substring", "rouge"),
+    topks: tuple = (50, 100, 150, 200),
+    topk_metric: str = "substring",
+) -> DataFrame:
+    """The reference's evaluation grid sweep (eval_metric.py:142-214):
+    one job producing the (match_metric x collapse x topK) stats frame
+    that the reference writes to ``stats.tsv`` — relation P/R/F1 per
+    (metric, collapse) cell, span-level P/R/F1 per metric, and P@K cells.
+
+    Efficiency contract (the reason this is ONE operator and not a loop
+    over :func:`ie_eval`): the expensive fuzzy match join runs ONCE per
+    metric — both collapse variants are read off the same join via a
+    label-equality flag (reference semantics: ``collapse`` just sets
+    ``labels=[1,1]``, eval_utils.py:798-800, i.e. drops label equality) —
+    and all four P@K cells are read off ONE ranked join (rank <= k
+    conditional counts). Pred/gold are pinned with localCheckpoint so the
+    upstream extraction runs once, not once per cell.
+
+    Output rows: (kind='rel', metric, collapse, topk=NULL, full counts +
+    P/R/F1), (kind='span', metric, collapse=NULL, ...), (kind='p_at_k',
+    metric=topk_metric, collapse=false, topk=k, precision only — the
+    reference's ``p_at_k`` loop, eval_metric.py:155-163). All joins are
+    conv_id equi-joins; the only global exchange is the distributed
+    k-th-score prefilter feeding the ranked join (bounded at max(topks)
+    rows plus ties).
+    """
+    pred = pred.select(
+        "conv_id", "arg0", "arg1", "label", "conf"
+    ).localCheckpoint(eager=False)
+    gold = gold.select("conv_id", "arg0", "arg1", "label").localCheckpoint(
+        eager=False
+    )
+    p_keys = pred.select("conv_id", "arg0", "arg1").distinct().localCheckpoint(
+        eager=False
+    )
+    n_pred = p_keys.count()
+    n_gold = gold.distinct().count()
+
+    p = pred.select("conv_id", "arg0", "arg1", "label").distinct().alias("p")
+    g = gold.alias("g")
+    rows: list[tuple] = []
+
+    def prf(tp, np_, tpr, ng_):
+        prec = tp / max(np_, 1)
+        rec = tpr / max(ng_, 1)
+        f1 = 2.0 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        return prec, rec, f1
+
+    pk = F.struct("p.conv_id", "p.arg0", "p.arg1")
+    gk = F.struct("g.conv_id", "g.arg0", "g.arg1")
+    for metric in metrics:
+        m = _METRICS[metric]
+        arg_match = m(F.col("p.arg0"), F.col("g.arg0")) & m(
+            F.col("p.arg1"), F.col("g.arg1")
+        )
+        joined = p.join(
+            g, on=[F.col("p.conv_id") == F.col("g.conv_id"), arg_match]
+        )
+        label_eq = F.col("p.label") == F.col("g.label")
+        c = joined.agg(
+            F.count_distinct(F.when(label_eq, pk)).alias("tp_nc"),
+            F.count_distinct(F.when(label_eq, gk)).alias("tpr_nc"),
+            F.count_distinct(pk).alias("tp_c"),
+            F.count_distinct(gk).alias("tpr_c"),
+        ).collect()[0]
+        for collapse, tp, tpr in [
+            (False, c["tp_nc"], c["tpr_nc"]),
+            (True, c["tp_c"], c["tpr_c"]),
+        ]:
+            prec, rec, f1 = prf(tp, n_pred, tpr, n_gold)
+            rows.append(
+                ("rel", metric, collapse, None, n_pred, n_gold, tp, tpr,
+                 prec, rec, f1)
+            )
+
+    # span level (K4 under each metric): arg multiset -> distinct spans
+    def spans_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select("conv_id", F.col("arg0").alias("span"))
+            .unionByName(df.select("conv_id", F.col("arg1").alias("span")))
+            .distinct()
+        )
+
+    ps = spans_of(pred).localCheckpoint(eager=False)
+    gs = spans_of(gold).localCheckpoint(eager=False)
+    n_ps, n_gs = ps.count(), gs.count()
+    for metric in metrics:
+        m = _METRICS[metric]
+        sj = ps.alias("p").join(
+            gs.alias("g"),
+            on=[
+                F.col("p.conv_id") == F.col("g.conv_id"),
+                m(F.col("p.span"), F.col("g.span")),
+            ],
+        )
+        c = sj.agg(
+            F.count_distinct(F.struct("p.conv_id", "p.span")).alias("tp"),
+            F.count_distinct(F.struct("g.conv_id", "g.span")).alias("tpr"),
+        ).collect()[0]
+        prec, rec, f1 = prf(c["tp"], n_ps, c["tpr"], n_gs)
+        rows.append(
+            ("span", metric, None, None, n_ps, n_gs, c["tp"], c["tpr"],
+             prec, rec, f1)
+        )
+
+    # P@K cells: one ranked join, conditional counts per k
+    from dygiepp_spark.operators.pruning import kth_score_threshold
+
+    max_k = max(topks)
+    n_pred_rows = pred.count()
+    thr = kth_score_threshold(pred, "conf", max_k)
+    survivors = pred.join(
+        F.broadcast(thr), on=F.col("conf") >= F.col("_thr"), how="inner"
+    ).drop("_thr")
+    w = Window.orderBy(F.col("conf").desc(), "conv_id", "arg0", "arg1", "label")
+    ranked = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_k)
+        .alias("p")
+    )
+    mt = _METRICS[topk_metric]
+    tk_join = ranked.join(
+        g,
+        on=[
+            F.col("p.conv_id") == F.col("g.conv_id"),
+            mt(F.col("p.arg0"), F.col("g.arg0")),
+            mt(F.col("p.arg1"), F.col("g.arg1")),
+            F.col("p.label") == F.col("g.label"),
+        ],
+    )
+    c = tk_join.agg(
+        *[
+            F.count_distinct(F.when(F.col("_rn") <= k, pk)).alias(f"tp_{k}")
+            for k in topks
+        ]
+    ).collect()[0]
+    for k in topks:
+        k_eff = min(k, n_pred_rows)
+        tp = c[f"tp_{k}"]
+        rows.append(
+            ("p_at_k", topk_metric, False, k, k_eff, None, tp, None,
+             tp / max(k_eff, 1), None, None)
+        )
+
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "kind string, metric string, collapse boolean, topk int, "
+        "n_pred bigint, n_gold bigint, tp bigint, tp_recall bigint, "
+        "precision double, recall double, f1 double",
+    )
+
+
 def micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """G1 (dygie/training/ner_metrics.py:22-64 + f1.py:6-17): micro P/R/F1
     with exact (arg0, arg1, label) matching, computed distributed — per-conv
@@ -447,12 +603,24 @@ def micro_prf_by_namespace(
 
     All counts are integer aggregates; the mean row is folded in FIXED
     namespace order (left-associated sum over ns = 0..n-1), so the double
-    is reproducible bit-for-bit in any engine.
+    is reproducible bit-for-bit in any engine. EVERY shard 0..n-1 gets a
+    row (zeroed counts when empty) and the mean divides by
+    ``n_namespaces`` — the reference averages over its configured
+    namespace set, not over whichever shards happen to be non-empty, and
+    a fixed shard domain keeps both engines on the same fold even when a
+    shard is empty. Rows whose conv_id is non-numeric (NULL namespace)
+    are excluded identically on both sides.
     """
     ns = (F.col("conv_id").cast("bigint") % n_namespaces).alias("namespace")
     key = ["conv_id", "arg0", "arg1", "label"]
-    p = pred.select(ns, *key).distinct().localCheckpoint(eager=False)
-    g = gold.select(ns, *key).distinct().localCheckpoint(eager=False)
+    p = (
+        pred.select(ns, *key).filter(F.col("namespace").isNotNull())
+        .distinct().localCheckpoint(eager=False)
+    )
+    g = (
+        gold.select(ns, *key).filter(F.col("namespace").isNotNull())
+        .distinct().localCheckpoint(eager=False)
+    )
     tp = (
         p.join(g, ["namespace", *key])
         .groupBy("namespace")
@@ -460,13 +628,13 @@ def micro_prf_by_namespace(
     )
     np_ = p.groupBy("namespace").agg(F.count(F.lit(1)).alias("n_pred"))
     ng_ = g.groupBy("namespace").agg(F.count(F.lit(1)).alias("n_gold"))
-    per_ns_rows = sorted(
-        np_.join(ng_, "namespace", "full_outer")
+    observed = {
+        r["namespace"]: r
+        for r in np_.join(ng_, "namespace", "full_outer")
         .join(tp, "namespace", "left")
         .fillna(0, ["n_pred", "n_gold", "tp"])
-        .collect(),
-        key=lambda r: r["namespace"],
-    )
+        .collect()
+    }
 
     def prf(tp_, n_p, n_g):
         prec = tp_ / max(n_p, 1)
@@ -476,13 +644,15 @@ def micro_prf_by_namespace(
 
     out = []
     acc_p = acc_r = acc_f = 0.0
-    for r in per_ns_rows:
-        prec, rec, f1 = prf(r["tp"], r["n_pred"], r["n_gold"])
-        out.append(
-            (str(r["namespace"]), r["n_pred"], r["n_gold"], r["tp"], prec, rec, f1)
+    for ns_ix in range(n_namespaces):
+        r = observed.get(ns_ix)
+        tp_, n_p, n_g = (
+            (r["tp"], r["n_pred"], r["n_gold"]) if r is not None else (0, 0, 0)
         )
+        prec, rec, f1 = prf(tp_, n_p, n_g)
+        out.append((str(ns_ix), n_p, n_g, tp_, prec, rec, f1))
         acc_p, acc_r, acc_f = acc_p + prec, acc_r + rec, acc_f + f1
-    k = max(len(per_ns_rows), 1)
+    k = n_namespaces
     out.append(("__mean__", None, None, None, acc_p / k, acc_r / k, acc_f / k))
     spark = pred.sparkSession
     return spark.createDataFrame(
@@ -518,6 +688,145 @@ def ie_eval_event(pred_bin: DataFrame, gold_bin: DataFrame) -> DataFrame:
         rec.alias("recall"),
         _safe_f1(prec, rec).alias("f1"),
     )
+
+
+def event_f1_4way(pred_events: DataFrame, gold_events: DataFrame) -> DataFrame:
+    """G3 four-way event metrics (dygie/training/event_metrics.py:25-117).
+
+    The reference scores events on FOUR separate axes:
+
+    * ``trig_id``    — predicted trigger token offset present in the gold
+      trigger dict (event_metrics.py:49-52);
+    * ``trig_class`` — offset AND event label agree (:53-54);
+    * ``arg_id``     — argument entries collapsed through their trigger to
+      ``(arg_ix, trigger_LABEL)`` match a gold entry on that 2-tuple — the
+      trigger OFFSET need not match (:56-68, ``entry[:2] == gold[:2]``);
+    * ``arg_class``  — the 3-tuple ``(arg_ix, trigger_label, role)``
+      matches (:79, ``entry == gold``).
+
+    Counting reproduces the reference exactly: trigger dicts are per
+    sentence keyed on token offset; argument entries are the dict-collapsed
+    LISTS (duplicates kept — two triggers with the same label sharing an
+    argument yield two identical entries, each counted, :70-74), every
+    predicted entry scores an any-match against the gold list (:77-83,
+    NOT one-to-one), and the same matched count feeds both precision and
+    recall (f1.py:13-17 ``compute_f1``).
+
+    ``pred_events`` / ``gold_events`` are :func:`~dygiepp_spark.operators.
+    extraction.extract_events` frames; as in K5, gold is the extractor at a
+    tighter knob, so the trigger inventories genuinely differ (a trigger
+    whose only arguments sit at distance 3-4 exists on the pred side only).
+    Event labels are text-derived on this corpus, so trig_class == trig_id
+    here while the arg axes stay fully four-way (an argument re-attached to
+    a *different* same-label trigger can flip its positional role, so
+    arg_class < arg_id) — the implementation keys all four axes exactly as
+    the reference does.
+
+    One row out. Plan: two broadcast-size distinct frames per side, two
+    equi-joins (conv_id, turn_idx keys) + scalar counts — every join key is
+    high-cardinality and uniform; scales with the corpus like ie_eval.
+    """
+    trig_key = ["conv_id", "turn_idx", "trigger_ix"]
+    p_trig = (
+        pred_events.select(*trig_key, "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    g_trig = (
+        gold_events.select(*trig_key, "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # gold trigger dict keyed on offset -> at most one label per offset, so
+    # the join below cannot fan out
+    g = g_trig.select(*trig_key, F.col("event_type").alias("_g_label"))
+    trig_row = (
+        p_trig.join(g, trig_key, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_pred_trig"),
+            F.sum(
+                F.when(F.col("_g_label").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("tp_trig_id"),
+            F.sum(
+                F.when(F.col("_g_label") == F.col("event_type"), 1).otherwise(0)
+            ).cast("bigint").alias("tp_trig_class"),
+        )
+        .collect()[0]
+    )
+    n_gold_trig = g_trig.count()
+
+    # formatted argument lists: one entry per (trigger, arg) pair row,
+    # collapsed to (arg_ix, trigger_label, role) with multiplicity kept
+    arg_cols = [
+        "conv_id", "turn_idx",
+        F.col("arg_start").alias("arg_ix"), "event_type", "role",
+    ]
+    p_arg = pred_events.select(*arg_cols).localCheckpoint(eager=False)
+    g_arg = gold_events.select(*arg_cols).localCheckpoint(eager=False)
+    # any-match: pre-collapse gold to its distinct id-keys with the role
+    # set, so one left join scores both axes without fan-out
+    g_keys = g_arg.groupBy("conv_id", "turn_idx", "arg_ix", "event_type").agg(
+        F.collect_set("role").alias("_g_roles")
+    )
+    arg_row = (
+        p_arg.join(g_keys, ["conv_id", "turn_idx", "arg_ix", "event_type"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_pred_arg"),
+            F.sum(
+                F.when(F.col("_g_roles").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("tp_arg_id"),
+            F.sum(
+                F.when(
+                    F.array_contains(
+                        F.coalesce(
+                            F.col("_g_roles"), F.array().cast("array<string>")
+                        ),
+                        F.col("role"),
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("tp_arg_class"),
+        )
+        .collect()[0]
+    )
+    n_gold_arg = g_arg.count()
+
+    spark = pred_events.sparkSession
+    row = spark.createDataFrame(
+        [
+            (
+                trig_row["n_pred_trig"], n_gold_trig,
+                trig_row["tp_trig_id"], trig_row["tp_trig_class"],
+                arg_row["n_pred_arg"], n_gold_arg,
+                arg_row["tp_arg_id"], arg_row["tp_arg_class"],
+            )
+        ],
+        "n_pred_trig bigint, n_gold_trig bigint, tp_trig_id bigint, "
+        "tp_trig_class bigint, n_pred_arg bigint, n_gold_arg bigint, "
+        "tp_arg_id bigint, tp_arg_class bigint",
+    )
+
+    def safe_div(num: Column, denom: Column) -> Column:
+        # f1.py:6-10 — 0 when the denominator is 0
+        return F.when(denom > 0, num.cast("double") / denom.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    out_cols = ["*"]
+    for axis, tp_c, np_c, ng_c in [
+        ("trig_id", "tp_trig_id", "n_pred_trig", "n_gold_trig"),
+        ("trig_class", "tp_trig_class", "n_pred_trig", "n_gold_trig"),
+        ("arg_id", "tp_arg_id", "n_pred_arg", "n_gold_arg"),
+        ("arg_class", "tp_arg_class", "n_pred_arg", "n_gold_arg"),
+    ]:
+        p = safe_div(F.col(tp_c), F.col(np_c))
+        r = safe_div(F.col(tp_c), F.col(ng_c))
+        out_cols += [
+            p.alias(f"{axis}_precision"),
+            r.alias(f"{axis}_recall"),
+            safe_div(F.lit(2.0) * p * r, p + r).alias(f"{axis}_f1"),
+        ]
+    return row.select(*out_cols)
 
 
 def arg_multiplicity(events: DataFrame) -> DataFrame:
@@ -563,8 +872,8 @@ def greedy_match(
     recursion, so the fixpoint equals the sequential result (the
     globally-minimal remaining candidate is always locally minimal, so
     every round progresses). Rounds needed = conflict-chain depth —
-    bounded by ``max_rounds`` as an engine guard; convergence before the
-    bound is asserted by the driver-side empty check.
+    bounded by ``max_rounds`` as an engine guard; exhausting the bound
+    with candidates remaining raises rather than silently truncating.
     """
     m = _METRICS[metric]
     p = pred.select(
@@ -614,6 +923,15 @@ def greedy_match(
         )
         if cand.limit(1).count() == 0:
             break
+    else:
+        # exhausting the round budget with candidates left would silently
+        # truncate the matching (and diverge from both the sequential
+        # semantics and the unrolled oracle) — fail loudly instead
+        if cand.limit(1).count() > 0:
+            raise RuntimeError(
+                f"greedy_match did not converge within {max_rounds} rounds; "
+                "conflict chains deeper than the bound — raise max_rounds"
+            )
     return matched.select(
         "conv_id", "p_arg0", "p_arg1", "p_label", "g_arg0", "g_arg1", "g_label"
     )

@@ -103,6 +103,97 @@ def turns_oracle() -> str:
     return f"WITH {TURNS_SQL.strip()} SELECT conv_id, turn_idx, role, text, tool FROM turns"
 
 
+def csv_ingest_oracle() -> str:
+    """S6 twin of write_metadata_csv -> ingest_metadata_csv: derived
+    directly from the documents view (the CSV round-trip is the Spark
+    side's extra work, like the TSV round-trip oracle) — skip rule on the
+    every-37th empty abstract, whitespace tokenization, doc_key suffix."""
+    return """
+SELECT CAST(doc_id AS VARCHAR) || '_abstract' AS doc_key,
+       'Abstract' AS section,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+         AS n_tokens,
+       array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')
+         AS text
+FROM documents
+WHERE CAST(doc_id AS BIGINT) % 37 <> 0 AND text <> '' AND text IS NOT NULL"""
+
+
+SCIERC_FIXTURE = "/root/reference/dygie/tests/fixtures/scierc_article.json"
+
+
+def triples_replay_oracle(
+    path: str = SCIERC_FIXTURE, max_span_width: int = 8
+) -> str:
+    """North-rule replay gate as a hard-signal twin: the reference's
+    emitted triple set (predict.py:22-42) derived straight from the SciERC
+    fixture JSONL in DuckDB — doc-level relation offsets rebased by the
+    shifted-cumsum sentence starts (document.py:113-117), arg surfaces
+    sliced from the sentence tokens, spans wider than the kernel's
+    enumeration cap dropped (dygie.py:55-56 ``_too_long``). The Spark side
+    must reproduce this set through the FULL Arrow kernel decode with
+    replayed scores."""
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_key AS VARCHAR) AS doc_key, sentences, relations
+    FROM read_json('{path}', format='newline_delimited',
+                   columns={{'doc_key': 'VARCHAR',
+                             'sentences': 'VARCHAR[][]',
+                             'relations': 'JSON'}})
+),
+sent AS (
+    SELECT doc_key,
+           generate_subscripts(sentences, 1) - 1 AS sent_ix,
+           unnest(sentences) AS toks
+    FROM docs
+),
+starts AS (
+    SELECT doc_key, sent_ix, toks,
+           CAST(COALESCE(SUM(len(toks)) OVER (
+               PARTITION BY doc_key ORDER BY sent_ix
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+             AS st
+    FROM sent
+),
+rsent AS (
+    SELECT doc_key,
+           unnest(range(CAST(json_array_length(relations) AS BIGINT)))
+             AS sent_ix,
+           relations
+    FROM docs
+),
+rlist AS (
+    SELECT doc_key, sent_ix,
+           json_extract(relations, '$[' || sent_ix || ']') AS rl
+    FROM rsent
+),
+r AS (
+    SELECT doc_key, sent_ix, rl,
+           unnest(range(CAST(json_array_length(rl) AS BIGINT))) AS j
+    FROM rlist
+),
+rel AS (
+    SELECT doc_key, sent_ix,
+           CAST(json_extract(rl, '$[' || j || '][0]') AS INT) AS s1,
+           CAST(json_extract(rl, '$[' || j || '][1]') AS INT) AS e1,
+           CAST(json_extract(rl, '$[' || j || '][2]') AS INT) AS s2,
+           CAST(json_extract(rl, '$[' || j || '][3]') AS INT) AS e2,
+           json_extract_string(rl, '$[' || j || '][4]') AS label
+    FROM r
+)
+SELECT DISTINCT s.doc_key AS conv_id,
+       array_to_string(s.toks, ' ') AS sent_text,
+       array_to_string(array_slice(s.toks, rel.s1 - s.st + 1,
+                                   rel.e1 - s.st + 1), ' ') AS arg0,
+       array_to_string(array_slice(s.toks, rel.s2 - s.st + 1,
+                                   rel.e2 - s.st + 1), ' ') AS arg1,
+       rel.label AS label
+FROM rel
+JOIN starts s ON s.doc_key = rel.doc_key AND s.sent_ix = rel.sent_ix
+WHERE rel.e1 - rel.s1 + 1 <= {max_span_width}
+  AND rel.e2 - rel.s2 + 1 <= {max_span_width}"""
+
+
 def doc_assembly_oracle() -> str:
     return f"""WITH {TURNS_SQL.strip()}
 SELECT conv_id,
@@ -123,6 +214,55 @@ SELECT conv_id, turn_idx, n_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
          AS sentence_start
 FROM lens"""
+
+
+def doc_split_oracle(max_tokens: int = 36) -> str:
+    """A4 exact-split twin — INDEPENDENT formulation exploiting the
+    derived corpus's structure: every turn except a conversation's last
+    has exactly TURN_TOKENS tokens, so the reference's greedy grouping
+    (group while cumulative length fits) lands a boundary exactly every
+    ``max_tokens // TURN_TOKENS`` turns and the trailing short turn can
+    never start a group on its own (12*(i%c) + L' <= max for all L' <= 12).
+    grp = turn_idx // c therefore EQUALS the sequential greedy on this
+    corpus, and the rebase offsets are the group-min window aggregates —
+    cross-checking the Spark side's genuinely sequential applyInPandas
+    kernel with a closed form, the same independent-derivation pattern as
+    the coref segment oracle."""
+    from dygiepp_spark.tables import TURN_TOKENS
+
+    c = max_tokens // TURN_TOKENS
+    return f"""WITH {TURNS_SQL.strip()} , {TOKENS_SQL.strip()},
+lens AS (
+    SELECT conv_id, turn_idx, CAST(count(*) AS INT) AS n_tokens
+    FROM tokens GROUP BY conv_id, turn_idx
+),
+offs AS (
+    SELECT l.conv_id, l.turn_idx, l.n_tokens, t.text,
+           CAST(COALESCE(SUM(l.n_tokens) OVER (
+               PARTITION BY l.conv_id ORDER BY l.turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+             AS sentence_start,
+           SUM(l.n_tokens) OVER (PARTITION BY l.conv_id) AS tot,
+           l.turn_idx // {c} AS grp
+    FROM lens l JOIN turns t
+      ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+),
+rebased AS (
+    SELECT *,
+           min(sentence_start) OVER (PARTITION BY conv_id, grp) AS tok_off,
+           min(turn_idx) OVER (PARTITION BY conv_id, grp) AS ix_off
+    FROM offs
+)
+SELECT CASE WHEN tot <= {max_tokens} THEN conv_id
+            ELSE conv_id || '_SPLIT_' || CAST(grp AS VARCHAR) END AS doc_key,
+       conv_id,
+       turn_idx AS orig_turn_idx,
+       CAST(CASE WHEN tot <= {max_tokens} THEN turn_idx
+                 ELSE turn_idx - ix_off END AS INT) AS turn_idx,
+       CAST(CASE WHEN tot <= {max_tokens} THEN sentence_start
+                 ELSE sentence_start - tok_off END AS INT) AS sentence_start,
+       n_tokens, text
+FROM rebased"""
 
 
 def mentions_oracle() -> str:

@@ -119,6 +119,51 @@ JOIN np ON np.conv_id = pair.conv_id AND np.pc = pair.pc
 JOIN ng ON ng.conv_id = pair.conv_id AND ng.gc = pair.gc"""
 
 
+def coref_mention_recall_oracle() -> str:
+    """G5 MentionRecall twin: non-singleton cluster membership on each
+    side, per-conv recall + __total__ accumulator row."""
+    return f"""{_BASE} , {_COREF_CTES.strip()},
+gold_cl AS (
+    SELECT conv_id, mention_ix,
+           CAST(min(mention_ix) OVER (PARTITION BY conv_id, surface) AS INT) AS gc
+    FROM m_ord
+),
+psz AS (SELECT conv_id, cluster_id, count(*) AS n FROM clusters GROUP BY 1, 2),
+pns AS MATERIALIZED (
+    SELECT c.conv_id, c.mention_ix
+    FROM clusters c
+    JOIN psz ON psz.conv_id = c.conv_id AND psz.cluster_id = c.cluster_id
+    WHERE psz.n >= 2
+),
+gsz AS (SELECT conv_id, gc, count(*) AS n FROM gold_cl GROUP BY 1, 2),
+gns AS (
+    SELECT g.conv_id, g.mention_ix
+    FROM gold_cl g
+    JOIN gsz ON gsz.conv_id = g.conv_id AND gsz.gc = g.gc
+    WHERE gsz.n >= 2
+),
+per_conv AS MATERIALIZED (
+    SELECT g.conv_id,
+           CAST(count(*) AS BIGINT) AS n_gold,
+           CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM pns p
+               WHERE p.conv_id = g.conv_id AND p.mention_ix = g.mention_ix
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled
+    FROM gns g GROUP BY g.conv_id
+)
+SELECT conv_id, n_gold, n_recalled,
+       CAST(n_recalled AS DOUBLE) / CAST(greatest(n_gold, 1) AS DOUBLE)
+         AS recall
+FROM per_conv
+UNION ALL
+SELECT '__total__',
+       CAST(sum(n_gold) AS BIGINT),
+       CAST(sum(n_recalled) AS BIGINT),
+       CAST(sum(n_recalled) AS DOUBLE)
+         / CAST(greatest(sum(n_gold), 1) AS DOUBLE)
+FROM per_conv"""
+
+
 def ie_eval_coref_expand_oracle() -> str:
     """K2 coref/alias expansion twin: pred args try every alias variant
     (the shorthand dimension of tables.ALIAS_SQL); gold is written in
@@ -165,7 +210,11 @@ FROM counts"""
 
 def micro_prf_namespaced_oracle(n_namespaces: int = 3) -> str:
     """G6 twin: per-namespace micro P/R/F1 + fixed-order __mean__ row
-    (left-associated fold over ns = 0..n-1 matching the Python fold)."""
+    (left-associated fold over ns = 0..n-1 matching the Python fold).
+    The shard domain is the FIXED set 0..n-1 (zeroed counts for empty
+    shards, mean divided by n) — same contract as the Spark side, so the
+    engines agree even on corpora where a shard is empty; TRY_CAST drops
+    non-numeric conv_ids like the Spark NULL-namespace filter."""
     prec = "CAST(tp AS DOUBLE) / CAST(greatest(n_pred, 1) AS DOUBLE)"
     rec = "CAST(tp AS DOUBLE) / CAST(greatest(n_gold, 1) AS DOUBLE)"
     f1 = (
@@ -181,21 +230,26 @@ def micro_prf_namespaced_oracle(n_namespaces: int = 3) -> str:
         return f"{expr} / {float(n_namespaces)}"
 
     return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
-p2 AS (SELECT DISTINCT CAST(conv_id AS BIGINT) % {n_namespaces} AS ns,
-              conv_id, arg0, arg1, label FROM triples),
-g2 AS (SELECT DISTINCT CAST(conv_id AS BIGINT) % {n_namespaces} AS ns,
-              conv_id, arg0, arg1, label FROM gold),
+p2 AS (SELECT DISTINCT TRY_CAST(conv_id AS BIGINT) % {n_namespaces} AS ns,
+              conv_id, arg0, arg1, label FROM triples
+       WHERE TRY_CAST(conv_id AS BIGINT) IS NOT NULL),
+g2 AS (SELECT DISTINCT TRY_CAST(conv_id AS BIGINT) % {n_namespaces} AS ns,
+              conv_id, arg0, arg1, label FROM gold
+       WHERE TRY_CAST(conv_id AS BIGINT) IS NOT NULL),
 np2 AS (SELECT ns, count(*) AS n_pred FROM p2 GROUP BY ns),
 ng2 AS (SELECT ns, count(*) AS n_gold FROM g2 GROUP BY ns),
 tp2 AS (SELECT p2.ns AS ns, count(*) AS tp
         FROM p2 JOIN g2 USING (ns, conv_id, arg0, arg1, label) GROUP BY p2.ns),
+shards AS (SELECT unnest(range({n_namespaces})) AS ns),
 rows AS MATERIALIZED (
-    SELECT CAST(coalesce(np2.ns, ng2.ns) AS VARCHAR) AS namespace,
+    SELECT CAST(s.ns AS VARCHAR) AS namespace,
            CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
            CAST(coalesce(n_gold, 0) AS BIGINT) AS n_gold,
            CAST(coalesce(tp, 0) AS BIGINT) AS tp
-    FROM np2 FULL JOIN ng2 ON np2.ns = ng2.ns
-    LEFT JOIN tp2 ON tp2.ns = coalesce(np2.ns, ng2.ns)
+    FROM shards s
+    LEFT JOIN np2 ON np2.ns = s.ns
+    LEFT JOIN ng2 ON ng2.ns = s.ns
+    LEFT JOIN tp2 ON tp2.ns = s.ns
 )
 SELECT namespace, n_pred, n_gold, tp,
        {prec} AS precision, {rec} AS recall, {f1} AS f1
@@ -228,6 +282,56 @@ JOIN trigs t ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
             AND s.start < t.tok_ix
 JOIN mentions o ON o.conv_id = t.conv_id AND o.turn_idx = t.turn_idx
                AND o.start > t.tok_ix"""
+
+
+def baseline_srl_oracle() -> str:
+    """K9 srl_baseline twin: unique-text representative rows, trigger
+    verb frames with the ordered-stem srlmap CASE chain, leftmost
+    mention on each side of the verb."""
+    from dygiepp_spark.tables import SRL_STEM_MAP, TRIGGER_VOCAB
+
+    trigs = ", ".join(f"'{t}'" for t in TRIGGER_VOCAB)
+    case = "CASE " + " ".join(
+        f"WHEN position('{stem}' IN tk.token) > 0 THEN '{label}'"
+        for stem, label in SRL_STEM_MAP
+    ) + " ELSE NULL END"
+    return f"""{_BASE},
+rep AS (
+    SELECT conv_id, turn_idx FROM (
+        SELECT conv_id, turn_idx,
+               row_number() OVER (
+                   PARTITION BY text
+                   ORDER BY CAST(conv_id AS BIGINT), turn_idx, conv_id
+               ) AS rn
+        FROM turns
+    ) WHERE rn = 1
+),
+rment AS MATERIALIZED (
+    SELECT m.* FROM mentions m
+    JOIN rep r ON m.conv_id = r.conv_id AND m.turn_idx = r.turn_idx
+),
+rtrig AS (
+    SELECT tk.conv_id, tk.turn_idx, tk.tok_ix, {case} AS label
+    FROM tokens tk
+    JOIN rep r ON tk.conv_id = r.conv_id AND tk.turn_idx = r.turn_idx
+    WHERE tk.token IN ({trigs})
+),
+sides AS (
+    SELECT t.conv_id, t.turn_idx, t.tok_ix, t.label,
+           min(CASE WHEN m.start < t.tok_ix THEN m.start END) AS l_pos,
+           min(CASE WHEN m.start > t.tok_ix THEN m.start END) AS r_pos
+    FROM rtrig t
+    JOIN rment m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+    WHERE t.label IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+)
+SELECT s.conv_id AS conv_id, ml.surface AS arg0, mr.surface AS arg1,
+       s.label AS label, CAST(1.0 AS DOUBLE) AS conf
+FROM sides s
+JOIN rment ml ON ml.conv_id = s.conv_id AND ml.turn_idx = s.turn_idx
+             AND ml.start = s.l_pos
+JOIN rment mr ON mr.conv_id = s.conv_id AND mr.turn_idx = s.turn_idx
+             AND mr.start = s.r_pos"""
 
 
 def coref_ceafe_oracle() -> str:
@@ -535,6 +639,140 @@ def ie_eval_head_oracle() -> str:
     )
 
 
+def eval_grid_oracle(
+    metrics: tuple = ("exact", "substring", "rouge"),
+    topks: tuple = (50, 100, 150, 200),
+    topk_metric: str = "substring",
+    rouge_thresh: float = 0.3,
+) -> str:
+    """Twin of kg_eval.eval_grid: every (metric x collapse) relation cell,
+    per-metric span cell, and P@K cell in ONE query — shared MATERIALIZED
+    pred/gold/ranked CTEs, one small CTE per cell, UNION ALL of the cell
+    rows."""
+
+    def arg_match(metric: str, a: str, b: str) -> str:
+        if metric == "exact":
+            return f"lower(trim({a})) = lower(trim({b}))"
+        if metric == "substring":
+            return (
+                f"(contains(lower(trim({a})), lower(trim({b}))) "
+                f"OR contains(lower(trim({b})), lower(trim({a}))))"
+            )
+        if metric == "rouge":
+            return f"{_rouge_f_sql(a, b)} > {rouge_thresh}"
+        raise ValueError(metric)
+
+    max_k = max(topks)
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(n_pred, 1) AS DOUBLE)"
+    rec = "CAST(tp_recall AS DOUBLE) / CAST(greatest(n_gold, 1) AS DOUBLE)"
+    f1 = _F1.format(p=prec, r=rec)
+
+    ctes, branches = [], []
+    for metric in metrics:
+        m = (
+            f"({arg_match(metric, 'p.arg0', 'g.arg0')}) "
+            f"AND ({arg_match(metric, 'p.arg1', 'g.arg1')})"
+        )
+        for collapse in (False, True):
+            lbl = "" if collapse else " AND p.label = g.label"
+            cn = f"c_rel_{metric}_{int(collapse)}"
+            ctes.append(f"""{cn} AS (
+    SELECT
+      (SELECT v FROM npred) AS n_pred, (SELECT v FROM ngold) AS n_gold,
+      (SELECT count(*) FROM (SELECT DISTINCT p.conv_id, p.arg0, p.arg1
+          FROM predk p JOIN goldm g
+            ON p.conv_id = g.conv_id AND ({m}){lbl})) AS tp,
+      (SELECT count(*) FROM (SELECT DISTINCT g.conv_id, g.arg0, g.arg1
+          FROM predk p JOIN goldm g
+            ON p.conv_id = g.conv_id AND ({m}){lbl})) AS tp_recall
+)""")
+            branches.append(
+                f"SELECT 'rel' AS kind, '{metric}' AS metric, "
+                f"{str(collapse).upper()} AS collapse, CAST(NULL AS INT) AS topk, "
+                f"CAST(n_pred AS BIGINT) AS n_pred, CAST(n_gold AS BIGINT) AS n_gold, "
+                f"CAST(tp AS BIGINT) AS tp, CAST(tp_recall AS BIGINT) AS tp_recall, "
+                f"{prec} AS precision, {rec} AS recall, {f1} AS f1 FROM {cn}"
+            )
+    for metric in metrics:
+        sm = arg_match(metric, "p.span", "g.span")
+        cn = f"c_span_{metric}"
+        ctes.append(f"""{cn} AS (
+    SELECT
+      (SELECT v FROM npspan) AS n_pred, (SELECT v FROM ngspan) AS n_gold,
+      (SELECT count(*) FROM (SELECT DISTINCT p.conv_id, p.span
+          FROM pspan p JOIN gspan g
+            ON p.conv_id = g.conv_id AND ({sm}))) AS tp,
+      (SELECT count(*) FROM (SELECT DISTINCT g.conv_id, g.span
+          FROM pspan p JOIN gspan g
+            ON p.conv_id = g.conv_id AND ({sm}))) AS tp_recall
+)""")
+        branches.append(
+            f"SELECT 'span', '{metric}', CAST(NULL AS BOOLEAN), CAST(NULL AS INT), "
+            f"CAST(n_pred AS BIGINT), CAST(n_gold AS BIGINT), "
+            f"CAST(tp AS BIGINT), CAST(tp_recall AS BIGINT), "
+            f"{prec}, {rec}, {f1} FROM {cn}"
+        )
+    mk = (
+        f"({arg_match(topk_metric, 'p.arg0', 'g.arg0')}) "
+        f"AND ({arg_match(topk_metric, 'p.arg1', 'g.arg1')})"
+    )
+    for k in topks:
+        cn = f"c_topk_{k}"
+        ctes.append(f"""{cn} AS (
+    SELECT
+      least({k}, (SELECT v FROM nrows)) AS n_pred,
+      (SELECT count(*) FROM (SELECT DISTINCT p.conv_id, p.arg0, p.arg1
+          FROM ranked p JOIN goldm g
+            ON p.conv_id = g.conv_id AND ({mk})
+           AND p.label = g.label AND p.rn <= {k})) AS tp
+)""")
+        branches.append(
+            f"SELECT 'p_at_k', '{topk_metric}', FALSE, CAST({k} AS INT), "
+            f"CAST(n_pred AS BIGINT), CAST(NULL AS BIGINT), "
+            f"CAST(tp AS BIGINT), CAST(NULL AS BIGINT), "
+            f"{prec}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM {cn}"
+        )
+
+    shared = f"""tripm AS MATERIALIZED (SELECT * FROM triples),
+goldcm AS MATERIALIZED (SELECT * FROM gold_ctx),
+predk AS MATERIALIZED (
+    SELECT DISTINCT conv_id, arg0, arg1, label FROM tripm
+),
+goldm AS MATERIALIZED (
+    SELECT conv_id, arg0, arg1, label FROM goldcm
+),
+npred AS (SELECT count(*) AS v
+          FROM (SELECT DISTINCT conv_id, arg0, arg1 FROM predk)),
+ngold AS (SELECT count(*) AS v
+          FROM (SELECT DISTINCT conv_id, arg0, arg1, label FROM goldm)),
+pspan AS MATERIALIZED (
+    SELECT DISTINCT conv_id, span FROM (
+        SELECT conv_id, arg0 AS span FROM tripm
+        UNION ALL SELECT conv_id, arg1 FROM tripm)
+),
+gspan AS MATERIALIZED (
+    SELECT DISTINCT conv_id, span FROM (
+        SELECT conv_id, arg0 AS span FROM goldcm
+        UNION ALL SELECT conv_id, arg1 FROM goldcm)
+),
+npspan AS (SELECT count(*) AS v FROM pspan),
+ngspan AS (SELECT count(*) AS v FROM gspan),
+nrows AS (SELECT count(*) AS v FROM tripm),
+ranked AS MATERIALIZED (
+    SELECT conv_id, arg0, arg1, label, rn FROM (
+        SELECT t.*, row_number() OVER (
+            ORDER BY conf DESC, conv_id, arg0, arg1, label) AS rn
+        FROM tripm t
+    ) WHERE rn <= {max_k}
+)"""
+    all_ctes = ",\n".join([shared] + ctes)
+    union = "\nUNION ALL\n".join(branches)
+    return (
+        f"{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , "
+        f"{_gold_ctx_cte().strip()},\n{all_ctes}\n{union}"
+    )
+
+
 def ie_eval_exact_oracle() -> str:
     ex0 = "lower(trim(p.arg0)) = lower(trim(g.arg0))"
     ex1 = "lower(trim(p.arg1)) = lower(trim(g.arg1))"
@@ -667,6 +905,102 @@ counts AS (
 SELECT tp, n_p - tp AS fp, n_g - tp AS fn,
        {prec} AS precision, {rec} AS recall,
        {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
+
+
+def event_f1_4way_oracle(pred_dist: int = 4, gold_dist: int = 2) -> str:
+    """G3 twin (event_metrics.py:25-117): trig_id / trig_class F1 on the
+    per-sentence trigger dicts, arg_id / arg_class F1 on the dict-collapsed
+    (arg_ix, trigger_label[, role]) entry lists with multiplicity and
+    any-match counting; safe_div per f1.py."""
+
+    def sd(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({den}) > 0 THEN CAST({num} AS DOUBLE) / "
+            f"CAST({den} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        )
+
+    metric_cols = []
+    for axis, tp_c, np_c, ng_c in [
+        ("trig_id", "tp_trig_id", "n_pred_trig", "n_gold_trig"),
+        ("trig_class", "tp_trig_class", "n_pred_trig", "n_gold_trig"),
+        ("arg_id", "tp_arg_id", "n_pred_arg", "n_gold_arg"),
+        ("arg_class", "tp_arg_class", "n_pred_arg", "n_gold_arg"),
+    ]:
+        p, r = sd(tp_c, np_c), sd(tp_c, ng_c)
+        f1 = (
+            f"CASE WHEN ({p}) + ({r}) > 0 THEN "
+            f"(2.0 * ({p}) * ({r})) / (({p}) + ({r})) "
+            "ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        metric_cols += [
+            f"{p} AS {axis}_precision",
+            f"{r} AS {axis}_recall",
+            f"{f1} AS {axis}_f1",
+        ]
+    metrics = ",\n       ".join(metric_cols)
+    return f"""{_EVAL_BASE},
+ev AS MATERIALIZED (
+    SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+           t.tok_ix AS trigger_ix, 'op_' || t.token AS event_type,
+           m.start AS arg_ix,
+           CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role,
+           abs(m.start - t.tok_ix) AS adist
+    FROM triggers_beam t
+    JOIN mentions_arg m
+      ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+     AND abs(m.start - t.tok_ix) <= {pred_dist}
+),
+ptrig AS MATERIALIZED (
+    SELECT DISTINCT conv_id, turn_idx, trigger_ix, event_type FROM ev
+),
+gtrig AS MATERIALIZED (
+    SELECT DISTINCT conv_id, turn_idx, trigger_ix, event_type FROM ev
+    WHERE adist <= {gold_dist}
+),
+parg AS MATERIALIZED (
+    SELECT conv_id, turn_idx, arg_ix, event_type, role FROM ev
+),
+garg AS MATERIALIZED (
+    SELECT conv_id, turn_idx, arg_ix, event_type, role FROM ev
+    WHERE adist <= {gold_dist}
+),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM ptrig) AS n_pred_trig,
+      (SELECT count(*) FROM gtrig) AS n_gold_trig,
+      (SELECT count(*) FROM ptrig p WHERE EXISTS (
+          SELECT 1 FROM gtrig g
+          WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+            AND g.trigger_ix = p.trigger_ix)) AS tp_trig_id,
+      (SELECT count(*) FROM ptrig p WHERE EXISTS (
+          SELECT 1 FROM gtrig g
+          WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+            AND g.trigger_ix = p.trigger_ix
+            AND g.event_type = p.event_type)) AS tp_trig_class,
+      (SELECT count(*) FROM parg) AS n_pred_arg,
+      (SELECT count(*) FROM garg) AS n_gold_arg,
+      (SELECT count(*) FROM parg p WHERE EXISTS (
+          SELECT 1 FROM garg g
+          WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+            AND g.arg_ix = p.arg_ix
+            AND g.event_type = p.event_type)) AS tp_arg_id,
+      (SELECT count(*) FROM parg p WHERE EXISTS (
+          SELECT 1 FROM garg g
+          WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+            AND g.arg_ix = p.arg_ix
+            AND g.event_type = p.event_type
+            AND g.role = p.role)) AS tp_arg_class
+)
+SELECT CAST(n_pred_trig AS BIGINT) AS n_pred_trig,
+       CAST(n_gold_trig AS BIGINT) AS n_gold_trig,
+       CAST(tp_trig_id AS BIGINT) AS tp_trig_id,
+       CAST(tp_trig_class AS BIGINT) AS tp_trig_class,
+       CAST(n_pred_arg AS BIGINT) AS n_pred_arg,
+       CAST(n_gold_arg AS BIGINT) AS n_gold_arg,
+       CAST(tp_arg_id AS BIGINT) AS tp_arg_id,
+       CAST(tp_arg_class AS BIGINT) AS tp_arg_class,
+       {metrics}
 FROM counts"""
 
 

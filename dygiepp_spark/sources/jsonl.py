@@ -262,6 +262,62 @@ def check_fields(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(scan, "doc_key string, bad_field string")
 
 
+def write_metadata_csv(docs: DataFrame, path: str) -> None:
+    """Derive a CORD-19-style metadata CSV from the documents table (the
+    S6 ingest's input shape: header row + ``cord_uid``/``title``/
+    ``abstract`` columns, tab-delimited like the reference's split).
+    Deterministic: every 37th doc gets an EMPTY abstract so the reader's
+    skip rule (preprocess.py:204-207) is exercised on real rows."""
+    import pyspark.sql.functions as F
+
+    (
+        docs.select(
+            F.col("doc_id").cast("string").alias("cord_uid"),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("title"),
+            F.when(F.col("doc_id").cast("bigint") % 37 == 0, F.lit(""))
+            .otherwise(F.col("text"))
+            .alias("abstract"),
+        )
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def ingest_metadata_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S6 metadata-CSV ingest (preprocess.py:192-224
+    ``process_metadata_csv`` + ``process_abstract_metadata_file``): read
+    the header-addressed CSV, skip rows with a missing/empty abstract,
+    tokenize the abstract (whitespace stand-in for the spaCy sentencizer —
+    same documented boundary as the S6 raw-text path) and emit doc rows::
+
+        doc_key = <cord_uid>_abstract, section = 'Abstract'
+
+    plus the token count and the normalized (single-spaced) text. The scan
+    is a plain distributed ``spark.read.csv`` with column pruning; the
+    tokenize is a narrow array expression — no shuffle anywhere.
+    """
+    import pyspark.sql.functions as F
+
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .schema("cord_uid string, title string, abstract string")
+        .csv(path)
+    )
+    toks = F.filter(F.split(F.col("abstract"), " "), lambda t: t != "")
+    return (
+        raw.filter(F.col("abstract").isNotNull() & (F.col("abstract") != ""))
+        .select(
+            F.concat(F.col("cord_uid"), F.lit("_abstract")).alias("doc_key"),
+            F.lit("Abstract").alias("section"),
+            F.size(toks).alias("n_tokens"),
+            F.array_join(toks, " ").alias("text"),
+        )
+    )
+
+
 def write_triples_tsv(df: DataFrame, path: str) -> None:
     """S3 TSV triple sink (predict.py:36-42 column order)."""
     df.select("conv_id", "sent_text", "arg0", "arg1", "label", "conf").write.mode(

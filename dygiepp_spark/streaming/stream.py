@@ -163,22 +163,39 @@ def windowed_mention_counts(
 def run_windowed_stream(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
     horizon_ts: str = "2024-06-01 00:00:00", window_sec: int = 60,
-    watermark_sec: int = 120,
+    watermark_sec: int = 120, sentinel_dir: str | None = None,
 ) -> None:
     """Drain the turn drop dir through the windowed rollup, then advance
     the watermark past every real window with one far-future sentinel turn
     (no mention tokens, so it adds no counts) and drain again — append
     mode otherwise withholds the trailing open windows forever on a
-    bounded corpus. Two availableNow runs over one checkpoint."""
+    bounded corpus. Two availableNow runs over one checkpoint.
+
+    The sentinel is delivered through a SIDE directory (default:
+    ``<checkpoint_dir>_sentinel``) that is unioned with the input stream
+    at read time — the operator never writes into ``input_dir``. A real
+    deployment cannot write to its source, and a shared drop directory
+    must not accumulate sentinels across drains; the input dir is
+    byte-identical before and after this call."""
+    import os
+
+    if sentinel_dir is None:
+        sentinel_dir = f"{checkpoint_dir.rstrip('/')}_sentinel"
+    os.makedirs(sentinel_dir, exist_ok=True)
 
     def drain():
-        src = (
-            spark.readStream.schema(TURNS_TS_SCHEMA)
-            .option("maxFilesPerTrigger", 4)
-            .parquet(input_dir)
-        )
+        def src(d):
+            return (
+                spark.readStream.schema(TURNS_TS_SCHEMA)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(d)
+            )
+
         q = (
-            windowed_mention_counts(src, window_sec, watermark_sec)
+            windowed_mention_counts(
+                src(input_dir).unionByName(src(sentinel_dir)),
+                window_sec, watermark_sec,
+            )
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", checkpoint_dir)
@@ -193,7 +210,7 @@ def run_windowed_stream(
         [("__horizon__", 0, "system", "eof", None)],
         "conv_id string, turn_idx int, role string, text string, tool string",
     ).withColumn("ts", F.lit(horizon_ts).cast("timestamp"))
-    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    sentinel.coalesce(1).write.mode("append").parquet(sentinel_dir)
     drain()
 
 

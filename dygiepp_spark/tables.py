@@ -77,6 +77,22 @@ EVENT_TYPES = {
     "filter": "op_filter",
 }
 
+#: K9 SRL verb-frame stem map — the analog of the reference's ``srlmap``
+#: (eval_utils.py:55-145): an ORDERED stem -> label table matched by
+#: substring with first-match-wins, exactly the reference's dict-iteration
+#: semantics (``[(relsv[0], v) for k, v in srlmap.items() if k in
+#: relsv[0]]`` then ``triggermatch[0]``). The 'er' entry deliberately
+#: shadows 'filt' for the token 'filter' (and would shadow 'merg' if it
+#: came first) — the ordering trap is part of the operator's contract.
+SRL_STEM_MAP = [
+    ("join", "MECHANISM"),
+    ("merg", "MECHANISM"),
+    ("er", "EFFECT"),
+    ("sort", "MECHANISM"),
+    ("scan", "EFFECT"),
+    ("filt", "MECHANISM"),
+]
+
 #: max token-distance between two mentions for the rule-based relation
 RELATION_MAX_DIST = 6
 

@@ -341,7 +341,9 @@ def test_span_representation_shape_and_features():
     assert np.allclose(rep[1, 6:9], vecs[0:3].mean(axis=0))
     # width one-hot: width 3 -> bucket 3 (identity range)
     assert rep[1, 9 + bucket_width(3)] == 1.0 and rep[1, 9:].sum() == 1.0
-    # bucketing: identity below 4, log2 buckets above, clamped
-    assert [bucket_width(w) for w in (1, 2, 3, 4)] == [1, 2, 3, 4]
-    assert bucket_width(8) == int(np.floor(np.log2(8))) + 2
+    # AllenNLP bucket_values: identity strictly below 4, then
+    # floor(log2(v)) + (num_identity - 1), clamped to num_total
+    assert [bucket_width(w) for w in (1, 2, 3)] == [1, 2, 3]
+    assert [bucket_width(w) for w in (4, 5, 6, 7)] == [5, 5, 5, 5]
+    assert bucket_width(8) == int(np.floor(np.log2(8))) + 3
     assert bucket_width(10 ** 6) == 9

@@ -124,10 +124,23 @@ def test_windowed_watermark_drops_late_rows(spark, tmp_path):
 
     # batch 1: one mention in the 00:00 window, plus a row far ahead that
     # advances the watermark (2-min delay) beyond the 00:00 window's end
+    def snapshot(d):
+        import os
+
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
     turn("c1", 0, "spark", "2024-01-01 00:00:10").unionByName(
         turn("c2", 0, "beta", "2024-01-01 00:10:00")
     ).coalesce(1).write.mode("append").parquet(in_dir)
+    before = snapshot(in_dir)
     ST.run_windowed_stream(spark, in_dir, out_dir, ckpt)
+    # the operator must NOT write into its source directory (the sentinel
+    # goes to a side dir): input is byte-identical after the run
+    assert snapshot(in_dir) == before
 
     # batch 2: a LATE mention for the long-closed 00:00 window -> must be
     # dropped by the watermark, not resurrect the emitted window
