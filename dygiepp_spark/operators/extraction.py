@@ -248,31 +248,25 @@ def emit_triples(turns: DataFrame, max_dist: int = RELATION_MAX_DIST) -> DataFra
     this formulation).
     """
     # token convention identical to _token_frame: positions come from the
-    # RAW split (posexplode-before-filter), empties dropped afterwards, and
-    # the '/.'/'/?' -> '.'/'?' normalization applied — so this fused path
-    # and the relational detect_mentions path agree on ANY input text
-    # (repeated spaces, normalized punctuation), not just the single-space
-    # derived corpus.
+    # RAW split (posexplode-before-filter) with empties dropped afterwards,
+    # so this fused path and the relational detect_mentions path agree on
+    # ANY input text (repeated spaces included), not just the single-space
+    # derived corpus. The '/.'/'/?' -> '.'/'?' word normalization is
+    # deliberately ABSENT here: it can never change vocab membership
+    # (normalization rewrites exactly '/.' and '/?', and neither '.' nor
+    # '?' is in ENTITY_VOCAB), so in a path that only FILTERS on the vocab
+    # it is dead weight — an extra per-token array transform measured at
+    # ~20% of this query's wall (interleaved A/B at sf0.1, BENCH/PLANS.md
+    # round 3; output identity vs the normalizing form machine-checked
+    # with two-way exceptAll). _token_frame keeps the normalization
+    # because its consumers OUTPUT token surfaces.
     raw = F.split(F.col("text"), " ")
     toks = F.filter(
         F.transform(raw, lambda t, i: F.struct(i.alias("pos"), t.alias("tok"))),
         lambda s: s["tok"] != "",
     )
     n = F.size(toks)
-    ments = F.filter(
-        F.transform(
-            toks,
-            lambda s: F.struct(
-                s["pos"].alias("pos"),
-                F.when(
-                    s["tok"].isin("/.", "/?"), F.substring(s["tok"], 2, 8)
-                )
-                .otherwise(s["tok"])
-                .alias("tok"),
-            ),
-        ),
-        lambda s: s["tok"].isin(*ENTITY_VOCAB),
-    )
+    ments = F.filter(toks, lambda s: s["tok"].isin(*ENTITY_VOCAB))
     k = F.greatest(F.ceil(F.lit(0.5) * n), F.lit(1)).cast("int")
     beamed = F.slice(ments, 1, k)
     pairs_arr = F.flatten(
