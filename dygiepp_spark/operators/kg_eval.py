@@ -756,20 +756,22 @@ def event_f1_4way(pred_events: DataFrame, gold_events: DataFrame) -> DataFrame:
     n_gold_trig = g_trig.count()
 
     # formatted argument lists: one entry per (trigger, arg) pair row,
-    # collapsed to (arg_ix, trigger_label, role) with multiplicity kept
-    arg_cols = [
-        "conv_id", "turn_idx",
-        F.col("arg_start").alias("arg_ix"), "event_type", "role",
-    ]
+    # collapsed to (arg_SPAN, trigger_label, role) with multiplicity kept —
+    # the reference's entry key is the full argument span tuple
+    # (event_metrics.py:62 ``(trigger_ix, arg_ix)`` where arg_ix is the
+    # (start, end) span), so both endpoints participate in identity
+    arg_cols = ["conv_id", "turn_idx", "arg_start", "arg_end",
+                "event_type", "role"]
     p_arg = pred_events.select(*arg_cols).localCheckpoint(eager=False)
     g_arg = gold_events.select(*arg_cols).localCheckpoint(eager=False)
     # any-match: pre-collapse gold to its distinct id-keys with the role
     # set, so one left join scores both axes without fan-out
-    g_keys = g_arg.groupBy("conv_id", "turn_idx", "arg_ix", "event_type").agg(
+    id_key = ["conv_id", "turn_idx", "arg_start", "arg_end", "event_type"]
+    g_keys = g_arg.groupBy(*id_key).agg(
         F.collect_set("role").alias("_g_roles")
     )
     arg_row = (
-        p_arg.join(g_keys, ["conv_id", "turn_idx", "arg_ix", "event_type"], "left")
+        p_arg.join(g_keys, id_key, "left")
         .agg(
             F.count(F.lit(1)).alias("n_pred_arg"),
             F.sum(

@@ -943,7 +943,7 @@ def event_f1_4way_oracle(pred_dist: int = 4, gold_dist: int = 2) -> str:
 ev AS MATERIALIZED (
     SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
            t.tok_ix AS trigger_ix, 'op_' || t.token AS event_type,
-           m.start AS arg_ix,
+           m.start AS arg_s, m."end" AS arg_e,
            CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role,
            abs(m.start - t.tok_ix) AS adist
     FROM triggers_beam t
@@ -959,10 +959,10 @@ gtrig AS MATERIALIZED (
     WHERE adist <= {gold_dist}
 ),
 parg AS MATERIALIZED (
-    SELECT conv_id, turn_idx, arg_ix, event_type, role FROM ev
+    SELECT conv_id, turn_idx, arg_s, arg_e, event_type, role FROM ev
 ),
 garg AS MATERIALIZED (
-    SELECT conv_id, turn_idx, arg_ix, event_type, role FROM ev
+    SELECT conv_id, turn_idx, arg_s, arg_e, event_type, role FROM ev
     WHERE adist <= {gold_dist}
 ),
 counts AS (
@@ -983,12 +983,12 @@ counts AS (
       (SELECT count(*) FROM parg p WHERE EXISTS (
           SELECT 1 FROM garg g
           WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
-            AND g.arg_ix = p.arg_ix
+            AND g.arg_s = p.arg_s AND g.arg_e = p.arg_e
             AND g.event_type = p.event_type)) AS tp_arg_id,
       (SELECT count(*) FROM parg p WHERE EXISTS (
           SELECT 1 FROM garg g
           WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
-            AND g.arg_ix = p.arg_ix
+            AND g.arg_s = p.arg_s AND g.arg_e = p.arg_e
             AND g.event_type = p.event_type
             AND g.role = p.role)) AS tp_arg_class
 )

@@ -70,6 +70,63 @@ def test_event_f1_4way_duplicate_entries_counted(spark):
     assert row["arg_class_f1"] == 1.0 and row["trig_id_f1"] == 1.0
 
 
+ACE_FIXTURE = "/root/reference/dygie/tests/fixtures/ace_event_article.json"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(ACE_FIXTURE),
+    reason="ACE fixture not present",
+)
+def test_event_f1_4way_ace_golden(spark):
+    """Golden regression on the reference's own ACE event fixture: pred =
+    the fixture's events; gold = the even-trigger subset with trigger
+    labels perturbed on trigger_ix % 4 == 0 and roles perturbed on
+    arg_start % 3 == 0 — so every one of the four axes scores differently
+    (id vs class on both triggers and args). Numbers frozen from this
+    code; any drift in the dict-collapse / any-match / span-key counting
+    breaks the assert."""
+    rows = []
+    for doc in J.load_jsonl(ACE_FIXTURE):
+        preds = J.doc_predictions(doc)
+        for (key, six), v in preds.items():
+            for ev in v["events"]:
+                for (s, e, role) in ev["args"]:
+                    rows.append(
+                        (key, six, ev["trigger_ix"], ev["event_type"],
+                         s, e, role, "")
+                    )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, trigger_ix int, event_type string, "
+        "arg_start int, arg_end int, role string, arg_text string",
+    )
+    gold = (
+        df.filter(F.col("trigger_ix") % 2 == 0)
+        .withColumn(
+            "event_type",
+            F.when(
+                F.col("trigger_ix") % 4 == 0,
+                F.concat(F.col("event_type"), F.lit("_X")),
+            ).otherwise(F.col("event_type")),
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("arg_start") % 3 == 0, F.lit("ROLE_X")).otherwise(
+                F.col("role")
+            ),
+        )
+    )
+    out = KE.event_f1_4way(df, gold).collect()[0]
+    assert (out["n_pred_trig"], out["n_gold_trig"]) == (17, 11)
+    assert (out["tp_trig_id"], out["tp_trig_class"]) == (11, 6)
+    assert (out["n_pred_arg"], out["n_gold_arg"]) == (29, 20)
+    assert (out["tp_arg_id"], out["tp_arg_class"]) == (8, 6)
+    assert out["trig_id_f1"] == pytest.approx(0.7857142857142858)
+    assert out["trig_class_f1"] == pytest.approx(0.42857142857142855)
+    assert out["arg_id_f1"] == pytest.approx(0.32653061224489793)
+    assert out["arg_class_f1"] == pytest.approx(0.24489795918367346)
+
+
 # ------------------------------------------------------ K9 srl_baseline
 
 def test_srl_baseline_first_stem_wins_and_leftmost_args(spark):
@@ -251,6 +308,139 @@ def test_split_documents_refuses_coref(spark):
     t = _turns(spark, _t12(2))
     with pytest.raises(NotImplementedError):
         DA.split_documents(t, max_tokens_per_doc=36, clusters=t)
+
+
+def test_split_documents_matches_sequential_greedy_random(spark):
+    """The distributed kernel equals the reference's sequential greedy
+    (document.py:203-226 transcribed in pure Python) on 30 seeded random
+    conversations with non-uniform turn lengths — one Spark job, per-conv
+    comparison."""
+    import random
+
+    rng = random.Random(7)
+    max_tok = 23
+    rows, expected = [], {}
+    for c in range(30):
+        conv = str(100 + c)
+        lens = [rng.randint(1, max_tok) for _ in range(rng.randint(1, 12))]
+        for i, ln in enumerate(lens):
+            rows.append((conv, i, " ".join(["a"] * ln)))
+        # sequential reference greedy
+        starts = [0]
+        for ln in lens[:-1]:
+            starts.append(starts[-1] + ln)
+        if sum(lens) <= max_tok:
+            for i in range(len(lens)):
+                expected[(conv, i)] = (conv, i, starts[i])
+        else:
+            g, group_len, tok_off, ix_off = 0, 0, 0, 0
+            for i, ln in enumerate(lens):
+                if group_len + ln <= max_tok:
+                    group_len += ln
+                else:
+                    g += 1
+                    tok_off, ix_off = starts[i], i
+                    group_len = ln
+                expected[(conv, i)] = (
+                    f"{conv}_SPLIT_{g}", i - ix_off, starts[i] - tok_off
+                )
+    out = DA.split_documents(
+        _turns(spark, rows), max_tokens_per_doc=max_tok
+    ).collect()
+    got = {
+        (r["conv_id"], r["orig_turn_idx"]):
+            (r["doc_key"], r["turn_idx"], r["sentence_start"])
+        for r in out
+    }
+    assert got == expected
+
+
+def test_event_f1_4way_matches_python_reference_random(spark):
+    """event_f1_4way equals a pure-Python transcription of the reference
+    EventMetrics counting (per-sentence dicts, formatted entry lists with
+    multiplicity, any-match per predicted entry) on seeded random event
+    frames."""
+    import random
+
+    rng = random.Random(13)
+    types = ["op_a", "op_b"]
+    roles = ["arg0", "arg1"]
+
+    def rand_events(n):
+        rows = set()
+        while len(rows) < n:
+            rows.add(
+                (str(rng.randint(0, 3)), rng.randint(0, 1),
+                 rng.randint(0, 6), rng.choice(types),
+                 rng.randint(0, 6), rng.randint(0, 6), rng.choice(roles))
+            )
+        return sorted(rows)
+
+    pred_rows = rand_events(60)
+    gold_rows = rand_events(45)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [r + ("",) for r in rows],
+            "conv_id string, turn_idx int, trigger_ix int, event_type "
+            "string, arg_start int, arg_end int, role string, arg_text string",
+        )
+
+    # pure-Python reference counting (event_metrics.py:46-83)
+    def counts(pred, gold):
+        def trig_dict(rows):
+            d = {}
+            for (c, t, tix, et, _s, _e, _r) in rows:
+                d[(c, t, tix)] = et
+            return d
+
+        # the frame carries one event_type per trigger by construction
+        # (labels relabelled as a function of the trigger key below), so
+        # dict entries == distinct frame triggers
+        pt, gt = trig_dict(pred), trig_dict(gold)
+        ptk = {(k, v) for k, v in pt.items()}
+        tp_id = sum(1 for (k, _v) in ptk if k in gt)
+        tp_cls = sum(1 for (k, v) in ptk if gt.get(k) == v)
+        # arguments: each (trigger, span) row is unique (deduped below),
+        # so frame rows == the reference's dict-collapsed entry list
+        pfmt = [
+            ((c, t, s, e), pt[(c, t, tix)], r)
+            for (c, t, tix, _et, s, e, r) in pred
+            if (c, t, tix) in pt
+        ]
+        gfmt = [
+            ((c, t, s, e), gt[(c, t, tix)], r)
+            for (c, t, tix, _et, s, e, r) in gold
+            if (c, t, tix) in gt
+        ]
+        a_id = sum(1 for e_ in pfmt if any(e_[:2] == g_[:2] for g_ in gfmt))
+        a_cls = sum(1 for e_ in pfmt if any(e_ == g_ for g_ in gfmt))
+        return (len(ptk), len(gt), tp_id, tp_cls,
+                len(pfmt), len(gfmt), a_id, a_cls)
+
+    # make trigger labels consistent per trigger key (operator's distinct
+    # assumes label is a function of the trigger): relabel by hash
+    def relabel(rows):
+        return [
+            (c, t, tix, types[(tix + int(c)) % 2], s, e, r)
+            for (c, t, tix, _et, s, e, r) in rows
+        ]
+
+    pred_rows, gold_rows = relabel(pred_rows), relabel(gold_rows)
+    # dedupe (trigger, span) per side like the reference dicts
+    def ded(rows):
+        d = {}
+        for row in rows:
+            d[(row[0], row[1], row[2], row[4], row[5])] = row
+        return sorted(d.values())
+
+    pred_rows, gold_rows = ded(pred_rows), ded(gold_rows)
+    exp = counts(pred_rows, gold_rows)
+    out = KE.event_f1_4way(frame(pred_rows), frame(gold_rows)).collect()[0]
+    got = (out["n_pred_trig"], out["n_gold_trig"], out["tp_trig_id"],
+           out["tp_trig_class"], out["n_pred_arg"], out["n_gold_arg"],
+           out["tp_arg_id"], out["tp_arg_class"])
+    assert got == exp
 
 
 def test_split_documents_roundtrip_preserves_text(spark):
