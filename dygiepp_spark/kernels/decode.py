@@ -33,14 +33,28 @@ import numpy as np
 MAX_SPAN_WIDTH = 8
 
 
+_SPAN_CACHE: dict = {}
+
+
 def enumerate_spans(n_tokens: int, max_width: int = MAX_SPAN_WIDTH) -> np.ndarray:
-    """(S, 2) int array of inclusive spans in (start asc, end asc) order."""
-    out = [
-        (s, e)
-        for s in range(n_tokens)
-        for e in range(s, min(s + max_width, n_tokens))
-    ]
-    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+    """(S, 2) int array of inclusive spans in (start asc, end asc) order.
+
+    Memoized per (n_tokens, max_width): sentence lengths repeat heavily
+    (the kernel decodes thousands of short sentences per task), so the
+    grid is built once per distinct length. Callers treat it read-only
+    (fancy indexing copies)."""
+    key = (n_tokens, max_width)
+    cached = _SPAN_CACHE.get(key)
+    if cached is None:
+        out = [
+            (s, e)
+            for s in range(n_tokens)
+            for e in range(s, min(s + max_width, n_tokens))
+        ]
+        cached = np.asarray(out, dtype=np.int64).reshape(-1, 2)
+        if len(_SPAN_CACHE) < 4096:
+            _SPAN_CACHE[key] = cached
+    return cached
 
 
 def topk_prune(scores: np.ndarray, spans_per_word: float, n_tokens: int,

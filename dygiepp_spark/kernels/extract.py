@@ -64,7 +64,8 @@ def _decode_sentence(scorer: Scorer, conv_id: str, turn_idx: int, tokens: list[s
     #     the relation pruner (relation.py:112-130); the event beams keep
     #     the un-propagated head, matching events' separate trigger/arg
     #     scorers
-    prune = scorer.span_prune_scores(ctx, spans)
+    base_prune = scorer.span_prune_scores(ctx, spans)
+    prune = base_prune
     if coref_prop > 0:
         cands = scorer.coref_antecedents(ctx, spans)
         if cands is not None:
@@ -88,9 +89,10 @@ def _decode_sentence(scorer: Scorer, conv_id: str, turn_idx: int, tokens: list[s
         scorer.trigger_prune_scores(ctx, n),
         TRIGGER_SPANS_PER_WORD, n, hard_cap=TRIGGER_CAP, mode="floor",
     )
-    arg_prune = scorer.span_prune_scores(ctx, spans)
+    # the event beams keep the UN-propagated span scores (separate
+    # trigger/arg scorers in the reference) — reuse the base computation
     arg_ix = D.topk_prune(
-        arg_prune, ARG_SPANS_PER_WORD, n, hard_cap=ARG_CAP, mode="floor"
+        base_prune, ARG_SPANS_PER_WORD, n, hard_cap=ARG_CAP, mode="floor"
     )
     arg_spans = spans[arg_ix]
     triggers, arguments = D.decode_events(
@@ -107,26 +109,47 @@ def _decode_sentence(scorer: Scorer, conv_id: str, turn_idx: int, tokens: list[s
         out.append((conv_id, turn_idx, "argument", tix, tix, s, e, role, raw, soft))
 
 
+_OUT_COLS = [
+    "conv_id", "turn_idx", "row_type", "s1", "e1", "s2", "e2",
+    "label", "raw_score", "softmax_score",
+]
+
+
 def extract(
     turns: DataFrame,
     scorer: Scorer,
     max_span_width: int = D.MAX_SPAN_WIDTH,
     max_tokens_per_chunk: int = 500,
     coref_prop: int = 0,
+    doc_grouped: bool = False,
 ) -> DataFrame:
     """Run the extraction kernel over all conversations.
 
-    One shuffle (groupBy chunk_key); group sizes bounded by
+    One shuffle (on chunk_key); group sizes bounded by
     ``max_tokens_per_chunk`` so no conversation stragglers.
     ``coref_prop``: rounds of M17 coref propagation applied to the span
     scores before the relation beam (reference default 0/1,
     template.libsonnet:95, scierc.jsonnet:17-23).
+
+    Two physical forms, identical output (measured and exceptAll-checked):
+
+    * ``doc_grouped=False`` (default) — ``mapInPandas`` over partitions
+      repartitioned on chunk_key and SORTED (chunk_key, turn_idx), so
+      sentences still arrive doc-contiguous and in order (the B1
+      invariant) but one Arrow batch carries thousands of sentences
+      instead of one tiny pandas frame per chunk. The per-group pandas
+      overhead of applyInPandas dominated the kernel wall (measured 28 s
+      -> 9 s at sf0.1, ~5k small chunks): every in-tree scorer is
+      sentence-local, so whole-chunk materialization buys nothing.
+    * ``doc_grouped=True`` — the original ``applyInPandas`` per-chunk
+      grouping. REQUIRED for a scorer with cross-sentence state (e.g. a
+      transformer consuming chunk context), because an Arrow batch split
+      can straddle a chunk in the mapInPandas form.
     """
     chunked = assign_chunks(turns, max_tokens_per_chunk)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def decode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         rows: list = []
-        pdf = pdf.sort_values("turn_idx")
         for conv_id, turn_idx, text in zip(
             pdf["conv_id"], pdf["turn_idx"], pdf["text"]
         ):
@@ -135,15 +158,24 @@ def extract(
                 scorer, conv_id, int(turn_idx), tokens, max_span_width, rows,
                 coref_prop=coref_prop,
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id", "turn_idx", "row_type", "s1", "e1", "s2", "e2",
-                "label", "raw_score", "softmax_score",
-            ],
-        )
+        return pd.DataFrame(rows, columns=_OUT_COLS)
 
-    return chunked.groupBy("chunk_key").applyInPandas(kernel, EXTRACT_SCHEMA)
+    if doc_grouped:
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return decode_rows(pdf.sort_values("turn_idx"))
+
+        return chunked.groupBy("chunk_key").applyInPandas(kernel, EXTRACT_SCHEMA)
+
+    stream = chunked.repartition("chunk_key").sortWithinPartitions(
+        "chunk_key", "turn_idx"
+    )
+
+    def kernel_stream(batches):
+        for pdf in batches:
+            yield decode_rows(pdf)
+
+    return stream.mapInPandas(kernel_stream, EXTRACT_SCHEMA)
 
 
 def kernel_triples(extracted: DataFrame, turns: DataFrame) -> DataFrame:

@@ -90,6 +90,15 @@ def test_kernel_matches_relational_triples(spark, small_turns):
     assert kern == rel
 
 
+def test_kernel_grouped_form_matches_streamed_form(spark, small_turns):
+    """The applyInPandas per-chunk form (doc_grouped=True, for
+    cross-sentence scorers) and the default mapInPandas streamed form must
+    produce identical rows."""
+    a = K.extract(small_turns, RuleScorer())
+    b = K.extract(small_turns, RuleScorer(), doc_grouped=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_kernel_matches_relational_mentions(spark, small_turns):
     extracted = K.extract(small_turns, RuleScorer())
     kern = {
