@@ -590,6 +590,28 @@ def q_streaming_mentions(spark, sf_dir):
     return _consume_and_remove(spark.read.parquet(out_dir), base)
 
 
+def q_streaming_triples(spark, sf_dir):
+    """Micro-batch triple extraction through the foreachBatch pipeline
+    with the idempotent batch_id-partitioned sink. The drop dir is
+    partitioned BY CONVERSATION (8 conv-hashed files, 2 per micro-batch),
+    so no conversation straddles a batch and the union of per-batch
+    triple sets equals the batch pipeline's output — the oracle is the
+    batch triples SQL."""
+    base = f"/root/repo/.tmp/stream_tri_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    _turns(spark, sf_dir).repartition(8, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    ST.run_triples_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    return _consume_and_remove(
+        spark.read.parquet(out_dir).select(
+            "conv_id", "sent_text", "arg0", "arg1", "label", "conf"
+        ),
+        base,
+    )
+
+
 def q_streaming_assembly(spark, sf_dir):
     """Stateful streaming doc-assembly (applyInPandasWithState keyed on
     conv_id): conversations are hash-spread over multiple input files and
@@ -641,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_assembly": q_streaming_assembly,
         "streaming_windowed": q_streaming_windowed,
         "streaming_mentions": q_streaming_mentions,
+        "streaming_triples": q_streaming_triples,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
@@ -688,9 +711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_transitive": q_gold_transitive,
         "collate": q_collate,
         "dedup_exact": q_dedup_exact,
-        "near_dups_minhash": q_near_dups_minhash,
         # ---- entries beyond the 50-query harness window: all green in
         # CORRECTNESS_r02 with operator code untouched since ----
+        "near_dups_minhash": q_near_dups_minhash,
         "near_dups_simhash": q_near_dups_simhash,
         "ie_eval_substring": q_ie_eval_substring,
         "ie_eval_reverse": q_ie_eval_reverse,
@@ -786,4 +809,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_mentions": oracles.mentions_oracle(),
         "streaming_assembly": oracles.doc_assembly_oracle(),
         "streaming_windowed": oracles.windowed_mention_counts_oracle(window_sec=4),
+        "streaming_triples": oracles.triples_oracle(),
     }

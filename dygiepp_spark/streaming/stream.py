@@ -46,11 +46,13 @@ TURNS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stream_turns(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_turns(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of turn rows (parquet drop directory)."""
     return (
         spark.readStream.schema(TURNS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -79,7 +81,8 @@ def run_mentions_stream(
 
 
 def run_triples_stream(
-    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
 ) -> None:
     """Micro-batch triple extraction via foreachBatch: each batch runs the
     FULL batch pipeline (beams + pair join + dedup) into a batch_id-
@@ -109,7 +112,7 @@ def run_triples_stream(
         )
 
     q = (
-        stream_turns(spark, input_dir)
+        stream_turns(spark, input_dir, max_files_per_trigger)
         .writeStream.foreachBatch(_emit)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
