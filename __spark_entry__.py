@@ -495,6 +495,17 @@ def q_csv_ingest(spark, sf_dir):
     return _consume_and_remove(JS.ingest_metadata_csv(spark, base), base)
 
 
+def q_json_ingest(spark, sf_dir):
+    """S6 article-JSON ingest (preprocess.py:142-190): CORD-19-style
+    article objects (derived deterministically from the documents table)
+    are scanned back with the abstract/metadata-fallback/skip rules and
+    tokenized into doc rows; the oracle derives the same rows from the
+    documents view."""
+    base = f"/root/repo/.tmp/artjson_{uuid.uuid4().hex[:8]}"
+    JS.write_article_json(_docs(spark, sf_dir), base)
+    return _consume_and_remove(JS.ingest_article_json(spark, base), base)
+
+
 def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -676,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
         "csv_ingest": q_csv_ingest,
+        "json_ingest": q_json_ingest,
         "eval_grid": q_eval_grid,
         "coref_mention_recall": q_coref_mention_recall,
         "doc_split": q_doc_split,
@@ -710,9 +722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_topk": q_triples_topk,
         "gold_transitive": q_gold_transitive,
         "collate": q_collate,
-        "dedup_exact": q_dedup_exact,
         # ---- entries beyond the 50-query harness window: all green in
         # CORRECTNESS_r02 with operator code untouched since ----
+        "dedup_exact": q_dedup_exact,
         "near_dups_minhash": q_near_dups_minhash,
         "near_dups_simhash": q_near_dups_simhash,
         "ie_eval_substring": q_ie_eval_substring,
@@ -781,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "event_f1_4way": oracles_kg.event_f1_4way_oracle(),
         "baseline_srl": oracles_kg.baseline_srl_oracle(),
         "csv_ingest": oracles.csv_ingest_oracle(),
+        "json_ingest": oracles.json_ingest_oracle(),
         "eval_grid": oracles_kg.eval_grid_oracle(),
         "coref_mention_recall": oracles_kg.coref_mention_recall_oracle(),
         "doc_split": oracles.doc_split_oracle(max_tokens=36),

@@ -194,6 +194,29 @@ WHERE rel.e1 - rel.s1 + 1 <= {max_span_width}
   AND rel.e2 - rel.s2 + 1 <= {max_span_width}"""
 
 
+def json_ingest_oracle() -> str:
+    """S6 twin of write_article_json -> ingest_article_json, derived
+    straight from the documents view: the %43 (no_abstract) and %47
+    (no_body) rows are skipped, the %41 rows go through the metadata
+    fallback (observably upper-cased), doc_key = paper_id:abstract."""
+    return """
+SELECT CAST(doc_id AS VARCHAR) || ':abstract' AS doc_key,
+       'Abstract' AS section,
+       CAST(len(list_filter(string_split(src, ' '), x -> x <> '')) AS INT)
+         AS n_tokens,
+       array_to_string(list_filter(string_split(src, ' '), x -> x <> ''), ' ')
+         AS text
+FROM (
+    SELECT doc_id,
+           CASE WHEN CAST(doc_id AS BIGINT) % 41 = 0 THEN upper(text)
+                ELSE text END AS src
+    FROM documents
+    WHERE CAST(doc_id AS BIGINT) % 43 <> 0
+      AND CAST(doc_id AS BIGINT) % 47 <> 0
+)
+WHERE src <> '' AND src IS NOT NULL"""
+
+
 def doc_assembly_oracle() -> str:
     return f"""WITH {TURNS_SQL.strip()}
 SELECT conv_id,

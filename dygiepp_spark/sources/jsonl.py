@@ -318,6 +318,98 @@ def ingest_metadata_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_article_json(docs: DataFrame, path: str) -> None:
+    """Derive a CORD-19-style article-JSON corpus (one JSON object per
+    line) from the documents table — the S6 ``process_article`` input
+    shape (preprocess.py:142-190): ``paper_id``, ``metadata.abstract``,
+    ``abstract`` (list of {text} blocks), ``body_text``.
+
+    Deterministic branch triggers so every reference code path is
+    exercised on real rows:
+
+    * ``doc_id % 41 == 0`` — ``abstract`` EMPTY, ``metadata.abstract``
+      carries the (upper-cased) text -> the metadata fallback path
+      (preprocess.py:152-160) must fire, observably (upper-case output);
+    * ``doc_id % 43 == 0`` — no abstract anywhere -> skipped (no_abstract);
+    * ``doc_id % 47 == 0`` — empty ``body_text`` -> skipped (no_body).
+    """
+    import pyspark.sql.functions as F
+
+    did = F.col("doc_id").cast("bigint")
+    obj = F.to_json(
+        F.struct(
+            F.col("doc_id").cast("string").alias("paper_id"),
+            F.struct(
+                F.when(
+                    (did % 41 == 0) & (did % 43 != 0), F.upper(F.col("text"))
+                ).alias("abstract")
+            ).alias("metadata"),
+            F.when(
+                (did % 41 != 0) & (did % 43 != 0),
+                F.array(F.struct(F.col("text").alias("text"))),
+            ).otherwise(F.array().cast("array<struct<text:string>>")).alias(
+                "abstract"
+            ),
+            F.when(
+                did % 47 != 0,
+                F.array(F.struct(F.lit("body").alias("text"))),
+            ).otherwise(F.array().cast("array<struct<text:string>>")).alias(
+                "body_text"
+            ),
+        )
+    )
+    docs.select(obj.alias("value")).write.mode("overwrite").text(path)
+
+
+def ingest_article_json(spark: SparkSession, path: str) -> DataFrame:
+    """S6 article-JSON ingest (preprocess.py:142-190 ``process_article``
+    + ``process_abstract``): distributed scan of one-object-per-line
+    article JSON; per article — prefer ``abstract`` blocks, fall back to
+    ``metadata.abstract``, skip when neither exists (no_abstract) or when
+    ``body_text`` is empty (no_body); tokenize the first abstract block
+    (whitespace stand-in for the spaCy sentencizer, same documented
+    boundary as the CSV path) into::
+
+        doc_key = <paper_id>:abstract, section = 'Abstract'
+
+    Parsing runs in mapInPandas over ``spark.read.text`` (the same
+    Arrow-batched pattern as the DyGIE JSONL scan — heterogeneous
+    optional fields defeat spark.read.json schema inference).
+    """
+    raw = spark.read.text(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                if not line.strip():
+                    continue
+                data = json.loads(line)
+                paper_id = data["paper_id"]
+                abstract = data.get("abstract") or []
+                if abstract:
+                    text = abstract[0].get("text", "")
+                else:
+                    meta = data.get("metadata") or {}
+                    text = meta.get("abstract") or ""
+                if not text:
+                    continue  # no_abstract (preprocess.py:155-157)
+                if not data.get("body_text"):
+                    continue  # no_body (preprocess.py:166-168)
+                toks = [t for t in text.split(" ") if t != ""]
+                rows.append(
+                    (f"{paper_id}:abstract", "Abstract", len(toks),
+                     " ".join(toks))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_key", "section", "n_tokens", "text"]
+            )
+
+    return raw.mapInPandas(
+        parse, "doc_key string, section string, n_tokens int, text string"
+    )
+
+
 def write_triples_tsv(df: DataFrame, path: str) -> None:
     """S3 TSV triple sink (predict.py:36-42 column order)."""
     df.select("conv_id", "sent_text", "arg0", "arg1", "label", "conf").write.mode(

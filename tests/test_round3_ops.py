@@ -179,6 +179,23 @@ def test_csv_ingest_roundtrip_and_skip_rule(spark, tmp_path):
     assert got["5_abstract"]["text"] == "gamma delta"
 
 
+def test_json_ingest_fallback_and_skip_rules(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (41, "meta fallback"), (43, "no abstract"),
+         (47, "no body"), (2, "gamma")],
+        "doc_id bigint, text string",
+    )
+    base = str(tmp_path / "articles")
+    J.write_article_json(docs, base)
+    got = {r["doc_key"]: r for r in J.ingest_article_json(spark, base).collect()}
+    # 43 -> no_abstract skip; 47 -> no_body skip
+    assert set(got) == {"1:abstract", "41:abstract", "2:abstract"}
+    # 41 went through the metadata fallback — observably upper-cased
+    assert got["41:abstract"]["text"] == "META FALLBACK"
+    assert got["1:abstract"]["text"] == "alpha beta"
+    assert got["1:abstract"]["n_tokens"] == 2
+
+
 # ------------------------------------------------------ eval grid
 
 def test_eval_grid_cells_match_single_cell_operators(spark, sf_dir):
