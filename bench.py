@@ -40,13 +40,10 @@ SYNTH_MAX_TURNS = int(os.environ.get("BENCH_SYNTH_MAX_TURNS", "2000"))
 BENCH_REPS = int(os.environ.get("BENCH_REPS", "2"))
 
 
-def run_query(fn, spark, sf_dir) -> tuple[float, int]:
-    best, n = float("inf"), 0
-    for _ in range(BENCH_REPS):
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        best = min(best, time.time() - t0)
-    return best, n
+def run_query(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).count()
+    return time.time() - t0
 
 
 def main() -> None:
@@ -62,26 +59,31 @@ def main() -> None:
 
     qs = entry_mod.queries()
     bench_names = [n for n in qs if n in BENCH_QUERIES]
-    timings: dict[str, float] = {}
     t_total0 = time.time()
-    for name in bench_names:
-        sec, _ = run_query(qs[name], spark, sf_dir)
-        timings[name] = round(sec, 3)
 
-    # synthetic transcript throughput: full pipeline turns -> triples.
-    # The generated frame is materialized first (localCheckpoint) so the
-    # timing measures the ENGINE over stored turns — matching production,
-    # where turns come off Iceberg — not the row generator.
+    # synthetic throughput probe input: materialized first (localCheckpoint)
+    # so the timing measures the ENGINE over stored turns — matching
+    # production, where turns come off Iceberg — not the row generator
     turns = TT.synth_turns(
         spark, n_convs=SYNTH_CONVS, max_turns=SYNTH_MAX_TURNS
     ).localCheckpoint(eager=True)
     n_turns = turns.count()
-    synth_sec = float("inf")
+
+    # reps run as PASSES over the whole query list (pass 1 all queries,
+    # pass 2 all queries, ... best per query across passes): this host
+    # throttles in multi-minute bursts, and back-to-back reps of one query
+    # sit inside the same burst — time-separated passes give each query a
+    # real second chance (see BENCH/BASELINE.md noise notes)
+    walls: dict[str, list[float]] = {n: [] for n in bench_names}
+    walls["synth_triples"] = []
     for _ in range(BENCH_REPS):
+        for name in bench_names:
+            walls[name].append(run_query(qs[name], spark, sf_dir))
         t0 = time.time()
         EX.emit_triples(turns).count()
-        synth_sec = min(synth_sec, time.time() - t0)
-    timings["synth_triples"] = round(synth_sec, 3)
+        walls["synth_triples"].append(time.time() - t0)
+    timings = {n: round(min(w), 3) for n, w in walls.items()}
+    synth_sec = timings["synth_triples"]
     turns_per_sec = n_turns / synth_sec if synth_sec > 0 else 0.0
 
     # headline = sum of per-query best walls (directly comparable across
