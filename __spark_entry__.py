@@ -76,6 +76,15 @@ def q_doc_assembly(spark, sf_dir):
     ).select("conv_id", "n_turns", "doc_text")
 
 
+def q_doc_assembly_salted(spark, sf_dir):
+    """A2 salted two-phase assembly (the north rule's skew defusal for
+    long-conversation tails) — output contract identical to doc_assembly,
+    checked against the SAME oracle."""
+    return DA.assemble_documents_salted(
+        TT.turns_from_documents(spark, sf_dir, with_ts=True)
+    ).select("conv_id", "n_turns", "doc_text")
+
+
 def q_sentence_offsets(spark, sf_dir):
     return DA.with_sentence_offsets(_turns(spark, sf_dir)).select(
         "conv_id", "turn_idx", "n_tokens", "sentence_start"
@@ -691,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_grid": q_eval_grid,
         "coref_mention_recall": q_coref_mention_recall,
         "doc_split": q_doc_split,
+        "doc_assembly_salted": q_doc_assembly_salted,
         "triples_replay": q_triples_replay,
         # (c) operator code changed this round
         "micro_prf_namespaced": q_micro_prf_namespaced,
@@ -721,9 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "micro_prf": q_micro_prf,
         "triples_topk": q_triples_topk,
         "gold_transitive": q_gold_transitive,
-        "collate": q_collate,
         # ---- entries beyond the 50-query harness window: all green in
         # CORRECTNESS_r02 with operator code untouched since ----
+        "collate": q_collate,
         "dedup_exact": q_dedup_exact,
         "near_dups_minhash": q_near_dups_minhash,
         "near_dups_simhash": q_near_dups_simhash,
@@ -753,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "turns": oracles.turns_oracle(),
         "doc_assembly": oracles.doc_assembly_oracle(),
+        "doc_assembly_salted": oracles.doc_assembly_oracle(),
         "sentence_offsets": oracles.sentence_offsets_oracle(),
         "mentions": oracles.mentions_oracle(),
         "span_enum": oracles.span_enum_oracle(),

@@ -78,6 +78,43 @@ def assemble_documents(turns: DataFrame) -> DataFrame:
     )
 
 
+def assemble_documents_salted(turns: DataFrame, n_salts: int = 8) -> DataFrame:
+    """A2 with SALTED two-phase aggregation — the skew defusal the north
+    rule prescribes for long-conversation tails.
+
+    A plain ``groupBy(conv_id).collect_list`` sends every turn of a hot
+    conversation (the Zipf head: one conv can be 10^6 turns) through ONE
+    reducer task. Salting splits phase 1 on ``(conv_id, turn_idx % n)``,
+    so the collect+sort work of a hot conversation spreads over ``n``
+    reducers; phase 2 merges the n pre-sorted partial arrays per conv —
+    its shuffle carries one combined row per (conv, salt), i.e. n rows
+    per conversation regardless of length, and ``array_sort`` over the
+    flattened structs is the merge. Output is IDENTICAL to
+    :func:`assemble_documents` (same schema, same ordering) — asserted by
+    tests on the skewed synthetic corpus.
+
+    The final per-doc row still lands on one task (it IS one row); what
+    salting bounds is the shuffle fan-in and sort cost per task. At
+    10^12 turns, pick n_salts ~ ceil(p99 conv length / target rows per
+    task).
+    """
+    part = turns.groupBy(
+        "conv_id", F.pmod(F.col("turn_idx"), F.lit(n_salts)).alias("_salt")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
+        ).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = part.groupBy("conv_id").agg(
+        F.array_sort(F.flatten(F.collect_list("t"))).alias("turns"),
+        F.sum("n").cast("int").alias("n_turns"),
+    )
+    return merged.withColumn(
+        "doc_text", F.array_join(F.transform(F.col("turns"), lambda t: t["text"]), " ")
+    )
+
+
 def explode_documents(docs: DataFrame) -> DataFrame:
     """A1: inverse of assemble_documents — back to per-turn rows."""
     return docs.select(

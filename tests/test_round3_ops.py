@@ -179,6 +179,22 @@ def test_csv_ingest_roundtrip_and_skip_rule(spark, tmp_path):
     assert got["5_abstract"]["text"] == "gamma delta"
 
 
+def test_salted_assembly_equals_plain_on_skewed_corpus(spark):
+    """assemble_documents_salted must equal the one-phase assembly on the
+    Zipf-skewed synthetic corpus (the exact workload salting exists for),
+    including a salt count that does NOT divide the conversation lengths."""
+    from dygiepp_spark import tables as TT
+
+    turns = TT.synth_turns(spark, n_convs=40, max_turns=97).localCheckpoint()
+    plain = DA.assemble_documents(turns).select("conv_id", "n_turns", "doc_text")
+    for n_salts in (3, 8):
+        salted = DA.assemble_documents_salted(turns, n_salts).select(
+            "conv_id", "n_turns", "doc_text"
+        )
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
 def test_json_ingest_fallback_and_skip_rules(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (41, "meta fallback"), (43, "no abstract"),
