@@ -128,6 +128,7 @@ BENCH_QUERIES = {
     "mentions",
     "span_enum",
     "triples",
+    "triples_kernel",
     "events_binary",
     # linking + graph materialization (broadcast joins + rollup)
     "kg_edges_agg",

@@ -412,7 +412,6 @@ def eval_grid(
     gold: DataFrame,
     metrics: tuple = ("exact", "substring", "rouge"),
     topks: tuple = (50, 100, 150, 200),
-    topk_metric: str = "substring",
 ) -> DataFrame:
     """The reference's evaluation grid sweep (eval_metric.py:142-214):
     one job producing the (match_metric x collapse x topK) stats frame
@@ -429,12 +428,14 @@ def eval_grid(
     upstream extraction runs once, not once per cell.
 
     Output rows: (kind='rel', metric, collapse, topk=NULL, full counts +
-    P/R/F1), (kind='span', metric, collapse=NULL, ...), (kind='p_at_k',
-    metric=topk_metric, collapse=false, topk=k, precision only — the
-    reference's ``p_at_k`` loop, eval_metric.py:155-163). All joins are
-    conv_id equi-joins; the only global exchange is the distributed
-    k-th-score prefilter feeding the ranked join (bounded at max(topks)
-    rows plus ties).
+    P/R/F1), (kind='span', metric, collapse=NULL, ...), and (kind=
+    'p_at_k', metric, collapse=false, topk=k, precision only) for EVERY
+    metric x k — the reference's ``p_at_k`` loop runs inside each metric
+    cell (eval_metric.py:155-163). The rank cut is computed ONCE (shared
+    ranked frame); each metric adds one ranked join with per-k
+    conditional counts. All joins are conv_id equi-joins; the only global
+    exchange is the distributed k-th-score prefilter feeding the ranked
+    frame (bounded at max(topks) rows plus ties).
     """
     pred = pred.select(
         "conv_id", "arg0", "arg1", "label", "conf"
@@ -515,7 +516,8 @@ def eval_grid(
              prec, rec, f1)
         )
 
-    # P@K cells: one ranked join, conditional counts per k
+    # P@K cells: one shared ranked frame; per metric one ranked join with
+    # conditional counts per k
     from dygiepp_spark.operators.pruning import kth_score_threshold
 
     max_k = max(topks)
@@ -528,31 +530,33 @@ def eval_grid(
     ranked = (
         survivors.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_k)
+        .localCheckpoint(eager=False)
         .alias("p")
     )
-    mt = _METRICS[topk_metric]
-    tk_join = ranked.join(
-        g,
-        on=[
-            F.col("p.conv_id") == F.col("g.conv_id"),
-            mt(F.col("p.arg0"), F.col("g.arg0")),
-            mt(F.col("p.arg1"), F.col("g.arg1")),
-            F.col("p.label") == F.col("g.label"),
-        ],
-    )
-    c = tk_join.agg(
-        *[
-            F.count_distinct(F.when(F.col("_rn") <= k, pk)).alias(f"tp_{k}")
-            for k in topks
-        ]
-    ).collect()[0]
-    for k in topks:
-        k_eff = min(k, n_pred_rows)
-        tp = c[f"tp_{k}"]
-        rows.append(
-            ("p_at_k", topk_metric, False, k, k_eff, None, tp, None,
-             tp / max(k_eff, 1), None, None)
+    for metric in metrics:
+        mt = _METRICS[metric]
+        tk_join = ranked.join(
+            g,
+            on=[
+                F.col("p.conv_id") == F.col("g.conv_id"),
+                mt(F.col("p.arg0"), F.col("g.arg0")),
+                mt(F.col("p.arg1"), F.col("g.arg1")),
+                F.col("p.label") == F.col("g.label"),
+            ],
         )
+        c = tk_join.agg(
+            *[
+                F.count_distinct(F.when(F.col("_rn") <= k, pk)).alias(f"tp_{k}")
+                for k in topks
+            ]
+        ).collect()[0]
+        for k in topks:
+            k_eff = min(k, n_pred_rows)
+            tp = c[f"tp_{k}"]
+            rows.append(
+                ("p_at_k", metric, False, k, k_eff, None, tp, None,
+                 tp / max(k_eff, 1), None, None)
+            )
 
     spark = pred.sparkSession
     return spark.createDataFrame(

@@ -642,7 +642,6 @@ def ie_eval_head_oracle() -> str:
 def eval_grid_oracle(
     metrics: tuple = ("exact", "substring", "rouge"),
     topks: tuple = (50, 100, 150, 200),
-    topk_metric: str = "substring",
     rouge_thresh: float = 0.3,
 ) -> str:
     """Twin of kg_eval.eval_grid: every (metric x collapse) relation cell,
@@ -712,13 +711,14 @@ def eval_grid_oracle(
             f"CAST(tp AS BIGINT), CAST(tp_recall AS BIGINT), "
             f"{prec}, {rec}, {f1} FROM {cn}"
         )
-    mk = (
-        f"({arg_match(topk_metric, 'p.arg0', 'g.arg0')}) "
-        f"AND ({arg_match(topk_metric, 'p.arg1', 'g.arg1')})"
-    )
-    for k in topks:
-        cn = f"c_topk_{k}"
-        ctes.append(f"""{cn} AS (
+    for metric in metrics:
+        mk = (
+            f"({arg_match(metric, 'p.arg0', 'g.arg0')}) "
+            f"AND ({arg_match(metric, 'p.arg1', 'g.arg1')})"
+        )
+        for k in topks:
+            cn = f"c_topk_{metric}_{k}"
+            ctes.append(f"""{cn} AS (
     SELECT
       least({k}, (SELECT v FROM nrows)) AS n_pred,
       (SELECT count(*) FROM (SELECT DISTINCT p.conv_id, p.arg0, p.arg1
@@ -726,12 +726,12 @@ def eval_grid_oracle(
             ON p.conv_id = g.conv_id AND ({mk})
            AND p.label = g.label AND p.rn <= {k})) AS tp
 )""")
-        branches.append(
-            f"SELECT 'p_at_k', '{topk_metric}', FALSE, CAST({k} AS INT), "
-            f"CAST(n_pred AS BIGINT), CAST(NULL AS BIGINT), "
-            f"CAST(tp AS BIGINT), CAST(NULL AS BIGINT), "
-            f"{prec}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM {cn}"
-        )
+            branches.append(
+                f"SELECT 'p_at_k', '{metric}', FALSE, CAST({k} AS INT), "
+                f"CAST(n_pred AS BIGINT), CAST(NULL AS BIGINT), "
+                f"CAST(tp AS BIGINT), CAST(NULL AS BIGINT), "
+                f"{prec}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM {cn}"
+            )
 
     shared = f"""tripm AS MATERIALIZED (SELECT * FROM triples),
 goldcm AS MATERIALIZED (SELECT * FROM gold_ctx),

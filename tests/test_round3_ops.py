@@ -226,8 +226,8 @@ def test_eval_grid_cells_match_single_cell_operators(spark, sf_dir):
         (r["kind"], r["metric"], r["collapse"], r["topk"]): r
         for r in KE.eval_grid(pred, gold, topks=(25, 50)).collect()
     }
-    # 6 rel + 3 span + 2 p@k cells
-    assert len(grid) == 11
+    # 6 rel + 3 span + 3x2 p@k cells
+    assert len(grid) == 15
     # the exact/collapse=False cell equals the standalone ie_eval
     single = KE.ie_eval(pred, gold, "exact").collect()[0]
     cell = grid[("rel", "exact", False, None)]
