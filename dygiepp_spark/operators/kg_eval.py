@@ -981,3 +981,155 @@ def transitive_closure(
             .agg(F.max("conf").alias("conf"))
         ).localCheckpoint(eager=False)
     return closure
+
+
+def ie_errors(
+    pred: DataFrame,
+    gold: DataFrame,
+    docs: DataFrame,
+    metric: str = "substring",
+    collapse: bool = False,
+) -> DataFrame:
+    """Error listing for low-agreement documents (``ie_errors``,
+    eval_utils.py:946-1020).
+
+    For every document whose matched (gold, pred) pair count is below
+    half its prediction count (``found_count / len(preds) < 0.5``,
+    eval_utils.py:1003), emit one row per gold relation (pred columns
+    blank) and one row per unmatched prediction whose argument pair does
+    not shadow a gold pair (gold columns blank) — the frame the reference
+    writes to ``errors_non_collapse.tsv`` for manual inspection.
+
+    Inputs: ``pred`` (conv_id, arg0, arg1, label, conf), ``gold``
+    (conv_id, arg0, arg1, label) — pass gold through
+    :func:`transitive_closure` first to mirror the reference's
+    ``transivity=True`` default (note the closure rows carry NO label
+    there: ``new_data['rel']: [...]`` at eval_utils.py:484-489 is an
+    annotated expression statement, not an assignment, so the added rows
+    get NaN labels and only ever match under ``collapse=True``) — and
+    ``docs`` (conv_id, doc_text) for the text column carried on every
+    row (eval_utils.py:1008-1016 takes the doc's first gold text).
+
+    Documented deviations from the reference loop, both determinism
+    fixes: (1) ``pred_matched`` accumulates ACROSS documents there (a
+    loop-order artifact that lets doc A's match suppress doc B's error
+    row for the same surface pair); matched-ness here is per
+    (conv_id, arg0, arg1). (2) duplicate predictions per argument pair
+    keep the max-conf row, tie broken on label (the reference keeps the
+    first row of the conf-sorted frame, whose order among ties is
+    unspecified).
+
+    Scale shape: two equi-joins on conv_id with post-probe span
+    predicates (same as K3), two per-doc hash aggregates, semi/anti
+    joins on (conv_id, arg0, arg1) — all shuffle on conv_id-rooted keys;
+    nothing global, no windows over the corpus (the dedup window is
+    partitioned per argument pair).
+    """
+    m = _METRICS[metric]
+    p = pred.select("conv_id", "arg0", "arg1", "label", "conf").localCheckpoint(
+        eager=False
+    )
+    g = gold.select("conv_id", "arg0", "arg1", "label").localCheckpoint(
+        eager=False
+    )
+    arg_match = m(F.col("p.arg0"), F.col("g.arg0")) & m(
+        F.col("p.arg1"), F.col("g.arg1")
+    )
+    cond = [F.col("p.conv_id") == F.col("g.conv_id"), arg_match]
+    if not collapse:
+        cond.append(F.col("p.label") == F.col("g.label"))
+    # reused by the found-count agg AND the matched-pred anti-join — pin it
+    matches = (
+        p.alias("p")
+        .join(g.alias("g"), on=cond)
+        .select(
+            F.col("p.conv_id").alias("conv_id"),
+            F.col("p.arg0").alias("pa0"),
+            F.col("p.arg1").alias("pa1"),
+            F.col("g.arg0").alias("ga0"),
+            F.col("g.arg1").alias("ga1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # found_count: distinct matched (gold, pred) argument quadruples per doc
+    # (seen_pred_gold dedup, eval_utils.py:995-999)
+    found = (
+        matches.distinct()
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_fc"))
+    )
+    n_pred = p.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_np"))
+    # only docs present in BOTH frames enter the loop (eval_utils.py:974-975);
+    # 2*fc < np is the integer form of fc/np < 0.5
+    bad = (
+        n_pred.join(g.select("conv_id").distinct(), "conv_id")
+        .join(found, "conv_id", "left")
+        .filter(F.coalesce(F.col("_fc"), F.lit(0)) * 2 < F.col("_np"))
+        .select("conv_id")
+    )
+    blank = F.lit("")
+    gold_rows = (
+        g.join(bad, "conv_id", "semi")
+        # gold is unique per (conv, arg0, arg1) when pre-deduped like
+        # gold_triples; the agg is the seen_rels guard for closure-derived
+        # duplicates (deterministic: min label)
+        .groupBy("conv_id", "arg0", "arg1")
+        .agg(F.min("label").alias("gold_label"))
+        .select(
+            "conv_id",
+            blank.alias("arg0_pred"),
+            blank.alias("arg1_pred"),
+            blank.alias("pred_label"),
+            F.col("arg0").alias("arg0_gold"),
+            F.col("arg1").alias("arg1_gold"),
+            "gold_label",
+        )
+    )
+    dedup_w = Window.partitionBy("conv_id", "arg0", "arg1").orderBy(
+        F.col("conf").desc(), "label"
+    )
+    pred_rows = (
+        p.join(bad, "conv_id", "semi")
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        # not matched to any gold of the same doc (pred_matched check)
+        .join(
+            matches.select(
+                "conv_id",
+                F.col("pa0").alias("arg0"),
+                F.col("pa1").alias("arg1"),
+            ).distinct(),
+            ["conv_id", "arg0", "arg1"],
+            "anti",
+        )
+        # argument pair must not shadow a gold pair already listed
+        # (the shared seen_rels set, eval_utils.py:1010-1016)
+        .join(
+            g.select("conv_id", "arg0", "arg1"),
+            ["conv_id", "arg0", "arg1"],
+            "anti",
+        )
+        .select(
+            "conv_id",
+            F.col("arg0").alias("arg0_pred"),
+            F.col("arg1").alias("arg1_pred"),
+            F.col("label").alias("pred_label"),
+            blank.alias("arg0_gold"),
+            blank.alias("arg1_gold"),
+            blank.alias("gold_label"),
+        )
+    )
+    return (
+        gold_rows.unionByName(pred_rows)
+        .join(docs.select("conv_id", F.col("doc_text").alias("text")), "conv_id")
+        .select(
+            "conv_id",
+            "text",
+            "arg0_pred",
+            "arg1_pred",
+            "pred_label",
+            "arg0_gold",
+            "arg1_gold",
+            "gold_label",
+        )
+    )

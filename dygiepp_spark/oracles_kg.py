@@ -867,6 +867,81 @@ SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
 ) WHERE rk <= {k}"""
 
 
+def ie_errors_oracle() -> str:
+    """Twin of kg_eval.ie_errors (eval_utils.py:946-1020): substring
+    matching, per-doc found-count gate at < 0.5 x prediction count, gold
+    rows with blank pred columns + unmatched non-shadowing pred rows with
+    blank gold columns, doc text on every row."""
+    s0 = (
+        "contains(lower(trim(p.arg0)), lower(trim(g.arg0))) "
+        "OR contains(lower(trim(g.arg0)), lower(trim(p.arg0)))"
+    )
+    s1 = (
+        "contains(lower(trim(p.arg1)), lower(trim(g.arg1))) "
+        "OR contains(lower(trim(g.arg1)), lower(trim(p.arg1)))"
+    )
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+docs AS (
+    SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+    FROM turns GROUP BY conv_id
+),
+pred AS MATERIALIZED (
+    SELECT conv_id, arg0, arg1, label, conf FROM triples
+),
+m AS MATERIALIZED (
+    SELECT p.conv_id AS conv_id, p.arg0 AS pa0, p.arg1 AS pa1,
+           g.arg0 AS ga0, g.arg1 AS ga1
+    FROM pred p
+    JOIN gold g ON p.conv_id = g.conv_id AND p.label = g.label
+               AND ({s0}) AND ({s1})
+),
+found AS (
+    SELECT conv_id, count(*) AS fc
+    FROM (SELECT DISTINCT conv_id, pa0, pa1, ga0, ga1 FROM m)
+    GROUP BY conv_id
+),
+np AS (
+    SELECT conv_id, count(*) AS np FROM pred GROUP BY conv_id
+),
+bad AS MATERIALIZED (
+    SELECT np.conv_id AS conv_id
+    FROM np
+    JOIN (SELECT DISTINCT conv_id FROM gold) gd ON np.conv_id = gd.conv_id
+    LEFT JOIN found ON np.conv_id = found.conv_id
+    WHERE COALESCE(found.fc, 0) * 2 < np.np
+),
+gold_rows AS (
+    SELECT g.conv_id AS conv_id,
+           '' AS arg0_pred, '' AS arg1_pred, '' AS pred_label,
+           g.arg0 AS arg0_gold, g.arg1 AS arg1_gold,
+           min(g.label) AS gold_label
+    FROM gold g JOIN bad USING (conv_id)
+    GROUP BY g.conv_id, g.arg0, g.arg1
+),
+pred_rows AS (
+    SELECT conv_id, arg0 AS arg0_pred, arg1 AS arg1_pred,
+           label AS pred_label,
+           '' AS arg0_gold, '' AS arg1_gold, '' AS gold_label
+    FROM (
+        SELECT p.*, row_number() OVER (PARTITION BY conv_id, arg0, arg1
+                                       ORDER BY conf DESC, label) AS rn
+        FROM pred p JOIN bad USING (conv_id)
+    ) p
+    WHERE rn = 1
+      AND NOT EXISTS (SELECT 1 FROM m
+                      WHERE m.conv_id = p.conv_id
+                        AND m.pa0 = p.arg0 AND m.pa1 = p.arg1)
+      AND NOT EXISTS (SELECT 1 FROM gold g
+                      WHERE g.conv_id = p.conv_id
+                        AND g.arg0 = p.arg0 AND g.arg1 = p.arg1)
+)
+SELECT u.conv_id, d.text,
+       arg0_pred, arg1_pred, pred_label,
+       arg0_gold, arg1_gold, gold_label
+FROM (SELECT * FROM gold_rows UNION ALL SELECT * FROM pred_rows) u
+JOIN docs d ON u.conv_id = d.conv_id"""
+
+
 def ie_eval_event_oracle(pred_dist: int = 4, gold_dist: int = 2) -> str:
     prec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE)"
     rec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE)"

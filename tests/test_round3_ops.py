@@ -498,3 +498,97 @@ def test_split_documents_roundtrip_preserves_text(spark):
         t.withColumn("ts", F.lit(None).cast("timestamp"))
     ).collect()[0]["doc_text"]
     assert rebuilt == orig
+
+
+# ------------------------------------------------------------- ie_errors
+
+def _err_frames(spark, pred_rows, gold_rows, convs):
+    pred = spark.createDataFrame(
+        pred_rows, "conv_id string, arg0 string, arg1 string, "
+        "label string, conf double")
+    gold = spark.createDataFrame(
+        gold_rows, "conv_id string, arg0 string, arg1 string, label string")
+    docs = spark.createDataFrame(
+        [(c, f"doc {c}") for c in convs], "conv_id string, doc_text string")
+    return pred, gold, docs
+
+
+def test_ie_errors_gate_strictly_below_half(spark):
+    """fc/np < 0.5 gates the doc (eval_utils.py:1003) — exactly half
+    agreement does NOT list the doc; one notch below does."""
+    # c1: 2 preds, 1 matched -> 1/2, not listed
+    # c2: 2 preds, 0 matched -> listed
+    pred, gold, docs = _err_frames(
+        spark,
+        [("c1", "spark", "flink", "uses", 0.9),
+         ("c1", "xx", "yy", "uses", 0.5),
+         ("c2", "aa", "bb", "uses", 0.9),
+         ("c2", "cc", "dd", "uses", 0.8)],
+        [("c1", "spark", "flink", "uses"), ("c2", "qq", "rr", "uses")],
+        ["c1", "c2"],
+    )
+    out = KE.ie_errors(pred, gold, docs).collect()
+    assert {r["conv_id"] for r in out} == {"c2"}
+    # c2 rows: 1 gold row + 2 unmatched pred rows
+    gold_side = [r for r in out if r["pred_label"] == ""]
+    pred_side = [r for r in out if r["gold_label"] == ""]
+    assert len(gold_side) == 1 and gold_side[0]["arg0_gold"] == "qq"
+    assert {(r["arg0_pred"], r["arg1_pred"]) for r in pred_side} == {
+        ("aa", "bb"), ("cc", "dd")}
+    assert all(r["text"] == "doc c2" for r in out)
+
+
+def test_ie_errors_pred_shadowing_gold_pair_suppressed(spark):
+    """A wrong-label pred on a gold argument pair is NOT listed as a
+    pred error (the shared seen_rels set, eval_utils.py:1010-1016) —
+    the gold row for that pair already tells the story."""
+    pred, gold, docs = _err_frames(
+        spark,
+        [("c1", "spark", "flink", "WRONG", 0.9),
+         ("c1", "other", "thing", "uses", 0.4)],
+        [("c1", "spark", "flink", "uses")],
+        ["c1"],
+    )
+    out = KE.ie_errors(pred, gold, docs).collect()
+    # 0 matches / 2 preds -> listed; gold row + only the non-shadowing pred
+    pred_side = [r for r in out if r["gold_label"] == ""]
+    assert len(out) == 2 and len(pred_side) == 1
+    assert pred_side[0]["arg0_pred"] == "other"
+
+
+def test_ie_errors_dedup_and_substring_match(spark):
+    """Duplicate preds per argument pair keep max conf (tie -> min
+    label); substring matching is bidirectional per argument."""
+    pred, gold, docs = _err_frames(
+        spark,
+        [("c1", "aa", "bb", "z_label", 0.9),
+         ("c1", "aa", "bb", "a_label", 0.9),
+         ("c1", "aa", "bb", "m_label", 0.1),
+         # substring-matches the gold (arg containment both directions)
+         ("c1", "the spark engine", "flink", "uses", 0.8),
+         ("c1", "unmatched", "row", "uses", 0.2)],
+        [("c1", "spark", "flink runtime", "uses"),
+         ("c1", "gold-only", "pair", "uses")],
+        ["c1"],
+    )
+    out = KE.ie_errors(pred, gold, docs).collect()
+    # 1 match / 5 preds -> listed
+    pred_side = sorted(
+        (r for r in out if r["gold_label"] == ""),
+        key=lambda r: r["arg0_pred"])
+    assert [(r["arg0_pred"], r["pred_label"]) for r in pred_side] == [
+        ("aa", "a_label"), ("unmatched", "uses")]
+    gold_side = [r for r in out if r["pred_label"] == ""]
+    assert len(gold_side) == 2
+
+
+def test_ie_errors_doc_needs_both_sides(spark):
+    """Docs missing from either frame never enter the loop
+    (eval_utils.py:974-975): pred-only and gold-only docs emit nothing."""
+    pred, gold, docs = _err_frames(
+        spark,
+        [("pred_only", "aa", "bb", "uses", 0.9)],
+        [("gold_only", "cc", "dd", "uses")],
+        ["pred_only", "gold_only"],
+    )
+    assert KE.ie_errors(pred, gold, docs).count() == 0
