@@ -471,3 +471,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((strlen(text) + {stride - 1}) // {stride} AS INT) AS n_frames,
        {checksum} AS frame_checksum
 FROM documents"""
+
+
+# --------------------------------------------------------------------------
+# PII detect/scrub (twin of functions.privacy.scrub_pii over the
+# deterministically PII-augmented corpus — see privacy.with_synthetic_pii)
+# --------------------------------------------------------------------------
+
+def pii_scrub_oracle() -> str:
+    from dygiepp_spark.functions.privacy import (
+        EMAIL_MASK,
+        EMAIL_RE,
+        LONGNUM_MASK,
+        LONGNUM_RE,
+        PHONE_MASK,
+        PHONE_RE,
+    )
+
+    scrubbed = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '{EMAIL_MASK}', 'g'), "
+        f"'{PHONE_RE}', '{PHONE_MASK}', 'g'), "
+        f"'{LONGNUM_RE}', '{LONGNUM_MASK}', 'g')"
+    )
+    return f"""
+WITH aug AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           text || ' contact user' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                || '@example.com'
+                || ' or call +1 555-'
+                || lpad(CAST(CAST(doc_id AS BIGINT) % 10000 AS VARCHAR), 4, '0')
+                || ' ref '
+                || CAST(CAST(doc_id AS BIGINT) * 1000003 + 999999937 AS VARCHAR)
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{LONGNUM_RE}')) AS INT) AS n_longnums,
+       {scrubbed} AS clean_text
+FROM aug"""
