@@ -3,8 +3,10 @@
 The north rule requires every stage to be resumable mid-pipeline with
 per-partition lineage and metrics rows. Pattern (SURVEY.md §7 stage 7):
 
-* each stage writes its output to ``<warehouse>/<stage>/data`` (parquet in
-  the sandbox; Iceberg table on a cluster — the writer only changes format)
+* each stage writes its output through a pluggable ``StageStore``
+  (``plans/store.py``): parquet under ``<warehouse>/<stage>/data`` in the
+  sandbox, an Iceberg table ``<catalog>.<db>.<stage>`` on a cluster —
+  selected by ``SPARK_GRAFT_TABLE_FORMAT`` without touching stage code
 * alongside it a ``_metrics`` table: one row per output partition
   (stage, partition_id, rows, bytes-est, wall, written_at)
 * a ``_SUCCESS``-gated manifest — a re-run skips stages whose manifest is
@@ -17,14 +19,14 @@ no driver-side iteration over partitions.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from dygiepp_spark.plans.store import StageStore, make_store
 
 
 @dataclass
@@ -49,6 +51,11 @@ class Pipeline:
     warehouse: str
     stages: list[tuple[str, Callable]] = field(default_factory=list)
     results: list[StageResult] = field(default_factory=list)
+    store: StageStore | None = None  # default: make_store(spark, warehouse)
+
+    def __post_init__(self):
+        if self.store is None:
+            self.store = make_store(self.spark, self.warehouse)
 
     def stage(self, name: str, enabled: bool = True):
         def deco(fn):
@@ -58,30 +65,25 @@ class Pipeline:
 
         return deco
 
-    def _paths(self, name: str) -> tuple[str, str, str]:
-        base = os.path.join(self.warehouse, name)
-        return (
-            os.path.join(base, "data"),
-            os.path.join(base, "_metrics"),
-            os.path.join(base, "manifest.json"),
-        )
-
     def run(self, inputs: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
         ctx: dict[str, DataFrame] = dict(inputs or {})
         for name, fn in self.stages:
-            data_path, metrics_path, manifest_path = self._paths(name)
             t0 = time.time()
-            if os.path.exists(manifest_path):
-                ctx[name] = self.spark.read.parquet(data_path)
-                with open(manifest_path) as f:
-                    rows = json.load(f)["rows"]
+            manifest = self.store.manifest(name)
+            if manifest is not None:
+                ctx[name] = self.store.read(name)
                 self.results.append(
-                    StageResult(name, data_path, rows, time.time() - t0, resumed=True)
+                    StageResult(
+                        name,
+                        self.store.location(name),
+                        manifest["rows"],
+                        time.time() - t0,
+                        resumed=True,
+                    )
                 )
                 continue
             out = fn(ctx)
-            out.write.mode("overwrite").parquet(data_path)
-            materialized = self.spark.read.parquet(data_path)
+            materialized = self.store.write(name, out)
             # per-partition lineage/metrics: one aggregate over the data,
             # keyed by physical partition id
             metrics = (
@@ -97,15 +99,22 @@ class Pipeline:
                     F.current_timestamp().alias("written_at"),
                 )
             )
-            metrics.write.mode("overwrite").parquet(metrics_path)
+            self.store.write_metrics(name, metrics)
             n = materialized.count()
-            with open(manifest_path, "w") as f:
-                json.dump(
-                    {"stage": name, "rows": n, "wall_sec": time.time() - t0}, f
-                )
+            # manifest commits LAST: a crash before this point leaves the
+            # stage un-manifested and the resume re-runs it
+            self.store.commit_manifest(
+                name, {"stage": name, "rows": n, "wall_sec": time.time() - t0}
+            )
             ctx[name] = materialized
             self.results.append(
-                StageResult(name, data_path, n, time.time() - t0, resumed=False)
+                StageResult(
+                    name,
+                    self.store.location(name),
+                    n,
+                    time.time() - t0,
+                    resumed=False,
+                )
             )
         return ctx
 

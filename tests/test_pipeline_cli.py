@@ -1,0 +1,84 @@
+"""spark-submit entrypoint + stage-store dispatch tests.
+
+The real `spark-submit --master local[8] --py-files dygiepp_spark.zip`
+launch (script copied OUTSIDE the checkout so imports must resolve from
+the shipped zip) is exercised out-of-band and its fresh/resumed outputs
+recorded in BENCH/PLANS.md — too slow for the unit gate. Here we run the
+same CLI main() in-process and pin the store abstraction's contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+import pytest
+
+from dygiepp_spark.plans.store import IcebergStore, ParquetStore, make_store
+
+
+def test_cli_runs_and_resumes(spark, sf_dir, tmp_path, capsys):
+    import scripts.run_pipeline as rp
+
+    wh = str(tmp_path / "wh")
+    args = [
+        "--sf-dir", sf_dir, "--warehouse", wh,
+        "--master", "local[4]", "--no-coref", "--no-eval",
+    ]
+    assert rp.main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["stage"] for s in first["pipeline"]] == [
+        "turns", "mentions", "triples", "kg_edges", "kg_edges_agg"
+    ]
+    assert all(not s["resumed"] for s in first["pipeline"])
+    assert all(s["rows"] > 0 for s in first["pipeline"])
+    # metrics table: one row per output partition, written per stage
+    m = spark.read.parquet(os.path.join(wh, "turns", "_metrics"))
+    assert m.columns == ["stage", "partition_id", "rows", "stage_wall_sec", "written_at"]
+    assert m.count() >= 1
+
+    assert rp.main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(s["resumed"] for s in second["pipeline"])
+    assert [s["rows"] for s in second["pipeline"]] == [
+        s["rows"] for s in first["pipeline"]
+    ]
+
+
+def test_pack_pyfiles_ships_only_package_sources(tmp_path):
+    import scripts.run_pipeline as rp
+
+    z = rp.pack_pyfiles(str(tmp_path / "pkg.zip"))
+    names = zipfile.ZipFile(z).namelist()
+    assert "dygiepp_spark/__init__.py" in names
+    assert "dygiepp_spark/plans/pipeline.py" in names
+    assert all(n.startswith("dygiepp_spark/") and n.endswith(".py") for n in names)
+    assert not any("__pycache__" in n for n in names)
+
+
+def test_make_store_dispatch(spark, tmp_path):
+    s = make_store(spark, str(tmp_path), table_format="parquet")
+    assert isinstance(s, ParquetStore)
+    with pytest.raises(ValueError):
+        make_store(spark, str(tmp_path), table_format="delta")
+
+
+def test_iceberg_store_requires_catalog(spark):
+    # no iceberg runtime in the sandbox: the store must fail actionably,
+    # not silently write parquet
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.kg"):
+        IcebergStore(spark, "kg.pipeline")
+    with pytest.raises(ValueError):
+        IcebergStore(spark, "not_a_dotted_namespace")
+
+
+def test_manifest_commits_after_data(spark, tmp_path):
+    """Crash between data write and manifest commit must re-run the stage."""
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.range(5).toDF("id")
+    store.write("s1", df)
+    assert store.manifest("s1") is None  # data present, no manifest -> not done
+    store.commit_manifest("s1", {"stage": "s1", "rows": 5})
+    assert store.manifest("s1")["rows"] == 5
+    assert store.read("s1").count() == 5
