@@ -585,6 +585,19 @@ def q_pii_scrub(spark, sf_dir):
     return PII.scrub_pii(PII.with_synthetic_pii(_doc_text(spark, sf_dir)))
 
 
+def q_repetition(spark, sf_dir):
+    return TX.repetition_features(_doc_text(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+    return TX.stratified_sample(
+        docs, rates={"en": 0.5, "de": 0.25}, default_rate=0.1
+    )
+
+
 def q_token_counts(spark, sf_dir):
     df = TX.bpe_ish_token_count(TX.word_token_count(_doc_text(spark, sf_dir)))
     return df.select("doc_id", "n_tokens", "n_bpe_tokens")
@@ -714,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         # (b) new this round
         "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
+        "stratified_sample": q_stratified_sample,
         "ie_errors": q_ie_errors,
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
@@ -750,8 +765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsv_roundtrip": q_tsv_roundtrip,
         "best_label_per_pair": q_best_label_per_pair,
         # (e) stable core kept in-window (event/coref/graph paths)
-        "events": q_events,
-        "events_binary": q_events_binary,
         "ie_eval_event": q_ie_eval_event,
         "coref_canonical": q_coref_canonical,
         "kg_edges": q_kg_edges,
@@ -759,8 +772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r02 with their ENTIRE dependency chain untouched
         # since that row (verified per-function against the r2 diff;
         # coref.py's only post-r2 change is the additive mention_recall
-        # function, outside coref_clusters' chain) ----
+        # function, outside coref_clusters' chain; events/events_binary
+        # use the extraction event path, whose only post-r2 hunk is in
+        # emit_triples) ----
         "coref_clusters": q_coref_clusters,
+        "events": q_events,
+        "events_binary": q_events_binary,
         "turns": q_turns,
         "doc_assembly": q_doc_assembly,
         "sentence_offsets": q_sentence_offsets,
@@ -855,6 +872,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": oracles_data.ann_ivf_oracle(),
         "near_dups_embedding": oracles_data.embedding_near_dups_oracle(),
         "pii_scrub": oracles_data.pii_scrub_oracle(),
+        "repetition": oracles_data.repetition_oracle(),
+        "stratified_sample": oracles_data.stratified_sample_oracle(),
         "token_counts": oracles_data.token_counts_oracle(),
         "langid": oracles_data.langid_oracle(),
         "quality": oracles_data.quality_oracle(),

@@ -143,3 +143,108 @@ def fingerprint(
         F.min(hash_family_from(F.col("_h"), i)).alias(f"fp_{i}") for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality
+    filters, re-expressed relationally): per document,
+
+    * ``dup_token_frac``  — 1 - distinct_tokens / tokens (type-token ratio
+      complement; high = the doc repeats its vocabulary),
+    * ``top_2gram_frac``  — occurrences of the most frequent word 2-gram
+      over total 2-gram positions (the "fraction of text in the most
+      common n-gram" rule),
+    * ``top_2gram``       — that 2-gram (ties -> lexicographically
+      smallest, so the output is deterministic).
+
+    Plan: token/distinct counts are row-local array expressions; the
+    2-gram mode needs per-(doc, gram) counts, which is ONE partial-agg
+    shuffle keyed (id, gram) followed by a map-side-combinable rollup to
+    (id). No per-doc array blowup — a pathological 10M-token document
+    costs rows, not memory, which is why this is NOT computed with
+    row-local higher-order lambdas (interpreted, O(n^2) per doc).
+    Documents with < 2 tokens get top_2gram_frac 0 / top_2gram null.
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+            )
+        ).alias("gram"),
+    )
+    gram_counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # min over (-count, gram) = highest count, then smallest gram
+    top = gram_counts.groupBy(id_col).agg(
+        F.sum("n").alias("n_2grams"),
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("gram"))).alias("_t"),
+    )
+    out = base.join(top, id_col, "left")
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(1.0)
+        - F.col("n_distinct_tokens").cast("double")
+        / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_n = -F.col("_t.neg")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        dup_frac.alias("dup_token_frac"),
+        F.coalesce(F.col("n_2grams"), F.lit(0)).cast("bigint").alias("n_2grams"),
+        F.coalesce(top_n, F.lit(0)).cast("bigint").alias("top_2gram_count"),
+        F.coalesce(
+            top_n.cast("double")
+            / F.greatest(F.col("n_2grams"), F.lit(1)).cast("double"),
+            F.lit(0.0),
+        ).alias("top_2gram_frac"),
+        F.col("_t.gram").alias("top_2gram"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the data-mixing
+    primitive of a pre-training pipeline ("keep 50% of en, 10% of the
+    rest"). A row survives iff
+
+        hash60(strata || ':' || key) % scale  <  round(rate * scale)
+
+    so the decision is a pure function of (stratum, key): reproducible
+    across runs/engines (md5-portable, see functions.hashing), stable
+    under repartitioning, and executed as ONE codegen'd filter — no
+    shuffle, no RNG state, no driver involvement. ``df.sample`` is NOT
+    used precisely because its seed is partition-dependent (a 100 TB
+    re-layout would silently change the sample).
+
+    ``rates`` maps stratum value -> keep rate in [0, 1]; unlisted strata
+    use ``default_rate``. Rates are quantized to 1/scale (exact integer
+    compare, no float threshold ambiguity).
+    """
+    thresh = F.lit(int(round(default_rate * scale)))
+    for v, r in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == v, F.lit(int(round(r * scale)))).otherwise(
+            thresh
+        )
+    bucket = hash60(
+        F.concat(F.col(strata_col), F.lit(":"), F.col(key_col).cast("string"))
+    ) % F.lit(scale)
+    return df.filter(bucket < thresh)

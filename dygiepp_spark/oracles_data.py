@@ -512,3 +512,70 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{LONGNUM_RE}')) AS INT) AS n_longnums,
        {scrubbed} AS clean_text
 FROM aug"""
+
+
+# --------------------------------------------------------------------------
+# repetition metrics + stratified sampling
+# (twins of functions.text.repetition_features / stratified_sample)
+# --------------------------------------------------------------------------
+
+def repetition_oracle() -> str:
+    return f"""
+WITH dt AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_DTOKS} AS toks FROM documents
+),
+base AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens
+    FROM dt
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM dt WHERE len(toks) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+top AS (
+    SELECT doc_id, sum(n) AS n_2grams, max(n) AS top_n
+    FROM gc GROUP BY doc_id
+),
+topg AS (
+    SELECT gc.doc_id, min(gc.gram) AS top_2gram
+    FROM gc JOIN top USING (doc_id)
+    WHERE gc.n = top.top_n
+    GROUP BY gc.doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN 1.0 - (CAST(b.n_distinct_tokens AS DOUBLE)
+                        / CAST(b.n_tokens AS DOUBLE))
+            ELSE 0.0 END AS dup_token_frac,
+       CAST(coalesce(t.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(coalesce(t.top_n, 0) AS BIGINT) AS top_2gram_count,
+       coalesce(CAST(t.top_n AS DOUBLE)
+                / CAST(greatest(t.n_2grams, 1) AS DOUBLE), 0.0)
+           AS top_2gram_frac,
+       g.top_2gram
+FROM base b
+LEFT JOIN top t USING (doc_id)
+LEFT JOIN topg g ON b.doc_id = g.doc_id"""
+
+
+def stratified_sample_oracle(
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+    scale: int = 10_000,
+) -> str:
+    rates = {"en": 0.5, "de": 0.25} if rates is None else rates
+    case = " ".join(
+        f"WHEN lang = '{v}' THEN {int(round(r * scale))}"
+        for v, r in sorted(rates.items())
+    )
+    bucket = hash60_sql("lang || ':' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE ({bucket} % {scale})
+      < (CASE {case} ELSE {int(round(default_rate * scale))} END)"""

@@ -367,3 +367,60 @@ def test_ie_eval_alias_unknown_surface_falls_back_to_itself(spark):
     g = _triples(spark, [("c1", "zzz", "qqq", "R", 1.0)])
     out = KE.ie_eval(p, g, "exact", aliases=TT.alias_pairs(spark)).collect()[0]
     assert out["tp"] == 1
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics + stratified sampling (functions/text.py round-3 adds)
+# ---------------------------------------------------------------------------
+
+def test_repetition_features_hand_case(spark):
+    from dygiepp_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, ""), (4, "c c c c")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    r1 = out[1]  # 2-grams: "a b","b a","a b","b a" -> tie at 2, min gram "a b"
+    assert (r1.n_tokens, r1.n_distinct_tokens, r1.n_2grams) == (5, 2, 4)
+    assert (r1.top_2gram, r1.top_2gram_count) == ("a b", 2)
+    assert r1.top_2gram_frac == 0.5
+    assert r1.dup_token_frac == 1.0 - 2.0 / 5.0
+    r2 = out[2]  # single token: no 2-grams
+    assert (r2.n_2grams, r2.top_2gram_count, r2.top_2gram_frac) == (0, 0, 0.0)
+    assert r2.top_2gram is None
+    assert out[3].n_tokens == 0 and out[3].dup_token_frac == 0.0
+    r4 = out[4]  # fully repetitive
+    assert r4.dup_token_frac == 0.75
+    assert (r4.top_2gram, r4.top_2gram_frac) == ("c c", 1.0)
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from dygiepp_spark.functions.text import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    kept = stratified_sample(df, rates={"en": 0.5}, default_rate=0.0)
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in kept.collect())
+    assert ids1 == ids2  # pure function of (stratum, key)
+    assert all(i % 2 == 0 for i in ids1)  # default_rate=0 drops all de
+    assert 400 <= len(ids1) <= 600  # ~50% of the 1000 en rows
+    # repartitioning must not change the decision (no partition-seeded RNG)
+    ids3 = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(17), rates={"en": 0.5}, default_rate=0.0
+        ).collect()
+    )
+    assert ids3 == ids1
+
+
+def test_stratified_sample_rate_one_and_zero(spark):
+    from dygiepp_spark.functions.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(100)], "doc_id bigint, lang string"
+    )
+    assert stratified_sample(df, rates={"en": 1.0}).count() == 100
+    assert stratified_sample(df, rates={"en": 0.0}).count() == 0
