@@ -585,6 +585,15 @@ def q_pii_scrub(spark, sf_dir):
     return PII.scrub_pii(PII.with_synthetic_pii(_doc_text(spark, sf_dir)))
 
 
+def q_decontam(spark, sf_dir):
+    from dygiepp_spark.operators import decontam as DC
+
+    docs = _doc_text(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return DC.decontaminate(corpus, benchmark, n=3)
+
+
 def q_repetition(spark, sf_dir):
     return TX.repetition_features(_doc_text(spark, sf_dir))
 
@@ -729,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
+        "decontam": q_decontam,
         "ie_errors": q_ie_errors,
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
@@ -766,7 +776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_label_per_pair": q_best_label_per_pair,
         # (e) stable core kept in-window (event/coref/graph paths)
         "ie_eval_event": q_ie_eval_event,
-        "coref_canonical": q_coref_canonical,
         "kg_edges": q_kg_edges,
         # ---- entries beyond the 50-query harness window: all green in
         # CORRECTNESS_r02 with their ENTIRE dependency chain untouched
@@ -776,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # use the extraction event path, whose only post-r2 hunk is in
         # emit_triples) ----
         "coref_clusters": q_coref_clusters,
+        "coref_canonical": q_coref_canonical,
         "events": q_events,
         "events_binary": q_events_binary,
         "turns": q_turns,
@@ -874,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles_data.pii_scrub_oracle(),
         "repetition": oracles_data.repetition_oracle(),
         "stratified_sample": oracles_data.stratified_sample_oracle(),
+        "decontam": oracles_data.decontam_oracle(),
         "token_counts": oracles_data.token_counts_oracle(),
         "langid": oracles_data.langid_oracle(),
         "quality": oracles_data.quality_oracle(),

@@ -579,3 +579,50 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
 FROM documents
 WHERE ({bucket} % {scale})
       < (CASE {case} ELSE {int(round(default_rate * scale))} END)"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (twin of operators.decontam.decontaminate;
+# benchmark = doc_id % 97 == 0 slice of documents, corpus = the rest)
+# --------------------------------------------------------------------------
+
+def decontam_oracle(n: int = 3, mod: int = 97) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n)).replace(
+        "toks[i + 0]", "toks[i]"
+    )
+    rng = f"range(1, len(toks) - {n - 2})"
+    grams = (
+        f"unnest(list_distinct(list_transform({rng}, i -> {gram})))"
+    )
+    return f"""
+WITH corpus AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+    WHERE CAST(doc_id AS BIGINT) % {mod} <> 0
+),
+bench AS (
+    SELECT text FROM documents WHERE CAST(doc_id AS BIGINT) % {mod} = 0
+),
+ct AS (SELECT doc_id, {_DTOKS} AS toks FROM corpus),
+cg AS (
+    SELECT doc_id, {grams} AS gram FROM ct WHERE len(toks) >= {n}
+),
+bt AS (SELECT {_DTOKS} AS toks FROM bench),
+bg AS (
+    SELECT DISTINCT {grams} AS gram FROM bt WHERE len(toks) >= {n}
+),
+perdoc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+hits AS (
+    SELECT cg.doc_id, count(*) AS n_hit FROM cg JOIN bg USING (gram)
+    GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                 / CAST(p.n_grams AS DOUBLE)
+            ELSE 0.0 END AS contam_frac,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM corpus c
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN hits h USING (doc_id)"""
