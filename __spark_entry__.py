@@ -585,6 +585,23 @@ def q_pii_scrub(spark, sf_dir):
     return PII.scrub_pii(PII.with_synthetic_pii(_doc_text(spark, sf_dir)))
 
 
+def q_conv_stats(spark, sf_dir):
+    from dygiepp_spark.operators import transcript as TR
+
+    return TR.conv_stats(_turns(spark, sf_dir))
+
+
+def q_sessions(spark, sf_dir):
+    from dygiepp_spark.operators import transcript as TR
+
+    # synthetic gap-ful clock: a 60 s pause before every 4th turn, so the
+    # 30 s threshold cuts 4-turn sessions (same closed form in the oracle)
+    with_ts = _turns(spark, sf_dir).withColumn(
+        "ts_sec", F.expr("turn_idx * 2 + (turn_idx div 4) * 60")
+    )
+    return TR.session_stats(TR.sessionize(with_ts, gap_sec=30))
+
+
 def q_decontam(spark, sf_dir):
     from dygiepp_spark.operators import decontam as DC
 
@@ -739,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
         "decontam": q_decontam,
+        "conv_stats": q_conv_stats,
+        "sessions": q_sessions,
         "ie_errors": q_ie_errors,
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
@@ -761,13 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_kernel": q_triples_kernel,
         "triples_kernel_corefprop": q_triples_kernel_corefprop,
         "ie_eval_exact": q_ie_eval_exact,
-        "ie_eval_substring": q_ie_eval_substring,
         "ie_eval_reverse": q_ie_eval_reverse,
         "ie_eval_topk": q_ie_eval_topk,
         "ie_eval_rouge": q_ie_eval_rouge,
         "ie_eval_coref_expand": q_ie_eval_coref_expand,
         "ie_eval_head": q_ie_eval_head,
-        "ie_span_eval": q_ie_span_eval,
         "micro_prf": q_micro_prf,
         "triples_topk": q_triples_topk,
         "gold_transitive": q_gold_transitive,
@@ -783,7 +800,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coref.py's only post-r2 change is the additive mention_recall
         # function, outside coref_clusters' chain; events/events_binary
         # use the extraction event path, whose only post-r2 hunk is in
-        # emit_triples) ----
+        # emit_triples; ie_eval_substring/ie_span_eval have green r2 rows,
+        # kg_eval's r3 diff modified only micro_prf_by_namespace and
+        # greedy_match — both verified in-window — and their emit_triples
+        # input change is output-identity covered by the in-window
+        # `triples` row) ----
+        "ie_eval_substring": q_ie_eval_substring,
+        "ie_span_eval": q_ie_span_eval,
         "coref_clusters": q_coref_clusters,
         "coref_canonical": q_coref_canonical,
         "events": q_events,
@@ -885,6 +908,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition": oracles_data.repetition_oracle(),
         "stratified_sample": oracles_data.stratified_sample_oracle(),
         "decontam": oracles_data.decontam_oracle(),
+        "conv_stats": oracles.conv_stats_oracle(),
+        "sessions": oracles.session_stats_oracle(gap_sec=30),
         "token_counts": oracles_data.token_counts_oracle(),
         "langid": oracles_data.langid_oracle(),
         "quality": oracles_data.quality_oracle(),

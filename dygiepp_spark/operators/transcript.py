@@ -1,0 +1,95 @@
+"""Transcript-native analytics: conversation rollups and sessionization.
+
+The engine's input is an Iceberg table of multi-turn conversation / agent
+transcripts (conv_id, turn_idx, role, text, tool, ts). Beyond the KG
+extraction pipeline, an analytics user of that table asks two standing
+questions this module answers:
+
+* :func:`conv_stats` — per-conversation rollup (turn counts by role, token
+  volume, mean turn length). ONE hash aggregation keyed on conv_id with
+  map-side combine; row-local token counting. No skew concern: the
+  aggregate state per conv is a handful of longs regardless of
+  conversation length.
+* :func:`sessionize` — split each conversation into sessions wherever the
+  inter-turn gap exceeds ``gap_sec`` (the standard event-log
+  sessionization). Two window functions partitioned by conv_id (lag,
+  then a running sum over the boundary flags). The window partitioning is
+  the table's natural key, so at 100 TB this is one shuffle on conv_id —
+  and none at all when the table is already bucketed/sorted by
+  (conv_id, turn_idx), the layout the pipeline writes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from dygiepp_spark.functions.text import tokens_col
+
+
+def conv_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation rollup:
+    (conv_id, n_turns, n_user_turns, n_assistant_turns, total_tokens,
+    mean_turn_tokens)."""
+    n_tok = F.size(tokens_col(F.col("text")))
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_user_turns"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_assistant_turns"),
+            F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_user_turns",
+            "n_assistant_turns",
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double")
+                / F.col("n_turns").cast("double")
+            ).alias("mean_turn_tokens"),
+        )
+    )
+
+
+def sessionize(
+    turns: DataFrame, gap_sec: int = 30, ts_col: str = "ts_sec"
+) -> DataFrame:
+    """Assign a per-conversation ``session_ix`` (0-based) that increments
+    whenever the gap since the previous turn exceeds ``gap_sec`` seconds.
+
+    ``ts_col`` is a numeric epoch/offset seconds column (a timestamp cast
+    works: ``col("ts").cast("long")``). Output adds ``session_ix`` and
+    ``gap_from_prev`` (null on each conversation's first turn).
+    """
+    w = Window.partitionBy("conv_id").orderBy(ts_col, "turn_idx")
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    flagged = turns.withColumn("gap_from_prev", gap).withColumn(
+        "_new_session",
+        F.when(F.col("gap_from_prev") > gap_sec, 1).otherwise(0),
+    )
+    running = (
+        Window.partitionBy("conv_id")
+        .orderBy(ts_col, "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.withColumn(
+        "session_ix", F.sum("_new_session").over(running).cast("int")
+    ).drop("_new_session")
+
+
+def session_stats(sessions: DataFrame) -> DataFrame:
+    """Rollup of :func:`sessionize` output: one row per (conv, session)
+    with its turn span and duration. Same single-agg shape as conv_stats."""
+    return sessions.groupBy("conv_id", "session_ix").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        (F.max("ts_sec") - F.min("ts_sec")).cast("bigint").alias("duration_sec"),
+    )

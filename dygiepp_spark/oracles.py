@@ -434,3 +434,63 @@ FROM (SELECT * FROM ev WHERE role = 'arg0') a0
 JOIN (SELECT * FROM ev WHERE role = 'arg1') a1
   ON a0.conv_id = a1.conv_id AND a0.turn_idx = a1.turn_idx
  AND a0.trigger_ix = a1.trigger_ix"""
+
+
+# ---------------------------------------------------------------------------
+# transcript analytics (twins of operators.transcript)
+# ---------------------------------------------------------------------------
+
+_TTOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+def conv_stats_oracle() -> str:
+    return f"""WITH {TURNS_SQL.strip()},
+per AS (
+    SELECT conv_id, role, len({_TTOKS}) AS n_tok FROM turns
+),
+agg AS (
+    SELECT conv_id,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user_turns,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_assistant_turns,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM per GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_user_turns, n_assistant_turns, total_tokens,
+       CAST(total_tokens AS DOUBLE) / CAST(n_turns AS DOUBLE)
+           AS mean_turn_tokens
+FROM agg"""
+
+
+def session_stats_oracle(gap_sec: int = 30) -> str:
+    """Twin of sessionize + session_stats over the synthetic gap-ful
+    clock ts_sec = turn_idx*2 + (turn_idx // 4)*60 (a 60 s pause before
+    every 4th turn, so sessions are 4 turns long under gap_sec=30)."""
+    return f"""WITH {TURNS_SQL.strip()},
+ts AS (
+    SELECT conv_id, turn_idx,
+           turn_idx * 2 + (turn_idx // 4) * 60 AS ts_sec
+    FROM turns
+),
+flag AS (
+    SELECT conv_id, turn_idx, ts_sec,
+           CASE WHEN ts_sec - lag(ts_sec) OVER
+                    (PARTITION BY conv_id ORDER BY ts_sec, turn_idx)
+                    > {gap_sec}
+                THEN 1 ELSE 0 END AS f
+    FROM ts
+),
+sess AS (
+    SELECT conv_id, turn_idx, ts_sec,
+           CAST(sum(f) OVER (PARTITION BY conv_id ORDER BY ts_sec, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS INT) AS session_ix
+    FROM flag
+)
+SELECT conv_id, session_ix,
+       count(*) AS n_turns,
+       min(turn_idx) AS first_turn,
+       max(turn_idx) AS last_turn,
+       CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS duration_sec
+FROM sess GROUP BY conv_id, session_ix"""

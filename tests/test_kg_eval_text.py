@@ -424,3 +424,43 @@ def test_stratified_sample_rate_one_and_zero(spark):
     )
     assert stratified_sample(df, rates={"en": 1.0}).count() == 100
     assert stratified_sample(df, rates={"en": 0.0}).count() == 0
+
+
+def test_sessionize_splits_on_gap(spark):
+    from dygiepp_spark.operators.transcript import session_stats, sessionize
+
+    rows = [
+        ("c1", 0, 0), ("c1", 1, 5), ("c1", 2, 50),   # gap 45 -> new session
+        ("c1", 3, 55), ("c2", 0, 100),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts_sec long")
+    sess = sessionize(df, gap_sec=30)
+    got = {(r.conv_id, r.turn_idx): (r.session_ix, r.gap_from_prev)
+           for r in sess.collect()}
+    assert got[("c1", 0)] == (0, None)
+    assert got[("c1", 1)] == (0, 5)
+    assert got[("c1", 2)] == (1, 45)
+    assert got[("c1", 3)] == (1, 5)
+    assert got[("c2", 0)] == (0, None)
+    stats = {(r.conv_id, r.session_ix): (r.n_turns, r.duration_sec)
+             for r in session_stats(sess).collect()}
+    assert stats[("c1", 0)] == (2, 5)
+    assert stats[("c1", 1)] == (2, 5)
+    assert stats[("c2", 0)] == (1, 0)
+
+
+def test_conv_stats_rollup(spark):
+    from dygiepp_spark.operators.transcript import conv_stats
+
+    rows = [
+        ("c1", 0, "user", "a b c"), ("c1", 1, "assistant", "d e"),
+        ("c2", 0, "user", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r.conv_id: r for r in conv_stats(df).collect()}
+    assert (got["c1"].n_turns, got["c1"].n_user_turns,
+            got["c1"].n_assistant_turns) == (2, 1, 1)
+    assert got["c1"].total_tokens == 5 and got["c1"].mean_turn_tokens == 2.5
+    assert got["c2"].total_tokens == 1
