@@ -585,6 +585,11 @@ def q_pii_scrub(spark, sf_dir):
     return PII.scrub_pii(PII.with_synthetic_pii(_doc_text(spark, sf_dir)))
 
 
+def q_kmeans(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.kmeans_train(emb, k=SIM.N_CENTROIDS, iters=2)
+
+
 def q_conv_stats(spark, sf_dir):
     from dygiepp_spark.operators import transcript as TR
 
@@ -758,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "conv_stats": q_conv_stats,
         "sessions": q_sessions,
+        "kmeans": q_kmeans,
         "ie_errors": q_ie_errors,
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
@@ -782,7 +788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_exact": q_ie_eval_exact,
         "ie_eval_reverse": q_ie_eval_reverse,
         "ie_eval_topk": q_ie_eval_topk,
-        "ie_eval_rouge": q_ie_eval_rouge,
         "ie_eval_coref_expand": q_ie_eval_coref_expand,
         "ie_eval_head": q_ie_eval_head,
         "micro_prf": q_micro_prf,
@@ -806,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # input change is output-identity covered by the in-window
         # `triples` row) ----
         "ie_eval_substring": q_ie_eval_substring,
+        "ie_eval_rouge": q_ie_eval_rouge,
         "ie_span_eval": q_ie_span_eval,
         "coref_clusters": q_coref_clusters,
         "coref_canonical": q_coref_canonical,
@@ -910,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": oracles_data.decontam_oracle(),
         "conv_stats": oracles.conv_stats_oracle(),
         "sessions": oracles.session_stats_oracle(gap_sec=30),
+        "kmeans": oracles_data.kmeans_oracle(k=SIM.N_CENTROIDS, iters=2),
         "token_counts": oracles_data.token_counts_oracle(),
         "langid": oracles_data.langid_oracle(),
         "quality": oracles_data.quality_oracle(),

@@ -291,3 +291,108 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cos")
     )
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = N_CENTROIDS, iters: int = 2
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized embeddings — the
+    training pass that produces real IVF centroids (``assign_cells``
+    documents its first-k stand-in; this is the non-stand-in).
+
+    Deterministic + engine-portable by construction:
+
+    * init: centroids = the first ``k`` vectors (seeded init; k-means++
+      would add RNG the oracle can't replay);
+    * assign: broadcast the k centroids, argmax integer-quantized cosine,
+      ties to the lower centroid id — identical to the IVF probe;
+    * update: per-cell elementwise mean, computed by posexploding the
+      64-dim vectors into (cell, dim, v) rows and aggregating — ONE
+      map-side-combinable shuffle keyed (cell, dim) per iteration, the
+      textbook scale shape (state per reducer is two longs regardless of
+      cell size). The new centroid is re-quantized with
+      ``round(sum/count)`` (one IEEE double division of exact integers),
+      so every iteration's centroids are exact integers in both engines.
+    * a cell that captures no vectors drops out (inner-join semantics,
+      identical in the SQL twin); subsequent iterations run with the
+      surviving centroids.
+
+    Returns (cell, size, cq) — final centroid id, its population, and the
+    centroid vector. ``iters`` is small and fixed: each round is a full
+    corpus pass, and the oracle unrolls the same number of rounds.
+    """
+    qz = quantized(emb).localCheckpoint(eager=False)
+    cents = qz.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nq").alias("cn"),
+    )
+    for _ in range(iters):
+        assigned = (
+            qz.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "q",
+                "cent_id",
+                _cos(
+                    _dot(F.col("q"), F.col("cq")), F.col("nq"), F.col("cn")
+                ).alias("ccos"),
+            )
+            .groupBy("vec_id", "q")
+            .agg(
+                F.max_by(
+                    F.col("cent_id"), F.struct(F.col("ccos"), -F.col("cent_id"))
+                ).alias("cell")
+            )
+        )
+        dims = assigned.select(
+            "cell", F.posexplode("q").alias("dim", "v")
+        )
+        means = dims.groupBy("cell", "dim").agg(
+            F.sum("v").alias("_s"), F.count(F.lit(1)).alias("_n")
+        ).select(
+            "cell",
+            "dim",
+            F.round(
+                F.col("_s").cast("double") / F.col("_n").cast("double"), 0
+            ).cast("bigint").alias("cv"),
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "cv"))
+                    ),
+                    lambda s: s["cv"],
+                ).alias("cq")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                "cq",
+                F.aggregate(
+                    "cq", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+                ).alias("cn"),
+            )
+        )
+    sizes = (
+        qz.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            _cos(_dot(F.col("q"), F.col("cq")), F.col("nq"), F.col("cn")).alias(
+                "ccos"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("ccos"), -F.col("cent_id"))
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    return cents.select(F.col("cent_id").alias("cell"), "cq").join(
+        sizes, "cell"
+    ).select("cell", "size", "cq")

@@ -626,3 +626,72 @@ SELECT c.doc_id,
 FROM corpus c
 LEFT JOIN perdoc p USING (doc_id)
 LEFT JOIN hits h USING (doc_id)"""
+
+
+def kmeans_oracle(k: int = N_CENTROIDS, iters: int = 2) -> str:
+    """Twin of similarity.kmeans_train — Lloyd's rounds unrolled (like the
+    transitive-closure oracle): assignment = argmax quantized cosine with
+    ties to the lower centroid id, update = per-(cell, dim) rounded mean."""
+    ctes = [
+        f"""c0 AS (
+    SELECT vec_id AS cent_id, unnest(q) AS cv, generate_subscripts(q, 1) AS i
+    FROM qn WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(iters):
+        ctes.append(f"""c{t}n AS (
+    SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn FROM c{t} GROUP BY 1
+),
+a{t}d AS (
+    SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+    FROM qe e JOIN c{t} c ON e.i = c.i GROUP BY 1, 2
+),
+a{t} AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT d.vec_id, d.cent_id,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY CAST(d.dot AS DOUBLE)
+                            / sqrt(CAST(n.nq * cn.cn AS DOUBLE)) DESC,
+                            d.cent_id) AS rn
+        FROM a{t}d d
+        JOIN qn n ON n.vec_id = d.vec_id
+        JOIN c{t}n cn ON cn.cent_id = d.cent_id
+    ) WHERE rn = 1
+),
+c{t + 1} AS (
+    SELECT a.cell AS cent_id, e.i,
+           CAST(round(CAST(sum(e.v) AS DOUBLE) / count(*), 0) AS BIGINT) AS cv
+    FROM qe e JOIN a{t} a ON a.vec_id = e.vec_id
+    GROUP BY 1, 2
+)""")
+    T = iters
+    ctes.append(f"""c{T}n AS (
+    SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn FROM c{T} GROUP BY 1
+),
+fd AS (
+    SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+    FROM qe e JOIN c{T} c ON e.i = c.i GROUP BY 1, 2
+),
+fa AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT d.vec_id, d.cent_id,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY CAST(d.dot AS DOUBLE)
+                            / sqrt(CAST(n.nq * cn.cn AS DOUBLE)) DESC,
+                            d.cent_id) AS rn
+        FROM fd d
+        JOIN qn n ON n.vec_id = d.vec_id
+        JOIN c{T}n cn ON cn.cent_id = d.cent_id
+    ) WHERE rn = 1
+),
+sizes AS (SELECT cell, count(*) AS size FROM fa GROUP BY 1),
+final AS (
+    SELECT cent_id AS cell, list(cv ORDER BY i) AS cq FROM c{T} GROUP BY 1
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {_QZ_SQL.strip()},
+{body}
+SELECT f.cell, s.size, f.cq
+FROM final f JOIN sizes s ON s.cell = f.cell"""

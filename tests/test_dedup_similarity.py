@@ -184,3 +184,38 @@ def test_srp_buckets_band_shape(spark, sf_dir):
     rows = b.collect()
     assert len(rows) == 10 * (SIM.SRP_PLANES // SIM.SRP_ROWS_PER_BAND)
     assert all(0 <= int(r["bucket"]) < (1 << SIM.SRP_ROWS_PER_BAND) for r in rows)
+
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    """Two tight, well-separated direction clusters: after 2 Lloyd rounds
+    with k=2 every vector must sit in the cell of its own cluster and the
+    centroids must point along the cluster directions."""
+    import pyspark.sql.functions as F
+    from dygiepp_spark.operators.similarity import kmeans_train
+
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [v + (0.001 * (i % 5)) * w for v, w in zip(base, [0, 0, 1, 1])]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.cell: r for r in kmeans_train(emb, k=2, iters=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].size == 10 and out[1].size == 10
+    # cell 0 seeded from vec 0 (x-direction), cell 1 from vec 1 (y-direction)
+    assert out[0].cq[0] > 900 and out[0].cq[1] == 0
+    assert out[1].cq[1] > 900 and out[1].cq[0] == 0
+
+
+def test_kmeans_empty_cell_drops(spark):
+    """If a seed centroid captures nothing, it disappears from the output
+    (inner-join update semantics, mirrored exactly by the oracle)."""
+    from dygiepp_spark.operators.similarity import kmeans_train
+
+    # vecs 0 and 1 are identical -> all mass lands in cell 0 (lower id
+    # wins ties), cell 1 goes empty after round 1
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_train(emb, k=2, iters=2).collect()
+    assert len(out) == 1
+    assert out[0].cell == 0 and out[0].size == 6
