@@ -98,3 +98,67 @@ def test_relation_pairs_conv_local_join(spark, stored_turns):
     plan = plan_of(pairs)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: PII scrub, sampling, repetition, decontam, sessionize
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def stored_docs(spark, sf_dir, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
+    ).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_pii_scrub_zero_shuffle(spark, stored_docs):
+    from dygiepp_spark.functions.privacy import scrub_pii
+
+    plan = plan_of(scrub_pii(stored_docs.select("doc_id", "text")))
+    assert count_shuffles(plan) == 0, plan
+    assert "Python" not in plan  # regex stays JVM-side
+
+
+def test_stratified_sample_is_pushed_filter(spark, stored_docs):
+    """The sampler must stay a scan-stage filter — no shuffle, no
+    project-then-filter barrier that would re-read the corpus."""
+    from dygiepp_spark.functions.text import stratified_sample
+
+    plan = plan_of(
+        stratified_sample(stored_docs, rates={"en": 0.5}, default_rate=0.1)
+    )
+    assert count_shuffles(plan) == 0, plan
+
+
+def test_repetition_two_keyed_aggs(spark, stored_docs):
+    """(doc, gram) partial-agg + (doc) rollup + the base/top join: three
+    exchanges max — and the 2-gram mode must NOT be computed with
+    row-local O(n^2) lambdas (no CollectList of grams per doc)."""
+    from dygiepp_spark.functions.text import repetition_features
+
+    plan = plan_of(repetition_features(stored_docs.select("doc_id", "text")))
+    assert count_shuffles(plan) <= 3, plan
+    assert "collect_list" not in plan.lower(), plan
+
+
+def test_decontam_benchmark_broadcast(spark, stored_docs):
+    from dygiepp_spark.operators.decontam import decontaminate
+
+    corpus = stored_docs.filter(F.col("doc_id") % 97 != 0)
+    bench = stored_docs.filter(F.col("doc_id") % 97 == 0)
+    plan = plan_of(decontaminate(corpus, bench, n=3))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sessionize_single_shuffle(spark, stored_turns):
+    """lag + running sum share the conv_id window partitioning: ONE
+    exchange, not two."""
+    from dygiepp_spark.operators.transcript import sessionize
+
+    with_ts = stored_turns.withColumn(
+        "ts_sec", F.expr("turn_idx * 2 + (turn_idx div 4) * 60")
+    )
+    plan = plan_of(sessionize(with_ts, gap_sec=30))
+    assert count_shuffles(plan) == 1, plan
