@@ -713,6 +713,25 @@ def q_streaming_assembly(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup: duplicate groups are hash-spread
+    over input files and drained one file per micro-batch, so groups
+    straddle batch boundaries; the state store must converge to the batch
+    aggregation — the oracle is the batch dedup_exact SQL."""
+    base = f"/root/repo/.tmp/stream_dedup_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    ST.with_hash_totals(docs).repartition(8).write.mode("overwrite").parquet(in_dir)
+    ST.run_dedup_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    return _consume_and_remove(
+        spark.read.parquet(out_dir).select("text_hash", "canonical_id", "n_dups"),
+        base,
+    )
+
+
 def q_streaming_windowed(spark, sf_dir):
     """Event-time windowed mention counts with a watermark: the streaming
     drain (plus one horizon sentinel that closes the trailing windows)
@@ -764,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": q_conv_stats,
         "sessions": q_sessions,
         "kmeans": q_kmeans,
+        "streaming_dedup": q_streaming_dedup,
         "ie_errors": q_ie_errors,
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
@@ -789,7 +809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_reverse": q_ie_eval_reverse,
         "ie_eval_topk": q_ie_eval_topk,
         "ie_eval_coref_expand": q_ie_eval_coref_expand,
-        "ie_eval_head": q_ie_eval_head,
         "micro_prf": q_micro_prf,
         "triples_topk": q_triples_topk,
         "gold_transitive": q_gold_transitive,
@@ -812,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # `triples` row) ----
         "ie_eval_substring": q_ie_eval_substring,
         "ie_eval_rouge": q_ie_eval_rouge,
+        "ie_eval_head": q_ie_eval_head,
         "ie_span_eval": q_ie_span_eval,
         "coref_clusters": q_coref_clusters,
         "coref_canonical": q_coref_canonical,
@@ -923,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": oracles_data.fingerprint_oracle(),
         "image_meta": oracles_data.image_meta_oracle(),
         "frame_samples": oracles_data.frame_samples_oracle(),
+        "streaming_dedup": oracles_data.dedup_exact_oracle(),
         "streaming_mentions": oracles.mentions_oracle(),
         "streaming_assembly": oracles.doc_assembly_oracle(),
         "streaming_windowed": oracles.windowed_mention_counts_oracle(window_sec=4),

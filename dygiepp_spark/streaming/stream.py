@@ -314,3 +314,109 @@ def run_assembly_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# stateful streaming exact-dedup (ingestion-time dedup across micro-batches)
+# --------------------------------------------------------------------------
+
+#: doc stream rows for the dedup path: normalized-text hash + id + the
+#: per-hash group total (known at export time, like n_turns above)
+DOCS_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("text_hash", T.StringType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_total", T.LongType(), True),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = "canonical_id bigint, n bigint, total bigint"
+_DEDUP_OUT_SCHEMA = "text_hash string, canonical_id bigint, n_dups bigint"
+
+
+def with_hash_totals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Batch helper producing the dedup stream input: md5(normalized text)
+    + the per-hash duplicate-group size (the deterministic emission
+    trigger, mirroring ``with_turn_totals``)."""
+    from dygiepp_spark.operators.dedup import _norm_text
+
+    h = F.md5(_norm_text(F.col(text_col)))
+    hashed = docs.select(
+        h.alias("text_hash"), F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    totals = hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return hashed.join(totals, "text_hash")
+
+
+def dedup_stream_stateful(doc_stream: DataFrame) -> DataFrame:
+    """Exact dedup as a stateful streaming operator: the ingestion-time
+    form of ``dedup.exact_dedup_groups``. State per text_hash buffers
+    (running min doc_id, seen count); when the count reaches the
+    row-carried group total, ONE (text_hash, canonical_id, n_dups) row is
+    emitted and the state dropped — so duplicate groups straddling
+    micro-batches dedup exactly like the batch aggregation (the parity
+    oracle IS the batch dedup SQL). State is O(1) per distinct document
+    regardless of arrival order or batch split. No timeout for the same
+    corpus-contract reason as :func:`assemble_conversations_stateful`;
+    production adds ProcessingTimeTimeout to flush never-completing
+    groups."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (text_hash,) = key
+        if state.exists:
+            canonical, n, total = state.get
+        else:
+            canonical, n, total = None, 0, None
+        for pdf in pdfs:
+            for did, tot in zip(pdf["doc_id"], pdf["n_total"]):
+                did = int(did)
+                canonical = did if canonical is None else min(canonical, did)
+                n += 1
+                if total is None:
+                    total = int(tot)
+        if total is not None and n >= total:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "text_hash": [text_hash],
+                    "canonical_id": [canonical],
+                    "n_dups": [n],
+                }
+            )
+        else:
+            state.update((canonical, n, total))
+
+    return doc_stream.groupBy("text_hash").applyInPandasWithState(
+        fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a (text_hash, doc_id, n_total) parquet drop directory through
+    the stateful dedup into a parquet sink."""
+    stream = (
+        spark.readStream.schema(DOCS_HASH_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        dedup_stream_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

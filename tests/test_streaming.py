@@ -158,3 +158,48 @@ def test_windowed_watermark_drops_late_rows(spark, tmp_path):
     assert sum(1 for w, s, _ in rows if s == "spark" and w == "2024-01-01T00:00:00") == 1
     total_spark = sum(n for w, s, n in rows if s == "spark")
     assert total_spark == 1  # late mention dropped
+
+
+def _hash_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "text_hash string, doc_id long, n_total long"
+    )
+
+
+def test_stateful_dedup_group_across_batches(spark, tmp_path):
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # one duplicate group (h1, 3 members) split across two files ->
+    # straddles micro-batches at maxFilesPerTrigger=1; the LOWER id
+    # arrives LAST, so the running-min state is what produces canonical=2
+    _hash_rows(
+        spark, [("h1", 7, 3), ("h1", 9, 3), ("h2", 5, 1)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _hash_rows(spark, [("h1", 2, 3)]).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    ST.run_dedup_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=1)
+    got = {r.text_hash: (r.canonical_id, r.n_dups)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"h1": (2, 3), "h2": (5, 1)}
+
+
+def test_stateful_dedup_equals_batch_dedup(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+    from dygiepp_spark.operators.dedup import exact_dedup_groups
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .limit(200)
+    )
+    ST.with_hash_totals(docs).repartition(6).write.mode("overwrite").parquet(
+        in_dir
+    )
+    ST.run_dedup_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    stream = spark.read.parquet(out_dir).select(
+        "text_hash", "canonical_id", "n_dups"
+    )
+    batch = exact_dedup_groups(docs)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
