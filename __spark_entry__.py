@@ -661,6 +661,54 @@ def q_frame_samples(spark, sf_dir):
     return MM.frame_samples(_docs(spark, sf_dir))
 
 
+def q_image_resize(spark, sf_dir):
+    return MM.resize_image(_docs(spark, sf_dir))
+
+
+def q_audio_chunks(spark, sf_dir):
+    return MM.audio_chunks(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# corpus curation: dedup-group compaction, composite filter, URL hygiene,
+# vocabulary stats
+# --------------------------------------------------------------------------
+
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs -> connected components -> keeper per group: the
+    compaction half of a dedup pass (pairs alone don't dedup a corpus).
+    DuckDB side cross-checks with a RECURSIVE reachability CTE — an
+    independent CC formulation."""
+    from dygiepp_spark.operators import compaction as CP
+
+    chunks = DD.doc_chunks(_docs(spark, sf_dir))
+    pairs = DD.near_dups_minhash(chunks).select("id_a", "id_b")
+    nodes = chunks.select(F.col("chunk_id").alias("id"))
+    return CP.compact_corpus(CP.near_dup_groups(pairs, nodes))
+
+
+def q_quality_filter(spark, sf_dir):
+    return TX.composite_filter(_doc_text(spark, sf_dir))
+
+
+def q_url_filter(spark, sf_dir):
+    from dygiepp_spark.functions import web as WB
+
+    docs = WB.with_synthetic_urls(_doc_text(spark, sf_dir))
+    return WB.url_stats(docs, WB.default_blocklist(spark))
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Global vocabulary top-k with rank() tie semantics: the classic
+    corpus-stats job, cut with the distributed k-th-score threshold
+    (pruning.kth_score_threshold) instead of an unpartitioned window."""
+    tokens = _doc_text(spark, sf_dir).select(
+        F.explode(TX.tokens_col(F.col("text"))).alias("token")
+    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return PR.global_topk_with_ties(counts, "n", 100)
+
+
 # --------------------------------------------------------------------------
 # streaming (availableNow drain == batch result for stateless stages)
 # --------------------------------------------------------------------------
@@ -794,6 +842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "doc_assembly_salted": q_doc_assembly_salted,
         "triples_replay": q_triples_replay,
+        # (b2) new in the second half of round 3: corpus-curation layer
+        "dedup_groups": q_dedup_groups,
+        "quality_filter": q_quality_filter,
+        "url_filter": q_url_filter,
+        "vocab_topk": q_vocab_topk,
+        "image_resize": q_image_resize,
+        "audio_chunks": q_audio_chunks,
         # (c) operator code changed this round
         "micro_prf_namespaced": q_micro_prf_namespaced,
         "greedy_match": q_greedy_match,
@@ -802,19 +857,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-earns a fresh row even though the change was output-identity
         # checked with a two-way exceptAll
         "triples": q_triples,
-        "triples_mechanism": q_triples_mechanism,
         "triples_kernel": q_triples_kernel,
         "triples_kernel_corefprop": q_triples_kernel_corefprop,
         "ie_eval_exact": q_ie_eval_exact,
         "ie_eval_reverse": q_ie_eval_reverse,
         "ie_eval_topk": q_ie_eval_topk,
         "ie_eval_coref_expand": q_ie_eval_coref_expand,
-        "micro_prf": q_micro_prf,
-        "triples_topk": q_triples_topk,
         "gold_transitive": q_gold_transitive,
-        "label_confusion": q_label_confusion,
-        "tsv_roundtrip": q_tsv_roundtrip,
-        "best_label_per_pair": q_best_label_per_pair,
         # (e) stable core kept in-window (event/coref/graph paths)
         "ie_eval_event": q_ie_eval_event,
         "kg_edges": q_kg_edges,
@@ -828,7 +877,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_eval's r3 diff modified only micro_prf_by_namespace and
         # greedy_match — both verified in-window — and their emit_triples
         # input change is output-identity covered by the in-window
-        # `triples` row) ----
+        # `triples` row. triples_mechanism / micro_prf / triples_topk /
+        # label_confusion / tsv_roundtrip / best_label_per_pair are
+        # compositions of UNCHANGED operators over emit_triples output,
+        # whose identity is pinned by the in-window `triples` hash row +
+        # the two-way exceptAll A/B in BENCH/PLANS.md ----
+        "triples_mechanism": q_triples_mechanism,
+        "micro_prf": q_micro_prf,
+        "triples_topk": q_triples_topk,
+        "label_confusion": q_label_confusion,
+        "tsv_roundtrip": q_tsv_roundtrip,
+        "best_label_per_pair": q_best_label_per_pair,
         "ie_eval_substring": q_ie_eval_substring,
         "ie_eval_rouge": q_ie_eval_rouge,
         "ie_eval_head": q_ie_eval_head,
@@ -948,4 +1007,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_assembly": oracles.doc_assembly_oracle(),
         "streaming_windowed": oracles.windowed_mention_counts_oracle(window_sec=4),
         "streaming_triples": oracles.triples_oracle(),
+        "dedup_groups": oracles_data.dedup_groups_oracle(),
+        "quality_filter": oracles_data.quality_filter_oracle(),
+        "url_filter": oracles_data.url_filter_oracle(),
+        "vocab_topk": oracles_data.vocab_topk_oracle(k=100),
+        "image_resize": oracles_data.image_resize_oracle(),
+        "audio_chunks": oracles_data.audio_chunks_oracle(),
     }

@@ -214,6 +214,65 @@ def repetition_features(
     )
 
 
+#: composite-filter rule thresholds (Gopher/C4-flavored, tuned so each
+#: rule is OBSERVABLY active on the synthetic corpus — see the parity
+#: query — while keeping the production shape: one codegen'd projection)
+FILTER_MIN_TOKENS = 20
+FILTER_MAX_TOKENS = 5000
+FILTER_MIN_MEAN_TOK_LEN = 3.8
+FILTER_MAX_MEAN_TOK_LEN = 10.0
+FILTER_MAX_DUP_TOKEN_FRAC = 0.6
+FILTER_MAX_TOP_2GRAM_FRAC = 0.10
+FILTER_MIN_STOPWORD_RATIO = 0.01
+FILTER_MAX_PUNCT_RATIO = 0.10
+
+
+def composite_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style document filter: every rule is a bit in
+    ``reason_bits`` so a curation run can report WHY each document was
+    dropped (the standard corpus-quality dashboard), and ``keep`` is
+    ``reason_bits == 0``.
+
+    Bits: 0 too-short, 1 too-long, 2 mean-token-length out of range,
+    3 duplicate-token fraction, 4 top-2-gram fraction, 5 stopword ratio
+    too low, 6 punctuation ratio too high (Rae et al. 2021 §A1.1 rule
+    family re-expressed relationally).
+
+    Plan: :func:`quality_features` is a narrow projection; the only
+    shuffle is :func:`repetition_features`'s per-(doc, 2gram) partial
+    aggregation, joined back on the id. Rule evaluation itself is one
+    codegen'd projection — at 100 TB the filter pass costs one corpus
+    scan plus the 2-gram agg.
+    """
+    q = quality_features(df.select(F.col(id_col), F.col(text_col)), text_col)
+    r = repetition_features(df, id_col, text_col).select(
+        id_col, "dup_token_frac", "top_2gram_frac"
+    )
+    j = q.join(r, id_col)
+    rules = [
+        F.col("n_tokens") < FILTER_MIN_TOKENS,
+        F.col("n_tokens") > FILTER_MAX_TOKENS,
+        (F.col("mean_token_len") < FILTER_MIN_MEAN_TOK_LEN)
+        | (F.col("mean_token_len") > FILTER_MAX_MEAN_TOK_LEN),
+        F.col("dup_token_frac") > FILTER_MAX_DUP_TOKEN_FRAC,
+        F.col("top_2gram_frac") > FILTER_MAX_TOP_2GRAM_FRAC,
+        F.col("stopword_ratio") < FILTER_MIN_STOPWORD_RATIO,
+        F.col("punct_ratio") > FILTER_MAX_PUNCT_RATIO,
+    ]
+    bits = None
+    for i, rule in enumerate(rules):
+        term = F.when(rule, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return j.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        bits.cast("int").alias("reason_bits"),
+        (bits == 0).alias("keep"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

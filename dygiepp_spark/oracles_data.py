@@ -695,3 +695,273 @@ final AS (
 {body}
 SELECT f.cell, s.size, f.cq
 FROM final f JOIN sizes s ON s.cell = f.cell"""
+
+
+# --------------------------------------------------------------------------
+# corpus compaction: near-dup pairs -> groups -> keepers
+# (twin of operators.compaction.near_dup_groups / compact_corpus; the
+# DuckDB side computes components with a RECURSIVE reachability CTE — an
+# independent formulation that cross-checks the iterative min-label
+# propagation)
+# --------------------------------------------------------------------------
+
+def dedup_groups_oracle(thresh: float = 0.25, max_bucket: int = 1000) -> str:
+    from dygiepp_spark.functions.hashing import hash60_sql as _h60
+
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT id, {b} AS band, '{b}:' || CAST(mh_{b * ROWS_PER_BAND} AS VARCHAR)"
+        f" || ':' || CAST(mh_{b * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""WITH RECURSIVE {CHUNKS_SQL.strip()} , {SHINGLES_SQL.strip()},
+hashed AS (SELECT id, {_h60('shingle')} AS h0,
+                  {_h60("'b:' || shingle")} AS h1 FROM shingled),
+sigs AS (
+    SELECT id,
+           {_minhash_aggs()}
+    FROM hashed GROUP BY id
+),
+buckets AS (
+    {bands}
+),
+bcounts AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
+ok AS (
+    SELECT b.* FROM buckets b JOIN bcounts c USING (band, bucket)
+    WHERE c.n <= {max_bucket}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.id < b.id
+),
+sets AS (
+    SELECT id, list_sort(list_distinct(list(shingle))) AS sh
+    FROM shingled GROUP BY id
+),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                 AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b
+    )
+    WHERE jaccard >= {thresh}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT chunk_id AS id FROM chunks),
+walk AS (
+    SELECT id, id AS r FROM nodes
+    UNION
+    SELECT w.id, e.dst AS r FROM walk w JOIN edges e ON e.src = w.r
+),
+groups AS (SELECT id, min(r) AS group_id FROM walk GROUP BY id),
+sizes AS (SELECT group_id, CAST(count(*) AS INT) AS group_size
+          FROM groups GROUP BY 1)
+SELECT g.id, g.group_id, s.group_size, g.id = g.group_id AS is_keeper
+FROM groups g JOIN sizes s USING (group_id)"""
+
+
+# --------------------------------------------------------------------------
+# composite quality filter (twin of functions.text.composite_filter)
+# --------------------------------------------------------------------------
+
+def quality_filter_oracle() -> str:
+    from dygiepp_spark.functions.text import (
+        FILTER_MAX_DUP_TOKEN_FRAC,
+        FILTER_MAX_MEAN_TOK_LEN,
+        FILTER_MAX_PUNCT_RATIO,
+        FILTER_MAX_TOKENS,
+        FILTER_MAX_TOP_2GRAM_FRAC,
+        FILTER_MIN_MEAN_TOK_LEN,
+        FILTER_MIN_STOPWORD_RATIO,
+        FILTER_MIN_TOKENS,
+    )
+
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stops = ", ".join(repr(w) for w in stop_all)
+    rules = [
+        f"feat.n_tokens < {FILTER_MIN_TOKENS}",
+        f"feat.n_tokens > {FILTER_MAX_TOKENS}",
+        f"(mean_token_len < {FILTER_MIN_MEAN_TOK_LEN}"
+        f" OR mean_token_len > {FILTER_MAX_MEAN_TOK_LEN})",
+        f"dup_token_frac > {FILTER_MAX_DUP_TOKEN_FRAC}",
+        f"top_2gram_frac > {FILTER_MAX_TOP_2GRAM_FRAC}",
+        f"stopword_ratio < {FILTER_MIN_STOPWORD_RATIO}",
+        f"punct_ratio > {FILTER_MAX_PUNCT_RATIO}",
+    ]
+    bits = " + ".join(
+        f"(CASE WHEN {rule} THEN {1 << i} ELSE 0 END)"
+        for i, rule in enumerate(rules)
+    )
+    return f"""
+WITH feat AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           length(text) AS n_chars,
+           CAST(len({_DTOKS}) AS INT) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+           len(list_filter({_DTOKS}, t -> lower(t) IN ({stops}))) AS n_stop,
+           CAST(list_sum(list_transform({_DTOKS}, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_len,
+           {_DTOKS} AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM feat WHERE len(toks) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+top AS (SELECT doc_id, sum(n) AS n_2grams, max(n) AS top_n FROM gc GROUP BY 1),
+ratios AS (
+    SELECT feat.doc_id, feat.n_tokens,
+           CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(greatest(feat.n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+           CASE WHEN feat.n_tokens > 0
+                THEN CAST(sum_len AS DOUBLE) / CAST(feat.n_tokens AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS mean_token_len,
+           CASE WHEN feat.n_tokens > 0
+                THEN 1.0 - (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / CAST(feat.n_tokens AS DOUBLE))
+                ELSE 0.0 END AS dup_token_frac,
+           coalesce(CAST(t.top_n AS DOUBLE)
+                    / CAST(greatest(t.n_2grams, 1) AS DOUBLE), 0.0) AS top_2gram_frac
+    FROM feat LEFT JOIN top t ON feat.doc_id = t.doc_id
+)
+SELECT feat.doc_id, feat.n_tokens,
+       CAST({bits} AS INT) AS reason_bits,
+       ({bits}) = 0 AS keep
+FROM ratios feat"""
+
+
+# --------------------------------------------------------------------------
+# URL / domain hygiene (twin of functions.web.url_stats over the
+# deterministically URL-augmented corpus — see web.with_synthetic_urls)
+# --------------------------------------------------------------------------
+
+def url_filter_oracle() -> str:
+    from dygiepp_spark.functions.web import DEFAULT_BLOCKLIST, HOST_RE, URL_RE
+
+    blocked = ", ".join(repr(d) for d in DEFAULT_BLOCKLIST)
+    return f"""
+WITH aug AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           text || ' see https://host'
+                || CAST(CAST(doc_id AS BIGINT) % 1000 AS VARCHAR)
+                || '.example' || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+                || '.com/p/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                || ' and http://www.site'
+                || CAST((CAST(doc_id AS BIGINT) * 7) % 500 AS VARCHAR)
+                || '.org/a' || CAST(CAST(doc_id AS BIGINT) % 13 AS VARCHAR)
+               AS text
+    FROM documents
+),
+urls AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{URL_RE}')) AS url
+    FROM aug
+),
+hosts AS (
+    SELECT doc_id,
+           string_split(regexp_extract(url, '{HOST_RE}', 1), '.') AS labels
+    FROM urls
+),
+rd AS (
+    SELECT doc_id, labels[-2] || '.' || labels[-1] AS rd FROM hosts
+),
+counts AS (
+    SELECT a.doc_id,
+           CAST(count(r.rd) AS INT) AS n_urls,
+           CAST(coalesce(sum(CASE WHEN r.rd IN ({blocked}) THEN 1 ELSE 0 END), 0) AS INT)
+               AS n_blocked
+    FROM aug a LEFT JOIN rd r ON a.doc_id = r.doc_id
+    GROUP BY a.doc_id
+)
+SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS keep FROM counts"""
+
+
+# --------------------------------------------------------------------------
+# multimodal: resize + audio chunking (ASCII corpus: char math == byte math)
+# --------------------------------------------------------------------------
+
+def image_resize_oracle(max_dim: int | None = None) -> str:
+    from dygiepp_spark.operators.multimodal import RESIZE_MAX_DIM
+
+    d = RESIZE_MAX_DIM if max_dim is None else max_dim
+    return f"""
+WITH dims AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+           strlen(text) AS n,
+           CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+           CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height
+    FROM documents
+),
+plan AS (
+    SELECT *,
+           greatest(1, (width * {d}) // greatest(width, height)) AS out_w,
+           greatest(1, (height * {d}) // greatest(width, height)) AS out_h
+    FROM dims
+),
+strided AS (
+    SELECT *,
+           out_w * out_h AS out_cap,
+           CASE WHEN n > 0 THEN greatest(1, n // (out_w * out_h)) ELSE 1 END AS stride
+    FROM plan
+),
+sampled AS (
+    SELECT *,
+           least((n + stride - 1) // stride, out_cap) AS n_sample
+    FROM strided
+)
+SELECT doc_id, width, height,
+       CAST(out_w AS INT) AS out_width,
+       CAST(out_h AS INT) AS out_height,
+       CAST(n_sample AS INT) AS out_bytes,
+       CAST(coalesce(list_sum(list_transform(range(0, CAST(n_sample AS INT)),
+            i -> ascii(substr(text, CAST(1 + stride * i AS INT), 1)))), 0) % 256 AS INT)
+           AS sample_checksum
+FROM sampled"""
+
+
+def audio_chunks_oracle(chunk_samples: int | None = None) -> str:
+    from dygiepp_spark.operators.multimodal import AUDIO_CHUNK_SAMPLES
+
+    w = AUDIO_CHUNK_SAMPLES if chunk_samples is None else chunk_samples
+    return f"""
+WITH ac AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text, strlen(text) AS n
+    FROM documents
+),
+cx AS (
+    SELECT doc_id, text, n,
+           unnest(range(0, CAST(greatest(ceil(n / {w}.0), 1) AS INT))) AS chunk_ix
+    FROM ac
+)
+SELECT doc_id,
+       CAST(chunk_ix AS INT) AS chunk_ix,
+       CAST(least({w}, n - chunk_ix * {w}) AS INT) AS n_samples,
+       CAST(coalesce(list_sum(list_transform(
+            range(chunk_ix * {w}, chunk_ix * {w} + least({w}, n - chunk_ix * {w})),
+            i -> abs(ascii(substr(text, CAST(i + 1 AS INT), 1)) - 128))), 0) AS BIGINT)
+           AS abs_energy
+FROM cx"""
+
+
+# --------------------------------------------------------------------------
+# global vocabulary top-k (twin of the vocab_topk query: token counts +
+# pruning.global_topk_with_ties rank()-semantics cut)
+# --------------------------------------------------------------------------
+
+def vocab_topk_oracle(k: int = 100) -> str:
+    return f"""
+WITH tok AS (
+    SELECT unnest({_DTOKS}) AS token FROM documents
+),
+tc AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+thr AS (SELECT min(n) AS t FROM (SELECT n FROM tc ORDER BY n DESC LIMIT {k}))
+SELECT token, n FROM tc WHERE n >= (SELECT t FROM thr)"""
