@@ -125,6 +125,7 @@ def build_kg_pipeline(
     sf_dir: str,
     with_coref: bool = True,
     with_eval: bool = True,
+    with_curation: bool = False,
 ) -> Pipeline:
     """The full production DAG (M18/B4): transcript turns -> mentions ->
     triples -> coref clusters -> canonical entities -> KG edges -> edge
@@ -133,6 +134,14 @@ def build_kg_pipeline(
     training/predict/eval subprocess chain, scripts/train/predict.py);
     module gating via the ``enabled`` flags mirrors the reference's
     loss-weight gating (dygie.py:227-254).
+
+    ``with_curation=True`` prepends the corpus-curation phase a raw web
+    corpus needs before extraction: composite quality filter (keep
+    verdict + reason bits), exact-dedup keeper selection, and PII
+    scrubbing — the turn derivation then consumes the CURATED document
+    set. Each curation stage checkpoints with the same per-partition
+    lineage/metrics rows, so a curation re-run resumes like every other
+    stage.
     """
     from dygiepp_spark import tables as TT
     from dygiepp_spark.operators import coref as CO
@@ -142,8 +151,45 @@ def build_kg_pipeline(
 
     p = Pipeline(spark, warehouse)
 
+    @p.stage("doc_filter", enabled=with_curation)
+    def _doc_filter(ctx):
+        from dygiepp_spark.functions.text import composite_filter
+
+        docs = TT.load_documents(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        )
+        return composite_filter(docs)
+
+    @p.stage("doc_dedup", enabled=with_curation)
+    def _doc_dedup(ctx):
+        from dygiepp_spark.operators.dedup import exact_dedup_groups
+
+        docs = TT.load_documents(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        )
+        return exact_dedup_groups(docs)
+
+    @p.stage("clean_docs", enabled=with_curation)
+    def _clean_docs(ctx):
+        from dygiepp_spark.functions.privacy import scrub_col
+
+        docs = TT.load_documents(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        )
+        kept = ctx["doc_filter"].filter(F.col("keep")).select("doc_id")
+        keepers = ctx["doc_dedup"].select(
+            F.col("canonical_id").alias("doc_id")
+        )
+        return (
+            docs.join(kept, "doc_id")
+            .join(keepers, "doc_id")
+            .select("doc_id", scrub_col(F.col("text")).alias("text"))
+        )
+
     @p.stage("turns")
     def _turns(ctx):
+        if with_curation:
+            return TT.turns_from_docs_df(ctx["clean_docs"], with_ts=False)
         return TT.turns_from_documents(spark, sf_dir, with_ts=False)
 
     @p.stage("mentions")

@@ -85,6 +85,9 @@ def main(argv=None) -> int:
     ap.add_argument("--table-format", default=None, choices=[None, "parquet", "iceberg"])
     ap.add_argument("--catalog", default=None, help="iceberg <catalog>.<db>")
     ap.add_argument("--no-coref", action="store_true")
+    ap.add_argument("--with-curation", action="store_true",
+                    help="prepend quality-filter/dedup/PII-scrub stages; "
+                         "extraction then consumes the curated doc set")
     ap.add_argument("--no-eval", action="store_true")
     ap.add_argument("--pack-pyfiles", metavar="ZIP", default=None)
     args = ap.parse_args(argv)
@@ -107,6 +110,7 @@ def main(argv=None) -> int:
         args.sf_dir,
         with_coref=not args.no_coref,
         with_eval=not args.no_eval,
+        with_curation=args.with_curation,
     )
     p.run()
     report = [

@@ -82,3 +82,45 @@ def test_manifest_commits_after_data(spark, tmp_path):
     store.commit_manifest("s1", {"stage": "s1", "rows": 5})
     assert store.manifest("s1")["rows"] == 5
     assert store.read("s1").count() == 5
+
+
+def test_cli_curated_pipeline_filters_then_extracts(spark, sf_dir, tmp_path, capsys):
+    """--with-curation prepends filter/dedup/scrub stages; extraction then
+    consumes the curated doc set (fewer turns than the raw derivation),
+    and the curated stages resume like every other stage."""
+    import scripts.run_pipeline as rp
+
+    wh = str(tmp_path / "whc")
+    args = [
+        "--sf-dir", sf_dir, "--warehouse", wh,
+        "--master", "local[4]", "--no-coref", "--no-eval", "--with-curation",
+    ]
+    assert rp.main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = {s["stage"]: s for s in out["pipeline"]}
+    assert list(stages) == [
+        "doc_filter", "doc_dedup", "clean_docs",
+        "turns", "mentions", "triples", "kg_edges", "kg_edges_agg",
+    ]
+    assert stages["clean_docs"]["rows"] < stages["doc_filter"]["rows"]
+    assert stages["turns"]["rows"] > 0
+    # PII masking is applied on the curated text before extraction
+    clean = spark.read.parquet(os.path.join(wh, "clean_docs", "data"))
+    assert clean.columns == ["doc_id", "text"]
+
+    assert rp.main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(s["resumed"] for s in second["pipeline"])
+
+
+def test_turns_from_docs_df_matches_parquet_derivation(spark, sf_dir):
+    """The curated-DAG turn derivation over an in-flight docs frame must
+    be row-identical to turns_from_documents over the same (full) set."""
+    from dygiepp_spark import tables as TT
+
+    a = TT.turns_from_documents(spark, sf_dir, with_ts=False)
+    b = TT.turns_from_docs_df(
+        TT.load_documents(spark, sf_dir).select("doc_id", "text"),
+        with_ts=False,
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

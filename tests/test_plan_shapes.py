@@ -162,3 +162,54 @@ def test_sessionize_single_shuffle(spark, stored_turns):
     )
     plan = plan_of(sessionize(with_ts, gap_sec=30))
     assert count_shuffles(plan) == 1, plan
+
+
+# --------------------------------------------------------------------------
+# round-3 part-2 curation layer
+# --------------------------------------------------------------------------
+
+def test_url_stats_blocklist_is_broadcast(spark, sf_dir):
+    """The blocklist dim must ride a BroadcastHashJoin — shuffling the
+    exploded per-URL corpus side against a tiny blocklist is wrong at any
+    scale."""
+    from dygiepp_spark.functions import web as WB
+
+    docs = WB.with_synthetic_urls(
+        TT.load_documents(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        )
+    )
+    plan = plan_of(WB.url_stats(docs, WB.default_blocklist(spark)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_composite_filter_single_shuffle_pair(spark, sf_dir):
+    """quality features are a narrow projection; the only exchanges are
+    the 2-gram partial agg + the id join back (2-3 exchanges total, never
+    a cartesian or a global window)."""
+    from dygiepp_spark.functions import text as TX
+
+    docs = TT.load_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    plan = plan_of(TX.composite_filter(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(plan) <= 4, plan
+
+
+def test_vocab_topk_no_unpartitioned_window(spark, sf_dir):
+    """The global top-k cut must come from the distributed k-th-score
+    threshold, not a Window.orderBy over the whole vocabulary."""
+    from dygiepp_spark.functions import text as TX
+    from dygiepp_spark.operators import pruning as PR
+
+    docs = TT.load_documents(spark, sf_dir).select("text")
+    counts = (
+        docs.select(F.explode(TX.tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_of(PR.global_topk_with_ties(counts, "n", 100))
+    assert not re.search(r"Window.*\[n\b[^\]]*\bDESC", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
