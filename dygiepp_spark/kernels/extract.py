@@ -44,11 +44,14 @@ ARG_CAP = 30
 
 
 def _decode_sentence(scorer: Scorer, conv_id: str, turn_idx: int, tokens: list[str],
-                     max_span_width: int, out: list, coref_prop: int = 0) -> None:
+                     max_span_width: int, out: list, coref_prop: int = 0,
+                     ctx_seed: dict | None = None) -> None:
     n = len(tokens)
     if n == 0:
         return
     ctx = {"conv_id": conv_id, "turn_idx": turn_idx, "tokens": tokens}
+    if ctx_seed:
+        ctx.update(ctx_seed)
     spans = D.enumerate_spans(n, max_span_width)
 
     # --- NER over all enumerated spans (ner.py:92-120)
@@ -153,31 +156,56 @@ def extract(
     Arrow batch and decoded as rectangular (B, ...) tensors
     (kernels.batched) — same rows bit-for-bit (the grouped-vs-streamed
     test cross-checks the two implementations), ~3x less numpy small-array
-    overhead. Subclasses (CorefRuleScorer) and Replay/Transformer scorers
-    always take the per-sentence path.
+    overhead. Subclasses (CorefRuleScorer) and Replay scorers take the
+    per-sentence path. A scorer exposing ``forward_batch`` (the numpy
+    transformer, kernels/transformer.py) gets its FORWARD batched over
+    same-length groups as (B, n, d) tensors, with per-sentence decode
+    over the cached slices.
     """
     chunked = assign_chunks(turns, max_tokens_per_chunk)
     use_batched = batched and type(scorer) is RuleScorer and coref_prop == 0
+    # a transformer-class scorer batches its FORWARD over same-length
+    # sentence groups as (B, n, d) tensors (kernels/transformer.py);
+    # decode stays per-sentence, reading its cached slice
+    use_fwd_batch = batched and hasattr(scorer, "forward_batch")
+
+    def _length_groups(pdf: pd.DataFrame) -> dict:
+        groups: dict[int, tuple[list, list, list]] = {}
+        for conv_id, turn_idx, text in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+        ):
+            tokens = [t for t in text.split(" ") if t != ""]
+            g = groups.setdefault(len(tokens), ([], [], []))
+            g[0].append(conv_id)
+            g[1].append(int(turn_idx))
+            g[2].append(tokens)
+        return groups
 
     def decode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         rows: list = []
         if use_batched:
             from dygiepp_spark.kernels.batched import decode_batch_rule
 
-            groups: dict[int, tuple[list, list, list]] = {}
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
-                tokens = [t for t in text.split(" ") if t != ""]
-                g = groups.setdefault(len(tokens), ([], [], []))
-                g[0].append(conv_id)
-                g[1].append(int(turn_idx))
-                g[2].append(tokens)
+            groups = _length_groups(pdf)
             for n in sorted(groups):
                 cids, tixs, toks = groups[n]
                 decode_batch_rule(
                     scorer, cids, tixs, toks, max_span_width, rows
                 )
+            return pd.DataFrame(rows, columns=_OUT_COLS)
+        if use_fwd_batch:
+            groups = _length_groups(pdf)
+            for n in sorted(groups):
+                cids, tixs, toks = groups[n]
+                if n == 0:
+                    continue
+                vecs = scorer.forward_batch(toks)           # (B, n, d)
+                for b in range(len(cids)):
+                    _decode_sentence(
+                        scorer, cids[b], tixs[b], toks[b], max_span_width,
+                        rows, coref_prop=coref_prop,
+                        ctx_seed={"_tok_vecs": vecs[b]},
+                    )
             return pd.DataFrame(rows, columns=_OUT_COLS)
         for conv_id, turn_idx, text in zip(
             pdf["conv_id"], pdf["turn_idx"], pdf["text"]

@@ -399,5 +399,8 @@ class TransformerScorer(Scorer):
     def __init__(self, model_path: str):
         raise NotImplementedError(
             "transformer backend requires torch+transformers at runtime; "
-            "inject RuleScorer or ReplayScorer in this environment"
+            "inject RuleScorer or ReplayScorer in this environment — or "
+            "kernels.transformer.NumpyTransformerScorer, which runs the "
+            "full forward pass (attention + FFN + factored-bilinear "
+            "heads) in numpy with deterministic synthetic weights"
         )
