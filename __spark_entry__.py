@@ -761,6 +761,25 @@ def q_streaming_triples(spark, sf_dir):
     )
 
 
+def q_streaming_quality(spark, sf_dir):
+    """Curation-at-ingestion: the composite quality filter drained through
+    foreachBatch micro-batches with the idempotent batch_id sink. The
+    filter is per-document and one stream row carries one whole doc, so
+    the drained union equals the batch operator exactly — checked against
+    the same SQL oracle as `quality_filter`."""
+    base = f"/root/repo/.tmp/stream_q_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    _doc_text(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(in_dir)
+    ST.run_quality_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    return _consume_and_remove(
+        spark.read.parquet(out_dir).select(
+            "doc_id", "n_tokens", "reason_bits", "keep"
+        ),
+        base,
+    )
+
+
 def q_streaming_assembly(spark, sf_dir):
     """Stateful streaming doc-assembly (applyInPandasWithState keyed on
     conv_id): conversations are hash-spread over multiple input files and
@@ -867,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_chunks": q_audio_chunks,
         "triples_transformer": q_triples_transformer,  # rows-only (no SQL twin)
+        "streaming_quality": q_streaming_quality,
         # (c) operator code changed this round
         "micro_prf_namespaced": q_micro_prf_namespaced,
         "greedy_match": q_greedy_match,
@@ -881,7 +901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_reverse": q_ie_eval_reverse,
         "ie_eval_topk": q_ie_eval_topk,
         "ie_eval_coref_expand": q_ie_eval_coref_expand,
-        "gold_transitive": q_gold_transitive,
         # (e) stable core kept in-window (event/coref/graph paths)
         "ie_eval_event": q_ie_eval_event,
         # ---- entries beyond the 50-query harness window: all green in
@@ -900,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose identity is pinned by the in-window `triples` hash row +
         # the two-way exceptAll A/B in BENCH/PLANS.md ----
         "kg_edges": q_kg_edges,
+        "gold_transitive": q_gold_transitive,
         "triples_mechanism": q_triples_mechanism,
         "micro_prf": q_micro_prf,
         "triples_topk": q_triples_topk,
@@ -1031,4 +1051,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": oracles_data.vocab_topk_oracle(k=100),
         "image_resize": oracles_data.image_resize_oracle(),
         "audio_chunks": oracles_data.audio_chunks_oracle(),
+        "streaming_quality": oracles_data.quality_filter_oracle(),
     }

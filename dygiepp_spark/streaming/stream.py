@@ -420,3 +420,55 @@ def run_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# streaming corpus curation (composite quality filter over a doc stream)
+# --------------------------------------------------------------------------
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def run_quality_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Curation-at-ingestion: the Gopher/C4 composite filter
+    (functions.text.composite_filter) over a document drop directory via
+    foreachBatch, with the idempotent batch_id-partitioned sink.
+
+    The filter is strictly per-document (its only aggregation, the 2-gram
+    mode, is keyed on doc_id, and one stream row carries one whole doc),
+    so the union of per-batch outputs equals the batch operator's output
+    exactly — the `quality_filter` SQL oracle checks the drained stream
+    verbatim. Exactly-once on replay for the same reason as
+    :func:`run_triples_stream`: a retried micro-batch overwrites its own
+    batch_id partition.
+    """
+    from dygiepp_spark.functions.text import composite_filter
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            composite_filter(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -140,3 +140,71 @@ def test_audio_chunks_window_math(spark):
     rows = sorted(MM.audio_chunks(docs).collect(), key=lambda r: r["chunk_ix"])
     assert [r["n_samples"] for r in rows] == [64, 64, 2]
     assert all(r["abs_energy"] == abs(ord("q") - 128) * r["n_samples"] for r in rows)
+
+
+# --------------------------------------------------------------------------
+# property test: distributed CC == sequential union-find on random graphs
+# --------------------------------------------------------------------------
+
+def _union_find_groups(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comp.values():
+        g = min(members)
+        for m in members:
+            out[m] = g
+    return out
+
+
+def test_near_dup_groups_matches_union_find_on_random_graphs(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=24).flatmap(
+            lambda n: st.tuples(
+                st.just(n),
+                st.lists(
+                    st.tuples(
+                        st.integers(0, n - 1), st.integers(0, n - 1)
+                    ).filter(lambda p: p[0] != p[1]),
+                    max_size=30,
+                ),
+            )
+        )
+    )
+    def check(case):
+        n, raw = case
+        pairs = sorted({(min(a, b), max(a, b)) for a, b in raw})
+        want = _union_find_groups(n, pairs)
+        pdf = spark.createDataFrame(
+            pairs or [(0, 1)], "id_a bigint, id_b bigint"
+        )
+        if not pairs:
+            pdf = pdf.limit(0)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        from dygiepp_spark.operators import compaction as CP
+
+        got = {
+            r["id"]: r["group_id"]
+            for r in CP.near_dup_groups(pdf, nodes).collect()
+        }
+        assert got == want
+
+    check()

@@ -203,3 +203,31 @@ def test_stateful_dedup_equals_batch_dedup(spark, sf_dir, tmp_path):
     batch = exact_dedup_groups(docs)
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+# --------------------------------------------------------------------------
+# streaming curation (round 3)
+# --------------------------------------------------------------------------
+
+def test_quality_stream_equals_batch_filter(spark, sf_dir, tmp_path):
+    from dygiepp_spark.functions.text import composite_filter
+    import pyspark.sql.functions as F
+
+    docs = TT.load_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # multiple files -> multiple micro-batches; the filter is per-doc so
+    # the drained union must equal the batch operator exactly
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    ST.run_quality_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    got = spark.read.parquet(out_dir).drop("batch_id")
+    want = composite_filter(docs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # re-drain on the same checkpoint: idempotent
+    ST.run_quality_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    assert spark.read.parquet(out_dir).count() == want.count()
