@@ -37,7 +37,7 @@ SYNTH_MAX_TURNS = int(os.environ.get("BENCH_SYNTH_MAX_TURNS", "2000"))
 #: throttles bursts under sustained load (identical runs observed 1.5-2x
 #: apart minutes later; see BENCH/BASELINE.md), and the engine's steady-
 #: state cost is the quantity under test, not host credits
-BENCH_REPS = int(os.environ.get("BENCH_REPS", "2"))
+BENCH_REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def run_query(fn, spark, sf_dir) -> float:
