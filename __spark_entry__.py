@@ -726,6 +726,12 @@ def q_vocab_topk(spark, sf_dir):
     return PR.global_topk_with_ties(counts, "n", 100)
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document tf-idf keyword extraction (top-5 terms per doc,
+    integer idf — see functions.text.tfidf_topk)."""
+    return TX.tfidf_topk(_doc_text(spark, sf_dir), k=5)
+
+
 # --------------------------------------------------------------------------
 # streaming (availableNow drain == batch result for stateless stages)
 # --------------------------------------------------------------------------
@@ -856,7 +862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "langid": q_langid,
         "quality": q_quality,
-        "fingerprint": q_fingerprint,
         "image_meta": q_image_meta,
         "frame_samples": q_frame_samples,
         # (b) new this round
@@ -887,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunks": q_audio_chunks,
         "triples_transformer": q_triples_transformer,  # rows-only (no SQL twin)
         "streaming_quality": q_streaming_quality,
+        "tfidf_topk": q_tfidf_topk,
         # (c) operator code changed this round
         "micro_prf_namespaced": q_micro_prf_namespaced,
         "greedy_match": q_greedy_match,
@@ -958,6 +964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_dense": q_check_dense,
         "split_disjointness": q_split_disjointness,
         "dedup_tokenset": q_dedup_tokenset,
+        # rotated to the tail for the tfidf_topk window slot: r1-green
+        # oracle row, functions/text.fingerprint untouched since r1
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -1052,4 +1061,5 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": oracles_data.image_resize_oracle(),
         "audio_chunks": oracles_data.audio_chunks_oracle(),
         "streaming_quality": oracles_data.quality_filter_oracle(),
+        "tfidf_topk": oracles_data.tfidf_topk_oracle(k=5),
     }

@@ -307,3 +307,58 @@ def stratified_sample(
         F.concat(F.col(strata_col), F.lit(":"), F.col(key_col).cast("string"))
     ) % F.lit(scale)
     return df.filter(bucket < thresh)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document tf-idf keyword extraction: the top-``k`` terms of each
+    document by ``tf * idf``, the classic curation primitive (document
+    topic tagging / keyword indexing) sitting between ``word_token_count``
+    (per-doc) and the corpus-level ``vocab_topk``.
+
+    Engine-portable by construction: idf is the *integer*
+    ``(N * idf_scale) div df_term`` (floor division — BIGINT-exact in both
+    Spark and DuckDB, no float log), score = ``tf * idf`` stays BIGINT,
+    and the per-doc cut is row_number with a total-order tiebreak
+    (score desc, term asc).
+
+    Plan at scale: tf is a map-side-combinable (doc, term) agg; document
+    frequency is a two-stage distinct agg on term; the idf join keys both
+    sides on term (AQE broadcasts the vocab-sized side when it fits); the
+    final cut is a window partitioned by doc_id. Three keyed shuffles, no
+    driver loop (N is one scalar count, the same 1-row fold the other
+    corpus stats use).
+    """
+    from dygiepp_spark.operators.pruning import topk_per_group
+
+    n_docs = df.select(id_col).distinct().count()
+    tok = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_term")
+    )
+    idf = dfreq.select(
+        "term",
+        F.expr(f"CAST({n_docs}L * {idf_scale}L div df_term AS BIGINT)").alias(
+            "idf_q"
+        ),
+    )
+    # no broadcast hint: a web-scale vocabulary can exceed the driver;
+    # AQE broadcasts automatically when the aggregated term frame is small
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_q")).cast("bigint").alias("score"),
+    )
+    return topk_per_group(
+        scored, ["doc_id"], "score", k, tiebreak_cols=["term"]
+    )

@@ -965,3 +965,35 @@ WITH tok AS (
 tc AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
 thr AS (SELECT min(n) AS t FROM (SELECT n FROM tc ORDER BY n DESC LIMIT {k}))
 SELECT token, n FROM tc WHERE n >= (SELECT t FROM thr)"""
+
+
+def tfidf_topk_oracle(k: int = 5, idf_scale: int = 1_000_000) -> str:
+    """Twin of functions.text.tfidf_topk: integer idf = (N * scale) // df
+    (BIGINT floor division on both engines — no float log), BIGINT score,
+    row_number cut with the same (score desc, term asc) total order."""
+    return f"""
+WITH tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest({_DTOKS}) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_term FROM tok GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (
+    SELECT term,
+           CAST(((SELECT n_docs FROM n) * {idf_scale}) // df_term AS BIGINT)
+               AS idf_q
+    FROM dfreq
+),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           CAST(tf.tf * idf.idf_q AS BIGINT) AS score
+    FROM tf JOIN idf USING (term)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, term, tf, score FROM ranked WHERE rn <= {k}"""

@@ -208,3 +208,38 @@ def test_near_dup_groups_matches_union_find_on_random_graphs(spark):
         assert got == want
 
     check()
+
+
+def test_tfidf_topk_ranks_rare_terms_above_common(spark):
+    """A term appearing in every doc has minimal idf; a doc's unique term
+    outranks it even at lower tf. Tiebreak is (score desc, term asc)."""
+    from dygiepp_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common unique_a common"),
+            (2, "common zebra"),
+            (3, "common apple apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=1)
+    top = {r["doc_id"]: (r["term"], r["tf"], r["score"]) for r in out.collect()}
+    # doc 1: common tf=4 * idf(3/3)=1_000_000 -> 4_000_000;
+    #        unique_a tf=1 * idf(3/1)=3_000_000 -> 3_000_000 — common wins
+    assert top[1] == ("common", 4, 4_000_000)
+    # doc 2: zebra 1*3_000_000 beats common 1*1_000_000
+    assert top[2] == ("zebra", 1, 3_000_000)
+    # doc 3: apple 2*3_000_000 beats common 1*1_000_000
+    assert top[3] == ("apple", 2, 6_000_000)
+
+
+def test_tfidf_topk_k_cut_and_tiebreak(spark):
+    from dygiepp_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a c"), (2, "x")], "doc_id long, text string"
+    )
+    out = tfidf_topk(docs, k=2).filter(F.col("doc_id") == 1).collect()
+    # a, b, c all tf=1, idf=(2*1M)//1 -> same score; term-asc tiebreak
+    assert [r["term"] for r in sorted(out, key=lambda r: r["term"])] == ["a", "b"]
