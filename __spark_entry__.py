@@ -586,8 +586,15 @@ def q_pii_scrub(spark, sf_dir):
 
 
 def q_kmeans(spark, sf_dir):
+    """Lloyd's k-means training (similarity.kmeans_train), emitted in LONG
+    format (cell, size, dim, cv) — the harness canonicalizes frames with a
+    pandas sort over every column, which cannot order an array cell, so
+    the centroid vector is posexploded to one row per dimension."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.kmeans_train(emb, k=SIM.N_CENTROIDS, iters=2)
+    cents = SIM.kmeans_train(emb, k=SIM.N_CENTROIDS, iters=2)
+    return cents.select(
+        "cell", "size", F.posexplode("cq").alias("dim", "cv")
+    )
 
 
 def q_conv_stats(spark, sf_dir):

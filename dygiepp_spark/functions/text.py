@@ -325,7 +325,11 @@ def tfidf_topk(
     ``(N * idf_scale) div df_term`` (floor division — BIGINT-exact in both
     Spark and DuckDB, no float log), score = ``tf * idf`` stays BIGINT,
     and the per-doc cut is row_number with a total-order tiebreak
-    (score desc, term asc).
+    (score desc, term asc). NOTE: the integer idf is NOT rank-equivalent
+    to textbook ``tf * log(N/df)`` — when tf and df trade off, the linear
+    ``N/df`` weighting can order terms differently than the log form, so
+    a consumer expecting textbook tf-idf rankings should not assume they
+    match.
 
     Plan at scale: tf is a map-side-combinable (doc, term) agg; document
     frequency is a two-stage distinct agg on term; the idf join keys both

@@ -55,12 +55,16 @@ def with_synthetic_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def registered_domain(host: Column) -> Column:
     """Last two dot-labels of a hostname — the public-suffix-list-lite
-    rule ('host7.example3.com' -> 'example3.com'). Production swaps in a
-    broadcast PSL lookup; the column shape is identical."""
+    rule ('host7.example3.com' -> 'example3.com'). A single-label host
+    (e.g. 'localhost') passes through unchanged — without the guard,
+    ``concat_ws`` would silently skip the NULL ``element_at(-2)`` and
+    diverge from a SQL ``labels[-2] || '.' || labels[-1]`` twin.
+    Production swaps in a broadcast PSL lookup; the column shape is
+    identical."""
     labels = F.split(host, r"\.")
-    return F.concat_ws(
+    return F.when(F.size(labels) >= 2, F.concat_ws(
         ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
+    )).otherwise(host)
 
 
 def default_blocklist(spark: SparkSession) -> DataFrame:

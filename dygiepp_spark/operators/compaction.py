@@ -82,6 +82,15 @@ def near_dup_groups(
         labels = doubled
         if changed == 0:
             break
+    else:
+        # max_iter exhausted without a fixpoint: labels may split one true
+        # component into several groups. Practically unreachable (pointer
+        # doubling covers diameter ~2^max_iter), but silent non-convergence
+        # would corrupt a dedup pass undetected — fail loudly instead.
+        raise RuntimeError(
+            f"near_dup_groups: no fixpoint after max_iter={max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("group_id"))
 
 

@@ -686,15 +686,16 @@ fa AS (
         JOIN c{T}n cn ON cn.cent_id = d.cent_id
     ) WHERE rn = 1
 ),
-sizes AS (SELECT cell, count(*) AS size FROM fa GROUP BY 1),
-final AS (
-    SELECT cent_id AS cell, list(cv ORDER BY i) AS cq FROM c{T} GROUP BY 1
-)""")
+sizes AS (SELECT cell, count(*) AS size FROM fa GROUP BY 1)""")
     body = ",\n".join(ctes)
+    # long format (cell, size, dim, cv): one row per centroid dimension —
+    # the harness's pandas canonicalization can't sort array cells. dim is
+    # 0-based to match Spark's posexplode pos.
     return f"""WITH {_QZ_SQL.strip()},
 {body}
-SELECT f.cell, s.size, f.cq
-FROM final f JOIN sizes s ON s.cell = f.cell"""
+SELECT c.cent_id AS cell, s.size,
+       CAST(c.i - 1 AS INT) AS dim, c.cv
+FROM c{T} c JOIN sizes s ON s.cell = c.cent_id"""
 
 
 # --------------------------------------------------------------------------
@@ -872,7 +873,13 @@ hosts AS (
     FROM urls
 ),
 rd AS (
-    SELECT doc_id, labels[-2] || '.' || labels[-1] AS rd FROM hosts
+    -- single-label hosts (localhost) pass through, mirroring
+    -- web.registered_domain's size(labels) >= 2 guard
+    SELECT doc_id,
+           CASE WHEN len(labels) >= 2
+                THEN labels[-2] || '.' || labels[-1]
+                ELSE labels[-1] END AS rd
+    FROM hosts
 ),
 counts AS (
     SELECT a.doc_id,
