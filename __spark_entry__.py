@@ -715,6 +715,71 @@ def q_triples_transformer(spark, sf_dir):
     )
 
 
+def q_transformer_selfcheck(spark, sf_dir):
+    """Driver-visible hard signal for the M1 transformer path (attention
+    math has no bit-identical DuckDB twin, so the invariants pytest pins
+    are re-derived as COUNTS a ``SELECT 0, 0`` oracle can check):
+
+    * ``batch_mismatch``  — two-way exceptAll row count between the
+      same-length-group batched forward (one (B, n, d) tensor per length)
+      and the per-sentence forward: 0 iff batching is output-identical;
+    * ``determinism_mismatch`` — two-way exceptAll row count between two
+      INDEPENDENTLY CONSTRUCTED scorer instances run end to end: 0 iff
+      the synthetic weight construction + forward are deterministic.
+
+    Both comparisons are distributed (exceptAll), folded to one row.
+    """
+    from dygiepp_spark.kernels import extract as KX
+    from dygiepp_spark.kernels.transformer import NumpyTransformerScorer
+
+    turns = _turns(spark, sf_dir).localCheckpoint(eager=False)
+    batched = KX.extract(
+        turns, NumpyTransformerScorer(), batched=True
+    ).localCheckpoint(eager=False)
+    single = KX.extract(turns, NumpyTransformerScorer(), batched=False)
+    twin = KX.extract(turns, NumpyTransformerScorer(), batched=True)
+    batch_mm = batched.exceptAll(single).unionByName(
+        single.exceptAll(batched)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("batch_mismatch"))
+    det_mm = batched.exceptAll(twin).unionByName(
+        twin.exceptAll(batched)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("determinism_mismatch"))
+    return batch_mm.crossJoin(det_mm)
+
+
+def q_events_replay(spark, sf_dir):
+    """The north-rule gate's EVENT half as a hard-signal query (sibling of
+    triples_replay): the Arrow kernel with replayed scores over the
+    reference's ACE event fixture must emit exactly the reference's
+    (trigger, event_type, arg span, role) set — argument rows joined to
+    their trigger's decoded label, as in dygie/models/events.py:251-279.
+    The oracle derives the same set from the fixture JSONL in DuckDB
+    (doc offsets rebased by shifted-cumsum sentence starts). Input is the
+    fixture, not sf_dir — corpus-pinned by design."""
+    from dygiepp_spark.kernels import extract as KX
+    from dygiepp_spark.kernels.scorer import ReplayScorer
+    from dygiepp_spark.oracles import ACE_EVENT_FIXTURE
+
+    preds: dict = {}
+    for doc in JS.load_jsonl(ACE_EVENT_FIXTURE):
+        preds.update(JS.doc_predictions(doc))
+    turns = JS.turns_from_jsonl(spark, ACE_EVENT_FIXTURE)
+    ext = KX.extract(turns, ReplayScorer(preds)).localCheckpoint(eager=False)
+    trig = ext.filter(F.col("row_type") == "trigger").select(
+        "conv_id", "turn_idx",
+        F.col("s1").alias("trig_ix"), F.col("label").alias("event_type"),
+    )
+    args = ext.filter(F.col("row_type") == "argument").select(
+        "conv_id", "turn_idx", F.col("s1").alias("trig_ix"),
+        F.col("s2").alias("arg_s"), F.col("e2").alias("arg_e"),
+        F.col("label").alias("role"),
+    )
+    return args.join(trig, ["conv_id", "turn_idx", "trig_ix"]).select(
+        "conv_id", "turn_idx", "trig_ix", "event_type",
+        "arg_s", "arg_e", "role",
+    ).distinct()
+
+
 def q_url_filter(spark, sf_dir):
     from dygiepp_spark.functions import web as WB
 
@@ -898,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_chunks": q_audio_chunks,
         "triples_transformer": q_triples_transformer,  # rows-only (no SQL twin)
+        "transformer_selfcheck": q_transformer_selfcheck,
+        "events_replay": q_events_replay,
         "streaming_quality": q_streaming_quality,
         "tfidf_topk": q_tfidf_topk,
         # (c) operator code changed this round
@@ -1069,4 +1136,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": oracles_data.audio_chunks_oracle(),
         "streaming_quality": oracles_data.quality_filter_oracle(),
         "tfidf_topk": oracles_data.tfidf_topk_oracle(k=5),
+        "transformer_selfcheck": (
+            "SELECT CAST(0 AS BIGINT) AS batch_mismatch, "
+            "CAST(0 AS BIGINT) AS determinism_mismatch"
+        ),
+        "events_replay": oracles.events_replay_oracle(),
     }

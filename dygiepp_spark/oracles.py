@@ -194,6 +194,91 @@ WHERE rel.e1 - rel.s1 + 1 <= {max_span_width}
   AND rel.e2 - rel.s2 + 1 <= {max_span_width}"""
 
 
+ACE_EVENT_FIXTURE = "/root/reference/dygie/tests/fixtures/ace_event_article.json"
+
+
+def events_replay_oracle(
+    path: str = ACE_EVENT_FIXTURE, max_span_width: int = 8
+) -> str:
+    """EVENT half of the north-rule replay gate (sibling of
+    :func:`triples_replay_oracle`): the reference's (trigger, event_type,
+    argument span, role) set derived straight from the ACE fixture JSONL —
+    each per-sentence event entry is ``[[trig_doc_ix, type], [a_s, a_e,
+    role], ...]`` with DOC-level offsets (doc/data.md:61-78), rebased by
+    the shifted-cumsum sentence starts (document.py:113-117); argument
+    spans wider than the kernel's enumeration cap are dropped
+    (dygie.py:55-56 ``_too_long``). Trigger-only events contribute no rows
+    (the Spark side joins argument rows to their trigger), matching the
+    pytest replay check (tests/test_kernel.py ACE replay)."""
+    return f"""
+WITH docs AS (
+    SELECT CAST(doc_key AS VARCHAR) AS doc_key, sentences, events
+    FROM read_json('{path}', format='newline_delimited',
+                   columns={{'doc_key': 'VARCHAR',
+                             'sentences': 'VARCHAR[][]',
+                             'events': 'JSON'}})
+),
+sent AS (
+    SELECT doc_key,
+           generate_subscripts(sentences, 1) - 1 AS sent_ix,
+           unnest(sentences) AS toks
+    FROM docs
+),
+starts AS (
+    SELECT doc_key, sent_ix,
+           CAST(COALESCE(SUM(len(toks)) OVER (
+               PARTITION BY doc_key ORDER BY sent_ix
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+             AS st
+    FROM sent
+),
+esent AS (
+    SELECT doc_key,
+           unnest(range(CAST(json_array_length(events) AS BIGINT)))
+             AS sent_ix,
+           events
+    FROM docs
+),
+elist AS (
+    SELECT doc_key, sent_ix,
+           json_extract(events, '$[' || sent_ix || ']') AS el
+    FROM esent
+),
+ev AS (
+    SELECT doc_key, sent_ix, el,
+           unnest(range(CAST(json_array_length(el) AS BIGINT))) AS j
+    FROM elist
+),
+one AS (
+    SELECT doc_key, sent_ix, json_extract(el, '$[' || j || ']') AS e
+    FROM ev
+),
+witharg AS (
+    SELECT doc_key, sent_ix, e,
+           CAST(json_extract(e, '$[0][0]') AS INT) AS trig_doc,
+           json_extract_string(e, '$[0][1]') AS event_type,
+           unnest(range(1, CAST(json_array_length(e) AS BIGINT))) AS a
+    FROM one
+),
+arg AS (
+    SELECT doc_key, sent_ix, trig_doc, event_type,
+           CAST(json_extract(e, '$[' || a || '][0]') AS INT) AS s_doc,
+           CAST(json_extract(e, '$[' || a || '][1]') AS INT) AS e_doc,
+           json_extract_string(e, '$[' || a || '][2]') AS role
+    FROM witharg
+)
+SELECT DISTINCT a.doc_key AS conv_id,
+       CAST(a.sent_ix AS INT) AS turn_idx,
+       a.trig_doc - s.st AS trig_ix,
+       a.event_type,
+       a.s_doc - s.st AS arg_s,
+       a.e_doc - s.st AS arg_e,
+       a.role
+FROM arg a
+JOIN starts s ON s.doc_key = a.doc_key AND s.sent_ix = a.sent_ix
+WHERE a.e_doc - a.s_doc + 1 <= {max_span_width}"""
+
+
 def json_ingest_oracle() -> str:
     """S6 twin of write_article_json -> ingest_article_json, derived
     straight from the documents view: the %43 (no_abstract) and %47
