@@ -350,6 +350,43 @@ def q_event_f1_4way(spark, sf_dir):
     return KE.event_f1_4way(pred, gold)
 
 
+def q_method_accept_rate(spark, sf_dir):
+    """Per-method accept-rate ranking (eval_predictions_quality.py:12-27):
+    the flagship extractor vs the SRL and depparse baselines, accept =
+    the predicted pair appears in the rule gold."""
+    from dygiepp_spark.operators import baselines as BL
+
+    turns = _turns(spark, sf_dir).localCheckpoint(eager=False)
+    preds = {
+        "dygiepp": EX.emit_triples(turns),
+        "srlmap": BL.srl_baseline(turns),
+        "depparse": BL.depparse_baseline(turns),
+    }
+    return KE.method_accept_rate(preds, KE.gold_triples(turns))
+
+
+def q_grid_best_cell(spark, sf_dir):
+    """Best-cell selection (find_max_score consumer,
+    eval_predictions_quality.py:29-63) over the eval_grid stats frame."""
+    turns = _turns(spark, sf_dir)
+    return KE.grid_best_cell(
+        KE.eval_grid(EX.emit_triples(turns), KE.gold_triples_ctx(turns))
+    )
+
+
+def q_agreement_report(spark, sf_dir):
+    """Annotator agreement report (annotation_metric.py:16-45 /
+    eval_utils.py:567-617): two derived 'annotators' (the extractor at its
+    default and a tighter distance knob) scored against the tight-knob
+    gold over the full (metric x collapse x jaccard-threshold) grid."""
+    turns = _turns(spark, sf_dir).localCheckpoint(eager=False)
+    preds = {
+        "rule": EX.emit_triples(turns),
+        "tight": EX.emit_triples(turns, max_dist=4),
+    }
+    return KE.agreement_report(preds, EX.emit_triples(turns, max_dist=2))
+
+
 def q_baseline_srl(spark, sf_dir):
     """K9 SRL/OpenIE verb-frame baseline (eval_utils.py:48-172
     ``allenlp_base_relations`` + srlmap): one (arg0, verb-frame-label,
@@ -965,6 +1002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_transformer": q_triples_transformer,  # rows-only (no SQL twin)
         "transformer_selfcheck": q_transformer_selfcheck,
         "events_replay": q_events_replay,
+        "method_accept_rate": q_method_accept_rate,
+        "grid_best_cell": q_grid_best_cell,
+        "agreement_report": q_agreement_report,
         "streaming_quality": q_streaming_quality,
         "tfidf_topk": q_tfidf_topk,
         # (c) operator code changed this round
@@ -1141,4 +1181,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS determinism_mismatch"
         ),
         "events_replay": oracles.events_replay_oracle(),
+        "method_accept_rate": oracles_kg.method_accept_rate_oracle(),
+        "grid_best_cell": oracles_kg.grid_best_cell_oracle(),
+        "agreement_report": oracles_kg.agreement_report_oracle(),
     }

@@ -1133,3 +1133,279 @@ def ie_errors(
             "gold_label",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# prediction-quality ranking + annotator agreement (the consumers sitting on
+# top of the eval grid / greedy matching: eval_predictions_quality.py and
+# annotation_metric.py in the reference)
+# ---------------------------------------------------------------------------
+
+
+def method_accept_rate(
+    preds_by_method: dict[str, DataFrame], gold: DataFrame
+) -> DataFrame:
+    """Per-method accept-rate ranking (eval_predictions_quality.py:12-27
+    ``calc_accept_rate_per_alg``): the reference reads the annotation
+    task's ``<doc>__<method>`` doc_key suffix and counts the human
+    ``accept`` answers per extraction method. Method provenance is carried
+    here as a column on each prediction frame, and the accept answer is
+    the deterministic stand-in "the predicted pair appears in gold" (the
+    reference's companion ``calc_original_accept_per_alg`` accept-by-code
+    path, :104-135) — a predicate both engines compute identically.
+
+    Output: (method, n_samples, n_accept, accept_rate), one row per
+    method, samples = DISTINCT (conv, arg0, arg1) pairs per method.
+
+    Scale: one union of the method frames, one (conv, arg0, arg1)-keyed
+    left join against the distinct gold pairs (AQE picks broadcast when
+    gold fits), one map-side-combinable groupBy on the low-cardinality
+    method key. accept_rate is a single IEEE double division of two exact
+    integers — portable.
+    """
+    gp = gold.select("conv_id", "arg0", "arg1").distinct().withColumn(
+        "_g", F.lit(1)
+    )
+    parts = [
+        df.select(
+            F.lit(name).alias("method"), "conv_id", "arg0", "arg1"
+        ).distinct()
+        for name, df in sorted(preds_by_method.items())
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    marked = u.join(gp, ["conv_id", "arg0", "arg1"], "left")
+    return marked.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.count("_g").alias("n_accept"),
+    ).select(
+        "method",
+        "n_samples",
+        "n_accept",
+        (
+            F.col("n_accept").cast("double") / F.col("n_samples").cast("double")
+        ).alias("accept_rate"),
+    )
+
+
+def grid_best_cell(grid: DataFrame) -> DataFrame:
+    """Best-cell selection over the :func:`eval_grid` stats frame — the
+    ``find_max_score`` consumer (eval_predictions_quality.py:29-63) lifted
+    to the grid: per result ``kind``, the winning (metric x collapse /
+    topk) configuration by score (f1 for rel/span cells, precision for
+    P@K cells), ties broken to the lexicographically first cell.
+
+    The grid is a driver-materialized ~21-row frame, so the single-
+    partition window is free; the doubles it ranks are IEEE-identical in
+    both engines (eval_grid's own parity pins them).
+    """
+    score = F.when(F.col("kind") == "p_at_k", F.col("precision")).otherwise(
+        F.col("f1")
+    )
+    w = Window.partitionBy("kind").orderBy(
+        score.desc(),
+        F.col("metric").asc(),
+        F.col("collapse").asc_nulls_first(),
+        F.col("topk").asc_nulls_first(),
+    )
+    return (
+        grid.withColumn("best_score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("kind", "metric", "collapse", "topk", "best_score")
+    )
+
+
+#: the reference's annotator-agreement grid (annotation_metric.py:29-45):
+#: substring at the nominal threshold, jaccard at 0.5 / 0.4 / 0.3, each
+#: with and without label collapse
+AGREEMENT_CELLS: tuple[tuple[str, bool, float], ...] = tuple(
+    (metric, collapse, thresh)
+    for metric in ("substring", "jaccard")
+    for collapse in (False, True)
+    for thresh in ((0.5,) if metric == "substring" else (0.5, 0.4, 0.3))
+)
+
+
+def agreement_report(
+    preds_by_annotator: dict[str, DataFrame],
+    gold: DataFrame,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Annotator agreement report — ``annotation_eval``
+    (eval_utils.py:567-617) swept over the (metric x collapse x threshold)
+    grid of ``agreement_accuracy_calculation`` (annotation_metric.py:16-45)
+    in ONE job.
+
+    Per (annotator, cell): predictions and gold are greedily matched
+    one-to-one (``seen_pred``/``seen_gold`` bookkeeping keyed on the
+    label-FREE (doc, arg0, arg1) pairs, exactly the reference's seen keys)
+    under the cell's span metric; label equality gates candidacy unless
+    ``collapse``. accuracy = 2 * matched / common, where common counts
+    gold rows whose sentence text occurs among the prediction texts plus
+    prediction rows whose text occurs among the gold texts (:599-612),
+    and is 0-guarded (:613-614).
+
+    The sequential product-order greedy is re-expressed as the iterated
+    local-minima greedy of :func:`greedy_match` (lexicographic candidate
+    order — deterministic, engine-portable), fused across ALL cells: the
+    candidate frame carries the cell key, every window/join partitions on
+    it, so the loop runs once with rounds = the max conflict-chain depth
+    over cells instead of once per cell. One fuzzy pred x gold join per
+    annotator (built under the LOOSEST predicate; each cell filters it,
+    the eval_grid trick); the loop's joins are all keyed on
+    (cell, conv_id, span pair).
+
+    Output: (annotator, metric, collapse, thresh, n_matched, n_common,
+    accuracy), one row per annotator x cell.
+    """
+    spark = gold.sparkSession
+    jmin = min(t for (_, _, t) in AGREEMENT_CELLS)
+    cells = spark.createDataFrame(
+        list(AGREEMENT_CELLS), "metric string, collapse boolean, thresh double"
+    )
+
+    g = (
+        gold.select(
+            "conv_id",
+            F.col("arg0").alias("g_arg0"),
+            F.col("arg1").alias("g_arg1"),
+            F.col("label").alias("g_label"),
+            F.col("sent_text").alias("g_text"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    g_texts = g.select(F.col("g_text").alias("t")).distinct()
+
+    def jac(a: Column, b: Column) -> Column:
+        ta = F.array_distinct(F.split(F.lower(F.trim(a)), " "))
+        tb = F.array_distinct(F.split(F.lower(F.trim(b)), " "))
+        inter = F.size(F.array_intersect(ta, tb)).cast("double")
+        union = F.size(F.array_union(ta, tb)).cast("double")
+        return inter / F.greatest(union, F.lit(1.0))
+
+    cand_parts = []
+    commons: list[tuple[str, int]] = []
+    for name, pred in sorted(preds_by_annotator.items()):
+        p = (
+            pred.select(
+                "conv_id",
+                F.col("arg0").alias("p_arg0"),
+                F.col("arg1").alias("p_arg1"),
+                F.col("label").alias("p_label"),
+                F.col("sent_text").alias("p_text"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        p_texts = p.select(F.col("p_text").alias("t")).distinct()
+        n_gold_common = g.join(
+            p_texts, g["g_text"] == p_texts["t"], "left_semi"
+        ).count()
+        n_pred_common = p.join(
+            g_texts, p["p_text"] == g_texts["t"], "left_semi"
+        ).count()
+        commons.append((name, n_gold_common + n_pred_common))
+
+        sub0 = match_substring(F.col("p_arg0"), F.col("g_arg0"))
+        sub1 = match_substring(F.col("p_arg1"), F.col("g_arg1"))
+        j0 = jac(F.col("p_arg0"), F.col("g_arg0"))
+        j1 = jac(F.col("p_arg1"), F.col("g_arg1"))
+        joined = p.join(
+            g,
+            on=[
+                p["conv_id"] == g["conv_id"],
+                (sub0 & sub1) | ((j0 >= jmin) & (j1 >= jmin)),
+            ],
+        ).select(
+            F.lit(name).alias("annotator"),
+            p["conv_id"].alias("conv_id"),
+            "p_arg0", "p_arg1", "g_arg0", "g_arg1",
+            (sub0 & sub1).alias("_sub"),
+            j0.alias("_j0"),
+            j1.alias("_j1"),
+            (F.col("p_label") == F.col("g_label")).alias("_lab_eq"),
+        )
+        cell_cond = F.when(
+            F.col("metric") == "substring", F.col("_sub")
+        ).otherwise(
+            (F.col("_j0") >= F.col("thresh")) & (F.col("_j1") >= F.col("thresh"))
+        ) & (F.col("collapse") | F.col("_lab_eq"))
+        cand_parts.append(
+            joined.join(F.broadcast(cells), cell_cond)
+            .select(
+                "annotator", "metric", "collapse", "thresh",
+                "conv_id", "p_arg0", "p_arg1", "g_arg0", "g_arg1",
+            )
+            .distinct()
+        )
+
+    cand = cand_parts[0]
+    for c in cand_parts[1:]:
+        cand = cand.unionByName(c)
+    cand = cand.localCheckpoint(eager=True)
+
+    cell_key = ["annotator", "metric", "collapse", "thresh"]
+    pk = ["p_arg0", "p_arg1"]
+    gk = ["g_arg0", "g_arg1"]
+    w_pred = Window.partitionBy(*cell_key, "conv_id", *pk).orderBy(*gk)
+    w_gold = Window.partitionBy(*cell_key, "conv_id", *gk).orderBy(*pk)
+    matched = spark.createDataFrame([], cand.schema)
+    for _ in range(max_rounds):
+        accepted = (
+            cand.withColumn("_rp", F.row_number().over(w_pred))
+            .withColumn("_rg", F.row_number().over(w_gold))
+            .filter((F.col("_rp") == 1) & (F.col("_rg") == 1))
+            .drop("_rp", "_rg")
+            .localCheckpoint(eager=True)
+        )
+        matched = matched.unionByName(accepted)
+        cand = (
+            cand.join(
+                accepted.select(*cell_key, "conv_id", *pk),
+                [*cell_key, "conv_id", *pk],
+                "left_anti",
+            )
+            .join(
+                accepted.select(*cell_key, "conv_id", *gk),
+                [*cell_key, "conv_id", *gk],
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if cand.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"agreement_report: greedy matching did not converge in "
+            f"{max_rounds} rounds"
+        )
+
+    spine = spark.createDataFrame(
+        [(a,) for a, _ in commons], "annotator string"
+    ).crossJoin(cells)
+    common_df = spark.createDataFrame(
+        commons, "annotator string, n_common bigint"
+    )
+    counts = matched.groupBy(*cell_key).agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    acc = (
+        F.lit(2.0) * F.col("n_matched").cast("double")
+        / F.col("n_common").cast("double")
+    )
+    return (
+        spine.join(counts, cell_key, "left")
+        .join(common_df, "annotator")
+        .select(
+            *cell_key,
+            F.coalesce(F.col("_m"), F.lit(0)).cast("bigint").alias("n_matched"),
+            "n_common",
+        )
+        .withColumn(
+            "accuracy",
+            F.when(F.col("n_common") > 0, acc).otherwise(F.lit(0.0)),
+        )
+    )

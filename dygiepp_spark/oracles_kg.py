@@ -1264,3 +1264,254 @@ SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
                                    ORDER BY conf DESC, label, sent_text) AS rn
     FROM triples t
 ) WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# prediction-quality ranking + annotator agreement twins
+# ---------------------------------------------------------------------------
+
+
+def method_accept_rate_oracle() -> str:
+    """Twin of kg_eval.method_accept_rate over the three in-tree methods:
+    flagship triples, srlmap baseline, depparse baseline; accept = the
+    distinct (conv, arg0, arg1) pair appears in the rule gold."""
+    from dygiepp_spark.tables import SRL_STEM_MAP, TRIGGER_VOCAB
+
+    trigs = ", ".join(f"'{t}'" for t in TRIGGER_VOCAB)
+    case = "CASE " + " ".join(
+        f"WHEN position('{stem}' IN tk.token) > 0 THEN '{label}'"
+        for stem, label in SRL_STEM_MAP
+    ) + " ELSE NULL END"
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+rep AS (
+    SELECT conv_id, turn_idx FROM (
+        SELECT conv_id, turn_idx,
+               row_number() OVER (
+                   PARTITION BY text
+                   ORDER BY CAST(conv_id AS BIGINT), turn_idx, conv_id
+               ) AS rn
+        FROM turns
+    ) WHERE rn = 1
+),
+rment AS MATERIALIZED (
+    SELECT m.* FROM mentions m
+    JOIN rep r ON m.conv_id = r.conv_id AND m.turn_idx = r.turn_idx
+),
+rtrig AS (
+    SELECT tk.conv_id, tk.turn_idx, tk.tok_ix, {case} AS label
+    FROM tokens tk
+    JOIN rep r ON tk.conv_id = r.conv_id AND tk.turn_idx = r.turn_idx
+    WHERE tk.token IN ({trigs})
+),
+sides AS (
+    SELECT t.conv_id, t.turn_idx, t.tok_ix, t.label,
+           min(CASE WHEN m.start < t.tok_ix THEN m.start END) AS l_pos,
+           min(CASE WHEN m.start > t.tok_ix THEN m.start END) AS r_pos
+    FROM rtrig t
+    JOIN rment m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+    WHERE t.label IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+),
+srlp AS (
+    SELECT DISTINCT s.conv_id, ml.surface AS arg0, mr.surface AS arg1
+    FROM sides s
+    JOIN rment ml ON ml.conv_id = s.conv_id AND ml.turn_idx = s.turn_idx
+                 AND ml.start = s.l_pos
+    JOIN rment mr ON mr.conv_id = s.conv_id AND mr.turn_idx = s.turn_idx
+                 AND mr.start = s.r_pos
+),
+dtrig AS (SELECT conv_id, turn_idx, tok_ix FROM tokens WHERE token IN ({trigs})),
+depp AS (
+    SELECT DISTINCT s.conv_id, s.surface AS arg0, o.surface AS arg1
+    FROM mentions s
+    JOIN dtrig t ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+                AND s.start < t.tok_ix
+    JOIN mentions o ON o.conv_id = t.conv_id AND o.turn_idx = t.turn_idx
+                   AND o.start > t.tok_ix
+),
+preds AS (
+    SELECT 'dygiepp' AS method, conv_id, arg0, arg1
+    FROM (SELECT DISTINCT conv_id, arg0, arg1 FROM triples)
+    UNION ALL SELECT 'srlmap', conv_id, arg0, arg1 FROM srlp
+    UNION ALL SELECT 'depparse', conv_id, arg0, arg1 FROM depp
+),
+gp AS (SELECT DISTINCT conv_id, arg0, arg1 FROM gold)
+SELECT p.method, count(*) AS n_samples,
+       count(g.conv_id) AS n_accept,
+       CAST(count(g.conv_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS accept_rate
+FROM preds p
+LEFT JOIN gp g ON p.conv_id = g.conv_id AND p.arg0 = g.arg0
+              AND p.arg1 = g.arg1
+GROUP BY p.method"""
+
+
+def grid_best_cell_oracle() -> str:
+    """Twin of kg_eval.grid_best_cell: ranked selection over the
+    eval_grid twin's output (nested CTE), same total-order tiebreak."""
+    return f"""
+WITH grid AS (
+{eval_grid_oracle()}
+),
+scored AS (
+    SELECT kind, metric, collapse, topk,
+           CASE WHEN kind = 'p_at_k' THEN precision ELSE f1 END AS best_score
+    FROM grid
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY kind
+        ORDER BY best_score DESC, metric ASC,
+                 collapse ASC NULLS FIRST, topk ASC NULLS FIRST) AS rn
+    FROM scored
+)
+SELECT kind, metric, collapse, topk, best_score FROM ranked WHERE rn = 1"""
+
+
+def _jac_sql(a: str, b: str) -> str:
+    """Token-set jaccard ratio as one IEEE double division — twin of
+    kg_eval.match_jaccard's ratio (split on single space, distinct)."""
+    ta = f"list_distinct(string_split(lower(trim({a})), ' '))"
+    tb = f"list_distinct(string_split(lower(trim({b})), ' '))"
+    return (
+        f"(CAST(len(list_intersect({ta}, {tb})) AS DOUBLE) / "
+        f"greatest(CAST(len(list_distinct(list_concat({ta}, {tb}))) "
+        f"AS DOUBLE), 1.0))"
+    )
+
+
+def agreement_report_oracle(
+    pred_dists: tuple = (("rule", 6), ("tight", 4)),
+    gold_dist: int = 2,
+    rounds: int = 6,
+) -> str:
+    """Twin of kg_eval.agreement_report: the fused greedy 1-1 matching
+    unrolled ``rounds`` times with the cell key in every partition, the
+    same label-free seen-key bookkeeping, and the 2*matched/common
+    accuracy with its 0-guard. Cells and annotators mirror the Spark
+    query's grid."""
+    from dygiepp_spark.operators.kg_eval import AGREEMENT_CELLS
+
+    sub0 = (
+        "(contains(lower(trim(p.arg0)), lower(trim(g.arg0))) "
+        "OR contains(lower(trim(g.arg0)), lower(trim(p.arg0))))"
+    )
+    sub1 = (
+        "(contains(lower(trim(p.arg1)), lower(trim(g.arg1))) "
+        "OR contains(lower(trim(g.arg1)), lower(trim(p.arg1))))"
+    )
+    jac0 = _jac_sql("p.arg0", "g.arg0")
+    jac1 = _jac_sql("p.arg1", "g.arg1")
+    cells_rows = ", ".join(
+        f"('{m}', {'true' if c else 'false'}, CAST({t} AS DOUBLE))"
+        for (m, c, t) in AGREEMENT_CELLS
+    )
+    tris = ",\n".join(
+        f"""tri_{name} AS (
+    SELECT DISTINCT p.conv_id, t.text AS sent_text, p.arg0, p.arg1, p.label
+    FROM (SELECT * FROM pairs WHERE dist <= {d}) p
+    JOIN turns t ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+)"""
+        for name, d in (list(pred_dists) + [("gold", gold_dist)])
+    )
+    preds_union = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS annotator, * FROM tri_{name}"
+        for name, _ in pred_dists
+    )
+    cell_cols = "annotator, metric, collapse, thresh"
+    cols = f"{cell_cols}, conv_id, p_arg0, p_arg1, g_arg0, g_arg1"
+    ctes = [
+        f"""cand0 AS MATERIALIZED (
+    SELECT DISTINCT p.annotator, c.metric, c.collapse, c.thresh,
+           p.conv_id, p.arg0 AS p_arg0, p.arg1 AS p_arg1,
+           g.arg0 AS g_arg0, g.arg1 AS g_arg1
+    FROM preds p
+    JOIN tri_gold g ON p.conv_id = g.conv_id
+    CROSS JOIN cells c
+    WHERE (CASE WHEN c.metric = 'substring' THEN ({sub0} AND {sub1})
+           ELSE ({jac0} >= c.thresh AND {jac1} >= c.thresh) END)
+      AND (c.collapse OR p.label = g.label)
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""acc{r} AS MATERIALIZED (
+    SELECT {cols} FROM (
+        SELECT c.*,
+               row_number() OVER (
+                   PARTITION BY {cell_cols}, conv_id, p_arg0, p_arg1
+                   ORDER BY g_arg0, g_arg1) AS rp,
+               row_number() OVER (
+                   PARTITION BY {cell_cols}, conv_id, g_arg0, g_arg1
+                   ORDER BY p_arg0, p_arg1) AS rg
+        FROM cand{r} c
+    ) WHERE rp = 1 AND rg = 1
+),
+cand{r + 1} AS MATERIALIZED (
+    SELECT c.* FROM cand{r} c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM acc{r} a
+        WHERE a.annotator = c.annotator AND a.metric = c.metric
+          AND a.collapse = c.collapse AND a.thresh = c.thresh
+          AND a.conv_id = c.conv_id AND a.p_arg0 = c.p_arg0
+          AND a.p_arg1 = c.p_arg1
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM acc{r} a
+        WHERE a.annotator = c.annotator AND a.metric = c.metric
+          AND a.collapse = c.collapse AND a.thresh = c.thresh
+          AND a.conv_id = c.conv_id AND a.g_arg0 = c.g_arg0
+          AND a.g_arg1 = c.g_arg1
+    )
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {cols} FROM acc{r}" for r in range(rounds)
+    )
+    acc_expr = (
+        "2.0 * CAST(coalesce(mc.n_matched, 0) AS DOUBLE) "
+        "/ CAST(cm.n_common AS DOUBLE)"
+    )
+    return f"""{_EVAL_BASE},
+{tris},
+cells(metric, collapse, thresh) AS (VALUES {cells_rows}),
+preds AS (
+    {preds_union}
+),
+ann AS (SELECT DISTINCT annotator FROM preds),
+ptexts AS (SELECT DISTINCT annotator, sent_text FROM preds),
+gtexts AS (SELECT DISTINCT sent_text FROM tri_gold),
+gold_common AS (
+    SELECT pt.annotator, count(*) AS n
+    FROM tri_gold g JOIN ptexts pt ON pt.sent_text = g.sent_text
+    GROUP BY pt.annotator
+),
+pred_common AS (
+    SELECT p.annotator, count(*) AS n
+    FROM preds p JOIN gtexts g ON g.sent_text = p.sent_text
+    GROUP BY p.annotator
+),
+common AS (
+    SELECT a.annotator,
+           coalesce(gc.n, 0) + coalesce(pc.n, 0) AS n_common
+    FROM ann a
+    LEFT JOIN gold_common gc ON gc.annotator = a.annotator
+    LEFT JOIN pred_common pc ON pc.annotator = a.annotator
+),
+{", ".join(ctes)},
+matched AS ({union}),
+mc AS (
+    SELECT {cell_cols}, count(*) AS n_matched
+    FROM matched GROUP BY {cell_cols}
+),
+spine AS (SELECT a.annotator, c.metric, c.collapse, c.thresh
+          FROM ann a CROSS JOIN cells c)
+SELECT s.annotator, s.metric, s.collapse, s.thresh,
+       CAST(coalesce(mc.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(cm.n_common AS BIGINT) AS n_common,
+       CASE WHEN cm.n_common > 0 THEN {acc_expr}
+            ELSE CAST(0.0 AS DOUBLE) END AS accuracy
+FROM spine s
+LEFT JOIN mc ON mc.annotator = s.annotator AND mc.metric = s.metric
+            AND mc.collapse = s.collapse AND mc.thresh = s.thresh
+JOIN common cm ON cm.annotator = s.annotator"""
