@@ -835,6 +835,33 @@ def q_vocab_topk(spark, sf_dir):
     return PR.global_topk_with_ties(counts, "n", 100)
 
 
+def q_vocab_build(spark, sf_dir):
+    """Full vocabulary-build semantics (reference vocab.py:31-88):
+    min_freq cut, max_size cap, specials-first ids, (freq desc, token asc)
+    order — the complete Vocab construction, not just the frequency top-k
+    of vocab_topk."""
+    return TX.vocab_build(
+        _doc_text(spark, sf_dir), min_freq=2, max_size=200,
+        specials=("<pad>", "<unk>"),
+    )
+
+
+def q_ie_eval_event_golden(spark, sf_dir):
+    """K5 against a NON-DERIVED gold: the frozen golden event TSV
+    (dygiepp_spark/fixtures/event_gold.tsv, the reference's
+    event_pred/test-gold.tsv shape — generated once from the tight-knob
+    extractor, deterministically perturbed, then committed) loaded
+    identically by both engines, so the metric exercises a gold that is
+    not the live extractor."""
+    from dygiepp_spark.oracles_kg import EVENT_GOLD_FIXTURE
+
+    pred = EX.events_binary_decode(
+        EX.extract_events(_turns(spark, sf_dir), max_dist=4)
+    )
+    gold = spark.read.csv(EVENT_GOLD_FIXTURE, sep="\t", header=True)
+    return KE.ie_eval_event(pred, gold)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document tf-idf keyword extraction (top-5 terms per doc,
     integer idf — see functions.text.tfidf_topk)."""
@@ -1005,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "method_accept_rate": q_method_accept_rate,
         "grid_best_cell": q_grid_best_cell,
         "agreement_report": q_agreement_report,
+        "vocab_build": q_vocab_build,
+        "ie_eval_event_golden": q_ie_eval_event_golden,
         "streaming_quality": q_streaming_quality,
         "tfidf_topk": q_tfidf_topk,
         # (c) operator code changed this round
@@ -1184,4 +1213,8 @@ def oracle_sql() -> dict[str, str]:
         "method_accept_rate": oracles_kg.method_accept_rate_oracle(),
         "grid_best_cell": oracles_kg.grid_best_cell_oracle(),
         "agreement_report": oracles_kg.agreement_report_oracle(),
+        "vocab_build": oracles_data.vocab_build_oracle(
+            min_freq=2, max_size=200, specials=("<pad>", "<unk>")
+        ),
+        "ie_eval_event_golden": oracles_kg.ie_eval_event_golden_oracle(),
     }

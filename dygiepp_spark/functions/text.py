@@ -366,3 +366,67 @@ def tfidf_topk(
     return topk_per_group(
         scored, ["doc_id"], "score", k, tiebreak_cols=["term"]
     )
+
+
+def vocab_build(
+    df: DataFrame,
+    min_freq: int = 2,
+    max_size: int = 200,
+    specials: tuple[str, ...] = ("<pad>", "<unk>"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Full vocabulary-build semantics of the reference's vendored
+    torchtext ``Vocab`` (vocab.py:31-88): specials first at ids
+    ``0..len(specials)-1`` with their corpus counts discarded
+    (:64-66), then corpus tokens with ``freq >= min_freq`` in
+    (freq DESC, token ASC) order (:70-77 two-pass stable sort), cut so
+    the total vocabulary holds ``max_size`` non-special entries
+    (:68 ``max_size + len(itos)``; the loop's ``break`` on a sub-min_freq
+    count equals a filter because counts arrive frequency-sorted).
+
+    Output: (token_id, token, n, is_special); special rows carry NULL
+    ``n`` ("frequencies of special tokens are not counted", :63).
+
+    Scale: one map-side-combinable count agg; the global order is first
+    cut with the distributed k-th-count threshold
+    (pruning.kth_score_threshold — no unpartitioned window over the full
+    vocabulary), so the single-partition row_number ranks only
+    ~max_size + ties survivors.
+    """
+    from pyspark.sql import Window
+
+    from dygiepp_spark.operators.pruning import kth_score_threshold
+
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    counts = (
+        toks.filter(~F.col("token").isin(*specials))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_freq)
+    )
+    thr = kth_score_threshold(counts, "n", max_size)
+    surv = counts.join(
+        F.broadcast(thr), on=F.col("n") >= F.col("_thr"), how="inner"
+    ).drop("_thr")
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    n_sp = len(specials)
+    words = (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_size)
+        .select(
+            (F.col("_rn") - 1 + n_sp).cast("int").alias("token_id"),
+            "token",
+            "n",
+            F.lit(False).alias("is_special"),
+        )
+    )
+    spark = df.sparkSession
+    sp = spark.createDataFrame(
+        list(enumerate(specials)), "token_id int, token string"
+    ).select(
+        "token_id",
+        "token",
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(True).alias("is_special"),
+    )
+    return sp.unionByName(words)

@@ -1004,3 +1004,39 @@ ranked AS (
     FROM scored
 )
 SELECT doc_id, term, tf, score FROM ranked WHERE rn <= {k}"""
+
+
+def vocab_build_oracle(
+    min_freq: int = 2,
+    max_size: int = 200,
+    specials: tuple = ("<pad>", "<unk>"),
+) -> str:
+    """Twin of functions.text.vocab_build (reference vocab.py:31-88):
+    specials first with NULL counts, then freq >= min_freq tokens in
+    (n DESC, token ASC) order, cut at max_size non-special entries."""
+    sp_list = ", ".join(f"'{s}'" for s in specials)
+    sp_rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS token_id, '{s}' AS token, "
+        f"CAST(NULL AS BIGINT) AS n, true AS is_special"
+        for i, s in enumerate(specials)
+    )
+    n_sp = len(specials)
+    return f"""
+WITH tok AS (
+    SELECT unnest({_DTOKS}) AS token FROM documents
+),
+tc AS (
+    SELECT token, count(*) AS n FROM tok
+    WHERE token NOT IN ({sp_list})
+    GROUP BY token HAVING count(*) >= {min_freq}
+),
+ranked AS (
+    SELECT token, n,
+           row_number() OVER (ORDER BY n DESC, token ASC) AS rn
+    FROM tc
+)
+{sp_rows}
+UNION ALL
+SELECT CAST(rn - 1 + {n_sp} AS INT) AS token_id, token, n,
+       false AS is_special
+FROM ranked WHERE rn <= {max_size}"""

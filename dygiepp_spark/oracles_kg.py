@@ -12,6 +12,8 @@ dygiepp_spark.operators.coref against an independent formulation.
 
 from __future__ import annotations
 
+import os
+
 from dygiepp_spark.oracles import BEAMS_SQL, MENTIONS_SQL, PAIRS_SQL
 from dygiepp_spark.tables import (
     ENTITY_DICT_SQL,
@@ -1515,3 +1517,56 @@ FROM spine s
 LEFT JOIN mc ON mc.annotator = s.annotator AND mc.metric = s.metric
             AND mc.collapse = s.collapse AND mc.thresh = s.thresh
 JOIN common cm ON cm.annotator = s.annotator"""
+
+
+#: frozen golden event TSV (the reference's event_pred/test-gold.tsv
+#: shape): generated ONCE from the tight-knob extractor at sf0.001 and
+#: deterministically perturbed (1/3 of rows dropped, 1/7 relabeled), then
+#: committed — at query time it is a static file, not the extractor
+EVENT_GOLD_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "event_gold.tsv"
+)
+
+
+def ie_eval_event_golden_oracle(
+    pred_dist: int = 4, path: str = EVENT_GOLD_FIXTURE
+) -> str:
+    """K5 twin with the NON-DERIVED gold: pred = the event extractor's
+    binary decode (same CTEs as ie_eval_event_oracle), gold = the frozen
+    golden TSV read with all_varchar so both engines see strings."""
+    prec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE)"
+    rec = "CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE)"
+    return f"""{_EVAL_BASE},
+ev AS (
+    SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+           t.tok_ix AS trigger_ix, 'op_' || t.token AS event_type,
+           m.start AS arg_start, m.surface AS arg_text,
+           CASE WHEN m.start < t.tok_ix THEN 'arg0' ELSE 'arg1' END AS role
+    FROM triggers_beam t
+    JOIN mentions_arg m
+      ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+     AND abs(m.start - t.tok_ix) <= {pred_dist}
+),
+binp AS (
+    SELECT DISTINCT a0.conv_id, a0.arg_text AS arg0, a0.event_type,
+           a1.arg_text AS arg1
+    FROM (SELECT * FROM ev WHERE role = 'arg0') a0
+    JOIN (SELECT * FROM ev WHERE role = 'arg1') a1
+      ON a0.conv_id = a1.conv_id AND a0.turn_idx = a1.turn_idx
+     AND a0.trigger_ix = a1.trigger_ix
+),
+bing AS (
+    SELECT DISTINCT conv_id, arg0, event_type, arg1
+    FROM read_csv('{path}', delim='\t', header=true, all_varchar=true)
+),
+counts AS (
+    SELECT
+      (SELECT count(*) FROM binp
+       JOIN bing USING (conv_id, arg0, event_type, arg1)) AS tp,
+      (SELECT count(*) FROM binp) AS n_p,
+      (SELECT count(*) FROM bing) AS n_g
+)
+SELECT tp, n_p - tp AS fp, n_g - tp AS fn,
+       {prec} AS precision, {rec} AS recall,
+       {_F1.format(p=prec, r=rec)} AS f1
+FROM counts"""
