@@ -139,6 +139,11 @@ BENCH_QUERIES = {
     "ann_brute_force",
     "token_counts",
     "image_meta",
+    # corpus-curation layer (added r4 per VERDICT r3 #7 so its cost
+    # regresses visibly round-over-round)
+    "quality_filter",
+    "dedup_groups",
+    "tfidf_topk",
 }
 
 if __name__ == "__main__":

@@ -472,3 +472,65 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= thresh)
     )
     return pairs_small.unionByName(pairs_hot)
+
+
+# --------------------------------------------------------------------------
+# substring-level dedup (repeated token windows across documents)
+# --------------------------------------------------------------------------
+
+def substring_dup_spans(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated fixed-length token windows across the corpus — the
+    Spark-shaped stand-in for suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better": remove any 50-token span
+    that appears verbatim elsewhere). Exact suffix arrays don't
+    distribute; rolling fixed-width window hashes do, and a W-token window
+    catches every duplicated span of length >= W.
+
+    Every doc emits one md5 per W-token window (stride 1); one groupBy on
+    the window hash keeps hashes seen more than once. Output
+    (win_hash, n_docs, n_occurrences, first_doc, first_pos) where
+    first_pos is the 1-based token position of the window in first_doc's
+    lexically-first occurrence (min (doc,pos) pair).
+
+    Scale: the explode makes ~n_tokens rows per doc (rows, not cells — no
+    giant arrays), and the single agg is map-side combinable. Boilerplate
+    (a viral footer) concentrates on one hash key, but the aggregate state
+    is four numbers however many occurrences collapse into it.
+    """
+    toks = _tokens(_norm_text(F.col(text_col)))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - window + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, window), " ")).alias("h"),
+        ),
+    )
+    exploded = (
+        docs.filter(F.size(toks) >= window)
+        .select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.explode(wins).alias("w"),
+        )
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("win_hash"))
+    )
+    return (
+        exploded.groupBy("win_hash")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "win_hash",
+            "n_docs",
+            "n_occurrences",
+            F.col("_first.id").alias("first_doc"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )

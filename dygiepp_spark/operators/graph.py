@@ -70,3 +70,69 @@ def aggregate_edges(edges: DataFrame) -> DataFrame:
         F.max("conf").alias("max_conf"),
         F.count_distinct("conv_id").alias("n_convs"),
     )
+
+
+#: integer PageRank quantization: ranks are micro-units of this scale
+PR_SCALE = 1_000_000
+#: damping split in integer percent (0.85 -> 85/100)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Integer-quantized PageRank over the KG edge list.
+
+    Input: any frame with ``subj_id``/``obj_id`` columns (e.g.
+    :func:`aggregate_edges` output); multi-predicate parallel edges are
+    collapsed to DISTINCT (src, dst) so out-degree is well defined.
+
+    Fixed-point arithmetic keeps every engine bit-identical (no float
+    summation order): rank lives in micro-units (``PR_SCALE``), each
+    iteration computes
+
+        contrib(u->v) = (rank(u) * 85) DIV (100 * outdeg(u))
+        rank'(v)      = 0.15 * PR_SCALE + SUM contrib over in-edges
+
+    with BIGINT floor division. Dangling-node mass is dropped, not
+    redistributed (the common web-graph simplification; documented
+    divergence from the normalized textbook formulation — ranks are
+    comparable WITHIN a run, which is what ranking consumers use).
+
+    Scale: each iteration is one broadcast-or-shuffle join of the rank
+    vector onto edges (rank rows are (id, bigint) — tiny relative to
+    edges) plus one groupBy(dst) SUM with map-side partial aggregation,
+    so a celebrity node's in-degree skew collapses map-side. O(iters)
+    shuffles total, the canonical distributed PR shape. The edge frame
+    is the loop invariant — persist it once (callers at scale:
+    ``edges.persist()``); the sandbox keeps it lazy.
+    """
+    e = edges.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = F.lit(PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN).cast("bigint")
+    ranks = nodes.select("node_id", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node_id"),
+                # SQL `div` = exact BIGINT division (positive operands, so
+                # truncation == floor == DuckDB's `//`)
+                F.expr(
+                    f"(rank * {PR_DAMP_NUM}) div "
+                    f"(cast({PR_DAMP_DEN} as bigint) * outdeg)"
+                ).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node_id").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node_id", "left").select(
+            "node_id",
+            (base + F.coalesce(F.col("s"), F.lit(0).cast("bigint"))).alias("rank"),
+        )
+    return ranks

@@ -93,3 +93,50 @@ def session_stats(sessions: DataFrame) -> DataFrame:
         F.max("turn_idx").alias("last_turn"),
         (F.max("ts_sec") - F.min("ts_sec")).cast("bigint").alias("duration_sec"),
     )
+
+
+def turn_taking(turns: DataFrame) -> DataFrame:
+    """Per-conversation turn-taking structure:
+    (conv_id, n_turns, n_switches, n_runs, max_run_len, first_role,
+    last_role).
+
+    A "run" is a maximal streak of consecutive same-role turns
+    (gaps-and-islands: run id = running count of role switches). Two
+    windows partitioned on conv_id + two hash aggregations — same
+    single-shuffle shape as :func:`conv_stats` on a conv_id-bucketed
+    table. Derived turns alternate user/assistant strictly, so the
+    interesting signal appears on real transcripts where tool/system
+    turns break runs; the operator is general either way.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.when(
+            F.lag("role").over(w).isNull() | (F.lag("role").over(w) == F.col("role")),
+            0,
+        )
+        .otherwise(1)
+        .alias("_switch"),
+    )
+    run_w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = flagged.withColumn("run_id", F.sum("_switch").over(run_w))
+    per_run = runs.groupBy("conv_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min_by("role", "turn_idx").alias("role"),
+        F.min("turn_idx").alias("_first_turn"),
+        F.max("turn_idx").alias("_last_turn"),
+    )
+    return per_run.groupBy("conv_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_turns"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_switches"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.min_by("role", "_first_turn").alias("first_role"),
+        F.max_by("role", "_last_turn").alias("last_role"),
+    )

@@ -579,3 +579,38 @@ SELECT conv_id, session_ix,
        max(turn_idx) AS last_turn,
        CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS duration_sec
 FROM sess GROUP BY conv_id, session_ix"""
+
+
+def turn_taking_oracle() -> str:
+    """Twin of transcript.turn_taking (gaps-and-islands role runs)."""
+    return f"""WITH {TURNS_SQL.strip()},
+f AS (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN lag(role) OVER w IS NULL
+                     OR lag(role) OVER w = role
+                THEN 0 ELSE 1 END AS sw
+    FROM turns
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+r AS (
+    SELECT conv_id, turn_idx, role,
+           sum(sw) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM f
+),
+pr AS (
+    SELECT conv_id, run_id,
+           count(*) AS run_len,
+           arg_min(role, turn_idx) AS role,
+           min(turn_idx) AS ft,
+           max(turn_idx) AS lt
+    FROM r GROUP BY conv_id, run_id
+)
+SELECT conv_id,
+       CAST(sum(run_len) AS BIGINT) AS n_turns,
+       CAST(count(*) - 1 AS BIGINT) AS n_switches,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run_len,
+       arg_min(role, ft) AS first_role,
+       arg_max(role, lt) AS last_role
+FROM pr GROUP BY conv_id"""

@@ -1040,3 +1040,78 @@ UNION ALL
 SELECT CAST(rn - 1 + {n_sp} AS INT) AS token_id, token, n,
        false AS is_special
 FROM ranked WHERE rn <= {max_size}"""
+
+
+# --------------------------------------------------------------------------
+# substring-window dedup (twin of dedup.substring_dup_spans)
+# --------------------------------------------------------------------------
+
+def substring_dup_oracle(window: int = 16) -> str:
+    """Rolling W-token window hashes; first occurrence = lexicographic min
+    (doc, pos), transported through a doc*10^6+pos integer encoding (pos
+    is bounded by doc token count << 10^6)."""
+    return f"""WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+t2 AS (SELECT id, toks FROM t WHERE len(toks) >= {window}),
+w AS (
+    SELECT id, i AS pos,
+           md5(array_to_string(toks[i:i+{window - 1}], ' ')) AS win_hash
+    FROM t2, UNNEST(generate_series(1, len(toks) - {window} + 1)) AS g(i)
+),
+agg AS (
+    SELECT win_hash,
+           count(DISTINCT id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(id * 1000000 + pos) AS enc
+    FROM w GROUP BY win_hash HAVING count(*) > 1
+)
+SELECT win_hash, n_docs, n_occurrences,
+       CAST(enc // 1000000 AS BIGINT) AS first_doc,
+       CAST(enc % 1000000 AS INT) AS first_pos
+FROM agg"""
+
+
+# --------------------------------------------------------------------------
+# as-of join: turns vs most recent event (twin of temporal.asof_join)
+# --------------------------------------------------------------------------
+
+#: epoch seconds of 2024-01-01 00:00:00 UTC — the synthetic turn clock
+#: anchor; a literal in BOTH engines so no timezone machinery is involved
+EPOCH_2024 = 1_704_067_200
+ASOF_KEY_MOD = 15
+
+
+def asof_events_oracle() -> str:
+    """Most recent event (ts <= turn ts, same user key) per turn; ties on
+    ts break to the greatest event_id — exactly the payload-struct max in
+    temporal.asof_join. Event timestamps to integer seconds via
+    microsecond floor-div (DuckDB CAST(double) rounds, epoch_us // 1e6
+    floors like Spark's timestamp->long cast)."""
+    from dygiepp_spark.tables import TURNS_SQL
+
+    return f"""WITH {TURNS_SQL.strip()},
+l AS (
+    SELECT conv_id, turn_idx,
+           CAST(conv_id AS BIGINT) % {ASOF_KEY_MOD} AS ukey,
+           {EPOCH_2024} + CAST(conv_id AS BIGINT) * 3600 + turn_idx * 30
+               AS ts_sec
+    FROM turns
+),
+r AS (
+    SELECT user_id % {ASOF_KEY_MOD} AS ukey,
+           epoch_us(ts) // 1000000 AS ets,
+           event_id, event_type, value
+    FROM events
+),
+m AS (
+    SELECT l.conv_id, l.turn_idx, r.event_id, r.event_type, r.value,
+           row_number() OVER (
+               PARTITION BY l.conv_id, l.turn_idx
+               ORDER BY r.ets DESC NULLS LAST, r.event_id DESC NULLS LAST
+           ) AS rn
+    FROM l LEFT JOIN r ON l.ukey = r.ukey AND r.ets <= l.ts_sec
+)
+SELECT conv_id, turn_idx, event_id, event_type, value FROM m WHERE rn = 1"""

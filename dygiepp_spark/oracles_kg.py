@@ -1570,3 +1570,38 @@ SELECT tp, n_p - tp AS fp, n_g - tp AS fn,
        {prec} AS precision, {rec} AS recall,
        {_F1.format(p=prec, r=rec)} AS f1
 FROM counts"""
+
+
+# --------------------------------------------------------------------------
+# integer PageRank over the KG edge list (twin of graph.pagerank)
+# --------------------------------------------------------------------------
+
+def pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled Lloyd-style iteration: r_{t+1}(v) = 150000 +
+    SUM over in-edges of (r_t(u)*85) // (100*outdeg(u)), BIGINT floor
+    division on both engines (Spark `div` truncates, operands positive).
+    DuckDB SUM(BIGINT) widens to HUGEINT — cast back at every level."""
+    head = f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+e AS (
+    SELECT DISTINCT subj_id AS src, obj_id AS dst FROM edges
+),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    levels = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        levels.append(f"""r{i} AS (
+    SELECT n.node_id,
+           CAST(150000 + COALESCE(s.s, 0) AS BIGINT) AS pr
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node_id,
+               SUM((r.pr * 85) // (100 * d.outdeg)) AS s
+        FROM e
+        JOIN {prev} r ON e.src = r.node_id
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+    ) s ON n.node_id = s.node_id
+)""")
+        prev = f"r{i}"
+    return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, pr FROM {prev}"

@@ -1,0 +1,142 @@
+"""Unit tests for the round-4 operators: as-of join, integer PageRank,
+substring-window dedup, turn-taking structure."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dygiepp_spark.operators.dedup import substring_dup_spans
+from dygiepp_spark.operators.graph import PR_SCALE, pagerank
+from dygiepp_spark.operators.temporal import asof_join
+from dygiepp_spark.operators.transcript import turn_taking
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------- asof_join
+
+def test_asof_basic_match_and_miss(spark):
+    left = spark.createDataFrame(
+        [("k1", 10, "a"), ("k1", 5, "b"), ("k2", 7, "c")],
+        "key string, ts bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 4, 100), ("k1", 9, 101), ("k3", 1, 102)],
+        "key string, ts bigint, eid int",
+    )
+    out = asof_join(left, right, ["key"], "ts", "ts", ["eid"])
+    got = _rows(out, "tag", "eid")
+    # ts=10 sees eid 101 (ts 9); ts=5 sees eid 100 (ts 4); k2 has no events
+    assert got == [("a", 101), ("b", 100), ("c", None)]
+
+
+def test_asof_equal_ts_inclusive_and_tiebreak(spark):
+    left = spark.createDataFrame([("k", 5, "x")], "key string, ts bigint, tag string")
+    right = spark.createDataFrame(
+        [("k", 5, 1), ("k", 5, 9), ("k", 5, 4)], "key string, ts bigint, eid int"
+    )
+    out = asof_join(left, right, ["key"], "ts", "ts", ["eid"])
+    # equal timestamp matches ("at or before"); max payload (eid) wins ties
+    assert _rows(out, "eid") == [(9,)]
+
+
+def test_asof_preserves_left_row_count(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q_asof_events(spark, sf_dir)
+    n_turns = entry._turns(spark, sf_dir).count()
+    assert out.count() == n_turns
+
+
+# ---------------------------------------------------------------- pagerank
+
+def test_pagerank_two_node_chain(spark):
+    # a -> b: after one iteration r(b) = 150000 + (1000000*85)//(100*1)
+    edges = spark.createDataFrame([("a", "x", "b")], "subj_id string, pred string, obj_id string")
+    out = {r["node_id"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    assert out["a"] == 150_000  # no in-edges
+    assert out["b"] == 150_000 + (PR_SCALE * 85) // 100
+
+
+def test_pagerank_outdeg_split_and_parallel_edge_collapse(spark):
+    # a -> b and a -> c (outdeg 2), plus a duplicate predicate edge a->b
+    # that must NOT double b's contribution
+    edges = spark.createDataFrame(
+        [("a", "x", "b"), ("a", "y", "b"), ("a", "x", "c")],
+        "subj_id string, pred string, obj_id string",
+    )
+    out = {r["node_id"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    assert out["b"] == out["c"] == 150_000 + (PR_SCALE * 85) // 200
+
+
+def test_pagerank_mass_is_monotone_ranking(spark):
+    # star: many -> hub. Hub must outrank leaves after any #iterations.
+    edges = spark.createDataFrame(
+        [(f"l{i}", "x", "hub") for i in range(5)],
+        "subj_id string, pred string, obj_id string",
+    )
+    out = {r["node_id"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert all(out["hub"] > out[f"l{i}"] for i in range(5))
+
+
+# ---------------------------------------------------- substring_dup_spans
+
+def test_substring_dups_found_across_docs(spark):
+    shared = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 head2 " + shared),
+            (3, "completely different words " + " ".join(f"z{i}" for i in range(16))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = substring_dup_spans(docs, window=16).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == 2 and row["n_occurrences"] == 2
+    # first occurrence = min (doc, pos): doc 1, pos 1
+    assert row["first_doc"] == 1 and row["first_pos"] == 1
+
+
+def test_substring_no_dups_no_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(20))),
+         (2, " ".join(f"b{i}" for i in range(20)))],
+        "doc_id bigint, text string",
+    )
+    assert substring_dup_spans(docs, window=16).count() == 0
+
+
+def test_substring_within_doc_repeat_counts_occurrences(spark):
+    block = " ".join(f"r{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(7, block + " mid " + block)], "doc_id bigint, text string"
+    )
+    out = substring_dup_spans(docs, window=16).collect()
+    hit = [r for r in out if r["n_occurrences"] == 2 and r["n_docs"] == 1]
+    assert hit and hit[0]["first_doc"] == 7
+
+
+# ------------------------------------------------------------- turn_taking
+
+def test_turn_taking_runs(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+            ("c1", 3, "user"),
+            ("c2", 0, "assistant"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    out = {r["conv_id"]: r for r in turn_taking(turns).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_switches"], c1["n_runs"], c1["max_run_len"]) == (
+        4, 2, 3, 2,
+    )
+    assert c1["first_role"] == "user" and c1["last_role"] == "user"
+    c2 = out["c2"]
+    assert (c2["n_runs"], c2["max_run_len"]) == (1, 1)
+    assert c2["first_role"] == c2["last_role"] == "assistant"
