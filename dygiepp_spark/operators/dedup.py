@@ -237,7 +237,10 @@ def lsh_candidates(buckets: DataFrame, max_bucket: int = 1000) -> DataFrame:
 
 
 def jaccard_verify(
-    candidates: DataFrame, shingled: DataFrame, thresh: float = 0.25
+    candidates: DataFrame,
+    shingled: DataFrame,
+    thresh: float = 0.25,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep >= thresh.
 
@@ -256,8 +259,13 @@ def jaccard_verify(
     joins against the per-id counts BEFORE their shingles are exploded
     into the pair join. Provably output-identical; on the template-heavy
     synthetic corpus it removes a large share of the LSH candidate set.
+
+    ``counts`` lets the caller pass a pre-pinned per-id shingle-count
+    frame (four references below — prefilter a/b + final a/b); default
+    behavior is unchanged.
     """
-    counts = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if counts is None:
+        counts = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pre_a = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("_na"))
     pre_b = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("_nb"))
     candidates = (
@@ -302,10 +310,24 @@ def near_dups_minhash(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
     tokenize+shingle from the source — 30+ scans in the physical plan. A
     localCheckpoint pins it to ONE pass (production: an Iceberg stage
     checkpoint via plans.pipeline).
+
+    The signature aggregate and the per-id count aggregate are pinned
+    too: the bucket self-join references the signature frame on both
+    sides and the verify stage references counts four times; without the
+    pin each reference re-runs its aggregation. Interleaved A/B
+    (scripts/ab_r4.py, r4): median 12.70 s -> 10.44 s (-18%) at sf0.1,
+    output bit-identical. Signature/count rows are k longs per doc —
+    pinning them costs far less than one recompute at any scale.
     """
     sh = shingles(chunks).localCheckpoint(eager=False)
-    cands = lsh_candidates(lsh_buckets(minhash_signatures(sh)))
-    return jaccard_verify(cands, sh, thresh)
+    sigs = minhash_signatures(sh).localCheckpoint(eager=False)
+    counts = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
+    cands = lsh_candidates(lsh_buckets(sigs))
+    return jaccard_verify(cands, sh, thresh, counts=counts)
 
 
 # --------------------------------------------------------------------------

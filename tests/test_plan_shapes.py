@@ -213,3 +213,54 @@ def test_vocab_topk_no_unpartitioned_window(spark, sf_dir):
     plan = plan_of(PR.global_topk_with_ties(counts, "n", 100))
     assert not re.search(r"Window.*\[n\b[^\]]*\bDESC", plan), plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle(spark, stored_turns):
+    """The as-of join's load-bearing property: it is the MERGE
+    formulation — union both sides, ONE exchange keyed on the join key
+    for the window sort — never a range join (no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the plan)."""
+    from dygiepp_spark.operators.temporal import asof_join
+
+    left = stored_turns.select(
+        "conv_id", "turn_idx",
+        (F.col("conv_id").cast("bigint") % 15).alias("ukey"),
+        (F.col("turn_idx").cast("bigint") * 30).alias("ts_sec"),
+    )
+    right = stored_turns.select(
+        (F.col("conv_id").cast("bigint") % 15).alias("ukey"),
+        (F.col("turn_idx").cast("bigint") * 7).alias("ets"),
+        F.col("turn_idx").alias("eid"),
+    )
+    plan = plan_of(asof_join(left, right, ["ukey"], "ts_sec", "ets", ["eid"]))
+    assert count_shuffles(plan) == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_pagerank_iteration_shuffle_budget(spark, stored_turns):
+    """One PR iteration costs a bounded number of exchanges (edge dedup,
+    degree agg, rank join, dst sum, node reinject) — and crucially no
+    per-row Python stage and no nested-loop join."""
+    from dygiepp_spark.operators.graph import pagerank
+
+    edges = stored_turns.select(
+        F.col("conv_id").alias("subj_id"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("n"), F.col("turn_idx")).alias("obj_id"),
+    )
+    plan = plan_of(pagerank(edges, iterations=1))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_substring_dedup_single_agg_shuffle(spark, stored_docs):
+    """Window hashing is row-local (transform + explode) — the only
+    exchange is the hash-keyed aggregation (its two-phase distinct-count
+    split still keys on win_hash)."""
+    from dygiepp_spark.operators.dedup import substring_dup_spans
+
+    plan = plan_of(substring_dup_spans(stored_docs))
+    # count_distinct(doc_id) expands to a two-level agg; both levels key
+    # on win_hash so at most 2 exchanges may appear, never a join
+    assert count_shuffles(plan) <= 2, plan
+    assert "Join" not in plan, plan
