@@ -1037,6 +1037,22 @@ def q_turn_taking(spark, sf_dir):
     return TR.turn_taking(_turns(spark, sf_dir))
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts over the linked KG (degree-ordered
+    orientation — wedge work bounded by out-degree, skew-safe)."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.triangle_counts(edges)
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """Columnar ORC sink + scan round-trip: triples written to ORC and
+    read back must hash identically to the triples oracle (bit-exact
+    doubles by construction — no text serialization involved)."""
+    base = f"/root/repo/.tmp/orc_{uuid.uuid4().hex[:8]}"
+    JS.write_triples_orc(EX.emit_triples(_turns(spark, sf_dir)), base)
+    return _consume_and_remove(JS.read_triples_orc(spark, base), base)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is DELIBERATE: the driver's correctness harness
     verifies the FIRST 50 entries. Round 4 adds few new queries, so the
@@ -1173,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "substring_dedup": q_substring_dedup,
         "turn_taking": q_turn_taking,
+        "triangles": q_triangles,
+        "orc_roundtrip": q_orc_roundtrip,
     }
 
 
@@ -1284,4 +1302,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracles_kg.pagerank_oracle(iterations=3),
         "substring_dedup": oracles_data.substring_dup_oracle(window=16),
         "turn_taking": oracles.turn_taking_oracle(),
+        "triangles": oracles_kg.triangle_counts_oracle(),
+        "orc_roundtrip": oracles.triples_oracle(),
     }

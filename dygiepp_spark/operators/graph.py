@@ -136,3 +136,77 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             (base + F.coalesce(F.col("s"), F.lit(0).cast("bigint"))).alias("rank"),
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected KG graph
+    (node_id, n_triangles; nodes in >= 1 triangle).
+
+    Degree-ordered orientation — the formulation that survives scale-free
+    skew: every undirected edge is oriented from its lower-(degree, id)
+    endpoint to its higher one, so a celebrity node (degree 10^6) has huge
+    IN-degree but tiny out-degree, and the wedge self-join (out-neighbor
+    pairs per source) fans out on low-degree vertices only: total wedge
+    work is sum of out-deg^2 = O(m^1.5) instead of sum of deg^2, which is
+    quadratic on a star. Each triangle materializes exactly once (its
+    lowest-order corner is the wedge pivot) and is closed by one hash join
+    against the oriented edge list, then exploded to its three corners for
+    the per-node rollup.
+
+    Orientation ties (equal degree) break on id, so the order is total
+    and both engines agree exactly.
+    """
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("lo"),
+            F.greatest("subj_id", "obj_id").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionByName(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d_lo = deg.select(F.col("v").alias("lo"), F.col("deg").alias("dlo"))
+    d_hi = deg.select(F.col("v").alias("hi"), F.col("deg").alias("dhi"))
+    lt = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        und.join(d_lo, "lo")
+        .join(d_hi, "hi")
+        .select(
+            F.when(lt, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(lt, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+            F.when(lt, F.col("dhi")).otherwise(F.col("dlo")).alias("ddst"),
+        )
+    ).localCheckpoint(eager=False)
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    # wedge (u; v, w) with v before w in the same (deg, id) order
+    wedges = a.join(
+        b,
+        on=[
+            F.col("a.src") == F.col("b.src"),
+            (F.col("a.ddst") < F.col("b.ddst"))
+            | (
+                (F.col("a.ddst") == F.col("b.ddst"))
+                & (F.col("a.dst") < F.col("b.dst"))
+            ),
+        ],
+    ).select(
+        F.col("a.src").alias("u"), F.col("a.dst").alias("v"), F.col("b.dst").alias("w")
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    corners = (
+        tris.select(F.col("u").alias("node_id"))
+        .unionByName(tris.select(F.col("v").alias("node_id")))
+        .unionByName(tris.select(F.col("w").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

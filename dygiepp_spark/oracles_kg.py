@@ -1605,3 +1605,46 @@ r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
 )""")
         prev = f"r{i}"
     return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, pr FROM {prev}"
+
+
+def triangle_counts_oracle() -> str:
+    """Twin of graph.triangle_counts: same degree-ordered orientation
+    ((deg, id) total order, ties on id), wedge self-join, EXISTS-closed."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+deg AS (
+    SELECT v, count(*) AS deg FROM (
+        SELECT lo AS v FROM und UNION ALL SELECT hi FROM und
+    ) GROUP BY v
+),
+o AS (
+    SELECT CASE WHEN lt THEN lo ELSE hi END AS src,
+           CASE WHEN lt THEN hi ELSE lo END AS dst,
+           CASE WHEN lt THEN dhi ELSE dlo END AS ddst
+    FROM (
+        SELECT u.lo, u.hi, dl.deg AS dlo, dh.deg AS dhi,
+               (dl.deg < dh.deg OR (dl.deg = dh.deg AND u.lo < u.hi)) AS lt
+        FROM und u
+        JOIN deg dl ON u.lo = dl.v
+        JOIN deg dh ON u.hi = dh.v
+    )
+),
+wdg AS (
+    SELECT a.src AS u, a.dst AS wv, b.dst AS ww
+    FROM o a JOIN o b ON a.src = b.src
+     AND (a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst))
+),
+tri AS (
+    SELECT u, wv, ww FROM wdg
+    WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wdg.wv AND o.dst = wdg.ww)
+),
+corners AS (
+    SELECT u AS node_id FROM tri
+    UNION ALL SELECT wv FROM tri
+    UNION ALL SELECT ww FROM tri
+)
+SELECT node_id, count(*) AS n_triangles FROM corners GROUP BY node_id"""

@@ -427,3 +427,19 @@ def read_triples_tsv(spark: SparkSession, path: str) -> DataFrame:
         )
         .csv(path)
     )
+
+
+def write_triples_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC triple sink — the third sink format next to JSONL/TSV.
+    Unlike the text sinks, ORC keeps the double column bit-exact by
+    construction (no shortest-round-trip stringification) and gives the
+    warehouse layer predicate pushdown + column pruning on read."""
+    df.select("conv_id", "sent_text", "arg0", "arg1", "label", "conf").write.mode(
+        "overwrite"
+    ).orc(path)
+
+
+def read_triples_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path).select(
+        "conv_id", "sent_text", "arg0", "arg1", "label", "conf"
+    )

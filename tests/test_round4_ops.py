@@ -140,3 +140,60 @@ def test_turn_taking_runs(spark):
     c2 = out["c2"]
     assert (c2["n_runs"], c2["max_run_len"]) == (1, 1)
     assert c2["first_role"] == c2["last_role"] == "assistant"
+
+
+# ------------------------------------------------------------- triangles
+
+def test_triangle_counts_k4(spark):
+    # complete graph on 4 nodes: C(4,3)=4 triangles, each node in 3
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(
+        [(x, "p", y) for i, x in enumerate(nodes) for y in nodes[i + 1:]],
+        "subj_id string, pred string, obj_id string",
+    )
+    from dygiepp_spark.operators.graph import triangle_counts
+
+    out = {r["node_id"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {n: 3 for n in nodes}
+
+
+def test_triangle_counts_path_has_none_and_dups_ignored(spark):
+    # path a-b-c (no triangle) + duplicate/parallel/self edges must not
+    # fabricate one
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("b", "q", "a"), ("a", "p", "a")],
+        "subj_id string, pred string, obj_id string",
+    )
+    from dygiepp_spark.operators.graph import triangle_counts
+
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_star_plus_rim(spark):
+    # hub h connected to r1..r4, rim edges r1-r2 and r3-r4:
+    # triangles (h,r1,r2) and (h,r3,r4) — hub in 2, rims in 1
+    rows = [("h", "p", f"r{i}") for i in range(1, 5)] + [
+        ("r1", "p", "r2"),
+        ("r3", "p", "r4"),
+    ]
+    edges = spark.createDataFrame(rows, "subj_id string, pred string, obj_id string")
+    from dygiepp_spark.operators.graph import triangle_counts
+
+    out = {r["node_id"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {"h": 2, "r1": 1, "r2": 1, "r3": 1, "r4": 1}
+
+
+# ---------------------------------------------------------- orc roundtrip
+
+def test_orc_roundtrip_bit_exact(spark, tmp_path):
+    from dygiepp_spark.sources.jsonl import read_triples_orc, write_triples_orc
+
+    df = spark.createDataFrame(
+        [("c1", "s t", "a", "b", "rel", 0.1 + 0.2), ("c2", "u", "x", "y", "rel2", 1.0 / 3.0)],
+        "conv_id string, sent_text string, arg0 string, arg1 string, label string, conf double",
+    )
+    p = str(tmp_path / "orc")
+    write_triples_orc(df, p)
+    back = read_triples_orc(spark, p)
+    # bit-exact doubles: exceptAll both ways is empty
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
