@@ -1044,6 +1044,13 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_negative_samples(spark, sf_dir):
+    """Filtered tail-corruption negatives over the linked KG — the
+    KG-embedding training-data prep step."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.negative_samples(edges, TT.entity_dict(spark), k=3)
+
+
 def q_orc_roundtrip(spark, sf_dir):
     """Columnar ORC sink + scan round-trip: triples written to ORC and
     read back must hash identically to the triples oracle (bit-exact
@@ -1191,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_taking": q_turn_taking,
         "triangles": q_triangles,
         "orc_roundtrip": q_orc_roundtrip,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -1304,4 +1312,5 @@ def oracle_sql() -> dict[str, str]:
         "turn_taking": oracles.turn_taking_oracle(),
         "triangles": oracles_kg.triangle_counts_oracle(),
         "orc_roundtrip": oracles.triples_oracle(),
+        "negative_samples": oracles_kg.negative_samples_oracle(k=3),
     }

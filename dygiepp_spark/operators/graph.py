@@ -210,3 +210,66 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def negative_samples(
+    edges: DataFrame, entities: DataFrame, k: int = 3
+) -> DataFrame:
+    """Tail-corrupted negative triples for KG-embedding training (the
+    TransE/DistMult data-prep step): for each distinct positive
+    (subj, pred, obj), up to ``k`` candidates with the object replaced by
+    a deterministically hash-picked entity; candidates that collide with
+    a TRUE positive are dropped (filtered negative sampling).
+
+    Determinism (bit-identical in the DuckDB twin): replacement index =
+    hash60("i|subj|pred|obj") mod |entities| over the entity dictionary
+    ranked by id. The dictionary is a broadcast dim table — the ranking
+    window is global but runs on the SMALL side only (never corpus-sized;
+    a web-scale entity set would rank via its id column directly).
+
+    Scale: positives explode k-fold (narrow), one broadcast join picks
+    the replacement, one anti-join against the positive set filters
+    collisions (both sides keyed on the triple — no skew beyond what the
+    KG itself has).
+    """
+    from dygiepp_spark.functions.hashing import hash60
+
+    ents = entities.select("entity_id").distinct()
+    from pyspark.sql import Window
+
+    ranked = ents.select(
+        "entity_id",
+        (F.row_number().over(Window.orderBy("entity_id")) - 1).alias("rk"),
+    )
+    nct = ents.agg(F.count(F.lit(1)).alias("_n"))
+    pos = edges.select("subj_id", "pred", "obj_id").distinct()
+    cand = (
+        pos.select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("sample_ix")
+        )
+        .crossJoin(F.broadcast(nct))
+        .withColumn(
+            "rk",
+            hash60(
+                F.concat_ws(
+                    "|",
+                    F.col("sample_ix").cast("string"),
+                    "subj_id",
+                    "pred",
+                    "obj_id",
+                )
+            )
+            % F.col("_n"),
+        )
+    )
+    neg = (
+        cand.join(
+            F.broadcast(ranked.withColumnRenamed("entity_id", "neg_obj")), "rk"
+        )
+        .select("subj_id", "pred", F.col("neg_obj"), "sample_ix")
+    )
+    return neg.join(
+        pos.withColumnRenamed("obj_id", "neg_obj"),
+        ["subj_id", "pred", "neg_obj"],
+        "left_anti",
+    )

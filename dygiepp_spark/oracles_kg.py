@@ -1648,3 +1648,36 @@ corners AS (
     UNION ALL SELECT ww FROM tri
 )
 SELECT node_id, count(*) AS n_triangles FROM corners GROUP BY node_id"""
+
+
+def negative_samples_oracle(k: int = 3) -> str:
+    """Twin of graph.negative_samples over the linked KG edge list."""
+    from dygiepp_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql(
+        "CAST(sample_ix AS VARCHAR) || '|' || subj_id || '|' || pred || '|' || obj_id"
+    )
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+ents AS (SELECT DISTINCT entity_id FROM entity_dict),
+ranked AS (
+    SELECT entity_id, row_number() OVER (ORDER BY entity_id) - 1 AS rk
+    FROM ents
+),
+nct AS (SELECT count(*) AS _n FROM ents),
+pos AS (SELECT DISTINCT subj_id, pred, obj_id FROM edges),
+cand AS (
+    SELECT subj_id, pred, obj_id, sample_ix,
+           {h} % (SELECT _n FROM nct) AS rk
+    FROM pos, UNNEST(generate_series(0, {k - 1})) AS g(sample_ix)
+),
+neg AS (
+    SELECT c.subj_id, c.pred, r.entity_id AS neg_obj,
+           CAST(c.sample_ix AS INT) AS sample_ix
+    FROM cand c JOIN ranked r ON c.rk = r.rk
+)
+SELECT n.subj_id, n.pred, n.neg_obj, n.sample_ix
+FROM neg n
+WHERE NOT EXISTS (
+    SELECT 1 FROM pos p
+    WHERE p.subj_id = n.subj_id AND p.pred = n.pred AND p.obj_id = n.neg_obj
+)"""

@@ -264,3 +264,18 @@ def test_substring_dedup_single_agg_shuffle(spark, stored_docs):
     # on win_hash so at most 2 exchanges may appear, never a join
     assert count_shuffles(plan) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_triangle_counts_no_nested_loop(spark, stored_turns):
+    """Triangle counting must stay hash-join shaped: the wedge self-join
+    and the closing join are equi-joins (the inequality is a post-join
+    filter), never a nested-loop/cartesian expansion."""
+    from dygiepp_spark.operators.graph import triangle_counts
+
+    edges = stored_turns.select(
+        F.col("conv_id").alias("subj_id"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("n"), (F.col("turn_idx") % 7)).alias("obj_id"),
+    )
+    plan = plan_of(triangle_counts(edges))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan

@@ -197,3 +197,35 @@ def test_orc_roundtrip_bit_exact(spark, tmp_path):
     back = read_triples_orc(spark, p)
     # bit-exact doubles: exceptAll both ways is empty
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+# ------------------------------------------------------- negative_samples
+
+def test_negative_samples_never_emit_positives(spark):
+    from dygiepp_spark.operators.graph import negative_samples
+
+    edges = spark.createDataFrame(
+        [("E1", "p", "E2"), ("E2", "q", "E3")],
+        "subj_id string, pred string, obj_id string",
+    )
+    ents = spark.createDataFrame(
+        [(f"E{i}",) for i in range(1, 6)], "entity_id string"
+    )
+    out = negative_samples(edges, ents, k=4).collect()
+    assert out, "expected at least one surviving negative"
+    pos = {("E1", "p", "E2"), ("E2", "q", "E3")}
+    for r in out:
+        assert (r["subj_id"], r["pred"], r["neg_obj"]) not in pos
+        assert r["neg_obj"] in {f"E{i}" for i in range(1, 6)}
+
+
+def test_negative_samples_deterministic(spark):
+    from dygiepp_spark.operators.graph import negative_samples
+
+    edges = spark.createDataFrame(
+        [("E1", "p", "E2")], "subj_id string, pred string, obj_id string"
+    )
+    ents = spark.createDataFrame([(f"E{i}",) for i in range(9)], "entity_id string")
+    a = sorted(map(tuple, negative_samples(edges, ents, k=5).collect()))
+    b = sorted(map(tuple, negative_samples(edges, ents, k=5).collect()))
+    assert a == b and len(a) <= 5
