@@ -1044,6 +1044,55 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_streaming_asof(spark, sf_dir):
+    """Stream-static as-of enrichment: turn micro-batches joined against
+    the static events dimension via foreachBatch. Per-row semantics make
+    the drained union equal the batch operator under any batching, so the
+    oracle is the same SQL as `asof_events`."""
+    base = f"/root/repo/.tmp/stream_asof_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    left = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        (F.col("conv_id").cast("bigint") % oracles_data.ASOF_KEY_MOD).alias("ukey"),
+        (
+            F.lit(oracles_data.EPOCH_2024)
+            + F.col("conv_id").cast("bigint") * 3600
+            + F.col("turn_idx").cast("bigint") * 30
+        ).alias("ts_sec"),
+    )
+    left.repartition(8, "conv_id").write.mode("overwrite").parquet(in_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % oracles_data.ASOF_KEY_MOD).alias("ukey"),
+        (
+            F.expr(
+                "timestampdiff(SECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+            )
+            + F.lit(oracles_data.EPOCH_2024)
+        ).alias("ets"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    ST.run_asof_stream(
+        spark,
+        in_dir,
+        "conv_id string, turn_idx int, ukey bigint, ts_sec bigint",
+        ev,
+        out_dir,
+        ckpt,
+        ["event_id", "event_type", "value"],
+        max_files_per_trigger=2,
+    )
+    return _consume_and_remove(
+        spark.read.parquet(out_dir).select(
+            "conv_id", "turn_idx", "event_id", "event_type", "value"
+        ),
+        base,
+    )
+
+
 def q_negative_samples(spark, sf_dir):
     """Filtered tail-corruption negatives over the linked KG — the
     KG-embedding training-data prep step."""
@@ -1199,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "orc_roundtrip": q_orc_roundtrip,
         "negative_samples": q_negative_samples,
+        "streaming_asof": q_streaming_asof,
     }
 
 
@@ -1313,4 +1363,5 @@ def oracle_sql() -> dict[str, str]:
         "triangles": oracles_kg.triangle_counts_oracle(),
         "orc_roundtrip": oracles.triples_oracle(),
         "negative_samples": oracles_kg.negative_samples_oracle(k=3),
+        "streaming_asof": oracles_data.asof_events_oracle(),
     }

@@ -472,3 +472,59 @@ def run_quality_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# stream-static as-of enrichment (temporal join at ingestion time)
+# --------------------------------------------------------------------------
+
+def run_asof_stream(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    payload_cols: list[str],
+    on: list[str] = ("ukey",),
+    left_ts: str = "ts_sec",
+    right_ts: str = "ets",
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Enrich a turn stream with the most recent event at-or-before each
+    turn (stream-STATIC as-of): every micro-batch runs the batch
+    temporal.asof_join against the static events dimension, landing in
+    the idempotent batch_id-partitioned sink.
+
+    Correctness under any batching: each output row depends only on its
+    own left row and the static side, so the drained union equals the
+    batch operator row-for-row regardless of how the stream is split —
+    the same argument as the quality-at-ingestion stream, checked against
+    the same SQL oracle as the batch as-of query. (A stream-STREAM as-of
+    would instead need the state-store formulation — keep the static dim
+    in a broadcast-refreshed table and this shape covers the standing
+    production case: enriching live transcripts against slowly-changing
+    reference data.)
+    """
+    from dygiepp_spark.operators.temporal import asof_join
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            asof_join(batch_df, events, list(on), left_ts, right_ts, payload_cols)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
