@@ -126,6 +126,7 @@ def build_kg_pipeline(
     with_coref: bool = True,
     with_eval: bool = True,
     with_curation: bool = False,
+    with_analytics: bool = False,
 ) -> Pipeline:
     """The full production DAG (M18/B4): transcript turns -> mentions ->
     triples -> coref clusters -> canonical entities -> KG edges -> edge
@@ -142,6 +143,11 @@ def build_kg_pipeline(
     set. Each curation stage checkpoints with the same per-partition
     lineage/metrics rows, so a curation re-run resumes like every other
     stage.
+
+    ``with_analytics=True`` appends the graph-analytics phase over the
+    materialized KG: integer PageRank, degree-ordered triangle counts,
+    and filtered negative samples for embedding training — the three
+    downstream tables a KG consumer schedules nightly.
     """
     from dygiepp_spark import tables as TT
     from dygiepp_spark.operators import coref as CO
@@ -219,5 +225,17 @@ def build_kg_pipeline(
     @p.stage("eval_exact", enabled=with_eval)
     def _eval(ctx):
         return KE.ie_eval(ctx["triples"], KE.gold_triples(ctx["turns"]), "exact")
+
+    @p.stage("kg_pagerank", enabled=with_analytics)
+    def _pagerank(ctx):
+        return GR.pagerank(ctx["kg_edges"], iterations=3)
+
+    @p.stage("kg_triangles", enabled=with_analytics)
+    def _triangles(ctx):
+        return GR.triangle_counts(ctx["kg_edges"])
+
+    @p.stage("kg_negatives", enabled=with_analytics)
+    def _negatives(ctx):
+        return GR.negative_samples(ctx["kg_edges"], TT.entity_dict(spark), k=3)
 
     return p

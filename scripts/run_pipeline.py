@@ -89,6 +89,8 @@ def main(argv=None) -> int:
                     help="prepend quality-filter/dedup/PII-scrub stages; "
                          "extraction then consumes the curated doc set")
     ap.add_argument("--no-eval", action="store_true")
+    ap.add_argument("--with-analytics", action="store_true",
+                    help="append PageRank / triangles / negative-sample tables")
     ap.add_argument("--pack-pyfiles", metavar="ZIP", default=None)
     args = ap.parse_args(argv)
 
@@ -111,6 +113,7 @@ def main(argv=None) -> int:
         with_coref=not args.no_coref,
         with_eval=not args.no_eval,
         with_curation=args.with_curation,
+        with_analytics=args.with_analytics,
     )
     p.run()
     report = [

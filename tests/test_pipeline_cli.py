@@ -124,3 +124,31 @@ def test_turns_from_docs_df_matches_parquet_derivation(spark, sf_dir):
         with_ts=False,
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cli_analytics_phase_appends_graph_tables(spark, sf_dir, tmp_path, capsys):
+    """--with-analytics appends the PageRank / triangle / negative-sample
+    tables over the materialized KG edges, each checkpointed + resumable
+    like every other stage."""
+    import scripts.run_pipeline as rp
+
+    wh = str(tmp_path / "wha")
+    args = [
+        "--sf-dir", sf_dir, "--warehouse", wh,
+        "--master", "local[4]", "--no-coref", "--no-eval", "--with-analytics",
+    ]
+    assert rp.main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = {s["stage"]: s for s in out["pipeline"]}
+    assert list(stages) == [
+        "turns", "mentions", "triples", "kg_edges", "kg_edges_agg",
+        "kg_pagerank", "kg_triangles", "kg_negatives",
+    ]
+    assert stages["kg_pagerank"]["rows"] > 0
+    assert stages["kg_negatives"]["rows"] > 0
+    pr = spark.read.parquet(os.path.join(wh, "kg_pagerank", "data"))
+    assert set(pr.columns) == {"node_id", "rank"}
+
+    assert rp.main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(s["resumed"] for s in second["pipeline"])
