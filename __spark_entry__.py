@@ -1044,6 +1044,12 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact corpus token-length quantiles via the integer-domain trick
+    (agg to (length, count); the window runs over distinct lengths)."""
+    return TX.length_quantiles(_docs(spark, sf_dir))
+
+
 def q_streaming_asof(spark, sf_dir):
     """Stream-static as-of enrichment: turn micro-batches joined against
     the static events dimension via foreachBatch. Per-row semantics make
@@ -1249,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "negative_samples": q_negative_samples,
         "streaming_asof": q_streaming_asof,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -1364,4 +1371,5 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": oracles.triples_oracle(),
         "negative_samples": oracles_kg.negative_samples_oracle(k=3),
         "streaming_asof": oracles_data.asof_events_oracle(),
+        "length_quantiles": oracles_data.length_quantiles_oracle(),
     }

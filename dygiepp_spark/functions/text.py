@@ -430,3 +430,41 @@ def vocab_build(
         F.lit(True).alias("is_special"),
     )
     return sp.unionByName(words)
+
+
+def length_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    qs: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0),
+) -> DataFrame:
+    """EXACT token-length quantiles of the corpus — the length
+    distribution report every curation pass starts from. Output
+    (q, n_tok) with the lower-rank convention n_tok = value at rank
+    floor(q * (N - 1)) + 1 (1-based), so q=0/1 are exact min/max and no
+    float interpolation exists anywhere (bit-portable).
+
+    Scale shape: exact quantiles normally need a total order, but token
+    length has a SMALL VALUE DOMAIN — so aggregate to (n_tok, cnt)
+    first (one map-side-combinable shuffle over the corpus), then take
+    the running sum over the aggregated frame. The unpartitioned window
+    runs over distinct LENGTHS (bounded by max doc length, thousands of
+    rows at any corpus size), never over corpus rows — this is the
+    integer-domain trick that makes exact quantiles 100 TB-safe where
+    a corpus-wide sort or percentile_approx's sketch error are not.
+    """
+    from pyspark.sql import Window
+
+    lens = df.select(F.size(tokens_col(F.col(text_col))).alias("n_tok"))
+    counts = lens.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    total = counts.agg(F.sum("cnt").alias("_n"))
+    targets = cum.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        )
+    )
+    hit = targets.filter(
+        F.col("cum") >= F.floor(F.col("q") * (F.col("_n") - 1)) + 1
+    )
+    return hit.groupBy("q").agg(F.min("n_tok").alias("n_tok"))

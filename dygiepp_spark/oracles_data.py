@@ -1115,3 +1115,25 @@ m AS (
     FROM l LEFT JOIN r ON l.ukey = r.ukey AND r.ets <= l.ts_sec
 )
 SELECT conv_id, turn_idx, event_id, event_type, value FROM m WHERE rn = 1"""
+
+
+def length_quantiles_oracle(qs=(0.0, 0.25, 0.5, 0.75, 1.0)) -> str:
+    """Twin of text.length_quantiles (lower-rank convention)."""
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""WITH lens AS (
+    SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS INT) AS n_tok
+    FROM documents
+),
+counts AS (SELECT n_tok, count(*) AS cnt FROM lens GROUP BY n_tok),
+cum AS (
+    SELECT n_tok,
+           sum(cnt) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) AS cum
+    FROM counts
+),
+total AS (SELECT sum(cnt) AS _n FROM counts),
+qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qvals}) AS t(q))
+SELECT q, min(n_tok) AS n_tok
+FROM cum, total, qv
+WHERE cum >= floor(q * (_n - 1)) + 1
+GROUP BY q"""
