@@ -1044,6 +1044,15 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus report (C4/CCNet-style rollup) over
+    the synthetic-URL-augmented corpus."""
+    from dygiepp_spark.functions import web as WB
+
+    docs = WB.with_synthetic_urls(_doc_text(spark, sf_dir))
+    return WB.domain_stats(docs, WB.default_blocklist(spark))
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact corpus token-length quantiles via the integer-domain trick
     (agg to (length, count); the window runs over distinct lengths)."""
@@ -1256,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "streaming_asof": q_streaming_asof,
         "length_quantiles": q_length_quantiles,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1372,4 +1382,5 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": oracles_kg.negative_samples_oracle(k=3),
         "streaming_asof": oracles_data.asof_events_oracle(),
         "length_quantiles": oracles_data.length_quantiles_oracle(),
+        "domain_stats": oracles_data.domain_stats_oracle(),
     }

@@ -104,3 +104,42 @@ def url_stats(
         F.count("blocked_domain").cast("int").alias("n_blocked"),
         (F.count("blocked_domain") == 0).alias("keep"),
     )
+
+
+def domain_stats(
+    docs: DataFrame, blocklist: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-registered-domain corpus report — the C4/CCNet-style rollup a
+    curation pass reads before choosing filters:
+    (domain, n_docs, n_mentions, total_doc_tokens, is_blocked).
+
+    Same single-explode shape as :func:`url_stats` but folded to DOMAIN
+    grain: narrow URL extraction + registered-domain reduction, one
+    broadcast join against the blocklist, one domain-keyed aggregation
+    (map-side combinable; a mega-domain like wikipedia.org is one hot
+    key whose aggregate state is three longs — AQE handles the rest).
+    total_doc_tokens counts each citing document's full token length, the
+    quantity used for per-domain token budgeting in data-mixing recipes.
+    """
+    from dygiepp_spark.functions.text import tokens_col
+
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    regdoms = F.transform(
+        urls, lambda u: registered_domain(F.regexp_extract(u, HOST_RE, 1))
+    )
+    exploded = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).alias("n_tok"),
+        F.explode(regdoms).alias("domain"),
+    )
+    marked = exploded.join(
+        F.broadcast(blocklist),
+        exploded["domain"] == blocklist["blocked_domain"],
+        "left",
+    )
+    return marked.groupBy("domain").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum("n_tok").alias("total_doc_tokens"),
+        F.max(F.col("blocked_domain").isNotNull()).alias("is_blocked"),
+    )

@@ -1137,3 +1137,52 @@ SELECT q, min(n_tok) AS n_tok
 FROM cum, total, qv
 WHERE cum >= floor(q * (_n - 1)) + 1
 GROUP BY q"""
+
+
+def domain_stats_oracle() -> str:
+    """Twin of web.domain_stats over the synthetic-URL-augmented corpus."""
+    from dygiepp_spark.functions.web import DEFAULT_BLOCKLIST, HOST_RE, URL_RE
+
+    blocked = ", ".join(repr(d) for d in DEFAULT_BLOCKLIST)
+    return f"""
+WITH aug AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           text || ' see https://host'
+                || CAST(CAST(doc_id AS BIGINT) % 1000 AS VARCHAR)
+                || '.example' || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+                || '.com/p/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                || ' and http://www.site'
+                || CAST((CAST(doc_id AS BIGINT) * 7) % 500 AS VARCHAR)
+                || '.org/a' || CAST(CAST(doc_id AS BIGINT) % 13 AS VARCHAR)
+               AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS INT) AS n_tok,
+           text
+    FROM aug
+),
+urls AS (
+    SELECT doc_id, n_tok,
+           unnest(regexp_extract_all(text, '{URL_RE}')) AS url
+    FROM toks
+),
+rd AS (
+    SELECT doc_id, n_tok,
+           CASE WHEN len(labels) >= 2
+                THEN labels[-2] || '.' || labels[-1]
+                ELSE labels[-1] END AS domain
+    FROM (
+        SELECT doc_id, n_tok,
+               string_split(regexp_extract(url, '{HOST_RE}', 1), '.') AS labels
+        FROM urls
+    )
+)
+SELECT domain,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_mentions,
+       CAST(sum(n_tok) AS BIGINT) AS total_doc_tokens,
+       max(domain IN ({blocked})) AS is_blocked
+FROM rd GROUP BY domain"""
