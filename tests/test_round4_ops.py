@@ -229,3 +229,37 @@ def test_negative_samples_deterministic(spark):
     a = sorted(map(tuple, negative_samples(edges, ents, k=5).collect()))
     b = sorted(map(tuple, negative_samples(edges, ents, k=5).collect()))
     assert a == b and len(a) <= 5
+
+
+# ---------------------------------------------- length_quantiles / domains
+
+def test_length_quantiles_exact_small(spark):
+    from dygiepp_spark.functions.text import length_quantiles
+
+    # lengths 1..5 -> N=5, rank(q) = floor(q*4)+1
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 6)], "doc_id bigint, text string"
+    )
+    got = {r["q"]: r["n_tok"] for r in length_quantiles(docs).collect()}
+    assert got == {0.0: 1, 0.25: 2, 0.5: 3, 0.75: 4, 1.0: 5}
+
+
+def test_domain_stats_rollup(spark):
+    from dygiepp_spark.functions.web import default_blocklist, domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b https://x.example0.com/p https://y.good.org/q"),
+            (2, "c https://z.example0.com/r"),
+            (3, "no urls here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["domain"]: r for r in domain_stats(docs, default_blocklist(spark)).collect()}
+    assert set(out) == {"example0.com", "good.org"}
+    e0 = out["example0.com"]
+    assert (e0["n_docs"], e0["n_mentions"], bool(e0["is_blocked"])) == (2, 2, True)
+    # doc 1 has 4 whitespace tokens incl. URLs, doc 2 has 2
+    assert e0["total_doc_tokens"] == 4 + 2
+    g = out["good.org"]
+    assert (g["n_docs"], g["n_mentions"], bool(g["is_blocked"])) == (1, 1, False)
