@@ -1044,6 +1044,38 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Stateful streaming sessionization: turns hash-spread over input
+    files and drained two per micro-batch, so conversations straddle
+    batches; the state store buffers until each conversation completes
+    and then cuts sessions exactly like the batch operator — the oracle
+    is the same SQL as the batch `sessions` query."""
+    from pyspark.sql import Window
+
+    base = f"/root/repo/.tmp/stream_sess_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    with_ts = (
+        _turns(spark, sf_dir)
+        .withColumn("ts_sec", F.expr("turn_idx * 2 + (turn_idx div 4) * 60"))
+        .withColumn(
+            "n_turns",
+            F.count(F.lit(1)).over(Window.partitionBy("conv_id")).cast("int"),
+        )
+        .select("conv_id", "turn_idx", F.col("ts_sec").cast("bigint"), "n_turns")
+    )
+    with_ts.repartition(8).write.mode("overwrite").parquet(in_dir)
+    ST.run_session_stream(spark, in_dir, out_dir, ckpt, gap_sec=30,
+                          max_files_per_trigger=2)
+    return _consume_and_remove(
+        spark.read.parquet(out_dir).select(
+            "conv_id", "session_ix", "n_turns", "first_turn", "last_turn",
+            "duration_sec",
+        ),
+        base,
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus report (C4/CCNet-style rollup) over
     the synthetic-URL-augmented corpus."""
@@ -1266,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_asof": q_streaming_asof,
         "length_quantiles": q_length_quantiles,
         "domain_stats": q_domain_stats,
+        "streaming_sessions": q_streaming_sessions,
     }
 
 
@@ -1383,4 +1416,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_asof": oracles_data.asof_events_oracle(),
         "length_quantiles": oracles_data.length_quantiles_oracle(),
         "domain_stats": oracles_data.domain_stats_oracle(),
+        "streaming_sessions": oracles.session_stats_oracle(gap_sec=30),
     }

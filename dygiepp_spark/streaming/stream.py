@@ -528,3 +528,111 @@ def run_asof_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# stateful streaming sessionization (cross-batch gap detection)
+# --------------------------------------------------------------------------
+
+SESS_IN_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("ts_sec", T.LongType(), True),
+        T.StructField("n_turns", T.IntegerType(), True),
+    ]
+)
+_SESS_STATE_SCHEMA = "idxs array<int>, tss array<bigint>, total int"
+_SESS_OUT_SCHEMA = (
+    "conv_id string, session_ix int, n_turns bigint, first_turn int, "
+    "last_turn int, duration_sec bigint"
+)
+
+
+def sessionize_stateful(turns_stream: DataFrame, gap_sec: int = 30) -> DataFrame:
+    """Gap-threshold sessionization as a stateful streaming operator
+    (``applyInPandasWithState`` keyed on conv_id) — the canonical
+    state-store example, with the same deterministic-emission contract as
+    the stateful assembly: a late turn can SPLIT or MERGE sessions, so
+    per-conversation session rollups are only final once all of the
+    conversation's turns arrived. Turns buffer in the state store across
+    micro-batches; when the buffered count reaches the row-carried
+    ``n_turns`` total, sessions are cut exactly like the batch
+    ``sessionize`` (order by (ts_sec, turn_idx), gap > gap_sec starts a
+    session) and the ``session_stats`` rollup is emitted once, state
+    dropped. Output is therefore row-identical to the batch path no
+    matter how turns split across batches — checked against the same SQL
+    oracle as the batch `sessions` query.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            idxs, tss, total = state.get
+            idxs, tss = list(idxs), list(tss)
+        else:
+            idxs, tss, total = [], [], None
+        for pdf in pdfs:
+            idxs.extend(int(i) for i in pdf["turn_idx"])
+            tss.extend(int(t) for t in pdf["ts_sec"])
+            if total is None and len(pdf) > 0:
+                total = int(pdf["n_turns"].iloc[0])
+        if total is not None and len(idxs) >= total:
+            order = sorted(range(len(idxs)), key=lambda i: (tss[i], idxs[i]))
+            rows = []
+            six = 0
+            cur: list[int] = []
+            for pos, i in enumerate(order):
+                if pos > 0 and tss[i] - tss[order[pos - 1]] > gap_sec:
+                    rows.append((six, cur))
+                    six += 1
+                    cur = []
+                cur.append(i)
+            rows.append((six, cur))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id] * len(rows),
+                    "session_ix": [s for s, _ in rows],
+                    "n_turns": [len(m) for _, m in rows],
+                    "first_turn": [min(idxs[i] for i in m) for _, m in rows],
+                    "last_turn": [max(idxs[i] for i in m) for _, m in rows],
+                    "duration_sec": [
+                        max(tss[i] for i in m) - min(tss[i] for i in m)
+                        for _, m in rows
+                    ],
+                }
+            )
+        else:
+            state.update((idxs, tss, total))
+
+    return turns_stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_session_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    gap_sec: int = 30, max_files_per_trigger: int = 2,
+) -> None:
+    src = (
+        spark.readStream.schema(SESS_IN_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        sessionize_stateful(src, gap_sec=gap_sec)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
