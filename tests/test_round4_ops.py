@@ -263,3 +263,30 @@ def test_domain_stats_rollup(spark):
     assert e0["total_doc_tokens"] == 4 + 2
     g = out["good.org"]
     assert (g["n_docs"], g["n_mentions"], bool(g["is_blocked"])) == (1, 1, False)
+
+
+# ------------------------------------------------------ registry invariants
+
+def test_registry_invariants():
+    """Driver-contract hygiene: every query callable has an oracle twin
+    (the rows-only transformer excepted), oracle keys never dangle, and
+    the 50-entry harness window holds only oracle-checkable queries."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    assert len(qs) == len(set(qs)), "duplicate query keys"
+    dangling = [k for k in osql if k not in qs]
+    assert not dangling, f"oracle keys without queries: {dangling}"
+    missing = [k for k in qs if k not in osql]
+    assert missing == ["triples_transformer"], (
+        f"queries without oracles: {missing}"
+    )
+    window = list(qs)[:50]
+    assert "triples_transformer" not in window, (
+        "a rows-only query is burning a harness window slot"
+    )
+    for k, sql in osql.items():
+        assert isinstance(sql, str) and sql.strip().upper().startswith(
+            ("WITH", "SELECT")
+        ), f"oracle for {k} is not a SQL string"
