@@ -144,6 +144,10 @@ BENCH_QUERIES = {
     "quality_filter",
     "dedup_groups",
     "tfidf_topk",
+    # graph-analytics + temporal layer (added late r4)
+    "pagerank",
+    "triangles",
+    "asof_events",
 }
 
 if __name__ == "__main__":
