@@ -1163,9 +1163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last green oracle row is r1/r2 comes FIRST (oldest row first),
     then the queries NEW this round, then the two whose operator code
     changed this round (kmeans output shape, url_filter's
-    registered_domain guard). The tail holds exactly the 47 queries with
-    a fresh green row in CORRECTNESS_r03 plus the rows-only
-    triples_transformer — rotated there intentionally, not dropped.
+    registered_domain guard). The tail holds the 47 queries with a fresh
+    green row in CORRECTNESS_r03, the rows-only triples_transformer, and
+    the queries ADDED in round 4 after the window filled (each green in
+    scripts/parity.py at sf0.001+sf0.01; they rotate into the round-5
+    window) — rotated there intentionally, not dropped.
     """
     return {
         # (a) oldest green row first: r1 (fingerprint), then the r2† set
