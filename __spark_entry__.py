@@ -1044,6 +1044,12 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment (quote/subset detection) over the minhash
+    LSH candidate pairs — C(A in B) = |A∩B| / |A|."""
+    return DD.containment_pairs(DD.doc_chunks(_docs(spark, sf_dir)))
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Stateful streaming sessionization: turns hash-spread over input
     files and drained two per micro-batch, so conversations straddle
@@ -1301,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "domain_stats": q_domain_stats,
         "streaming_sessions": q_streaming_sessions,
+        "containment": q_containment,
     }
 
 
@@ -1419,4 +1426,5 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": oracles_data.length_quantiles_oracle(),
         "domain_stats": oracles_data.domain_stats_oracle(),
         "streaming_sessions": oracles.session_stats_oracle(gap_sec=30),
+        "containment": oracles_data.containment_oracle(thresh=0.4),
     }

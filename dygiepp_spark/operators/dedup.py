@@ -556,3 +556,56 @@ def substring_dup_spans(
             F.col("_first.pos").alias("first_pos"),
         )
     )
+
+
+def containment_pairs(chunks: DataFrame, thresh: float = 0.4) -> DataFrame:
+    """Asymmetric containment over LSH candidate pairs:
+    C(A in B) = |A ∩ B| / |A| — the quote/subset detector symmetric
+    Jaccard misses (a 100-token excerpt inside a 10k-token page has
+    J ~= 0.01 but C = 1.0). Emits (id_a, id_b, cont_a_in_b, cont_b_in_a,
+    jaccard) for candidate pairs where EITHER direction >= thresh.
+
+    Candidate generation reuses the minhash banding, which approximates
+    JACCARD — recall for extreme-size-ratio containment therefore drops
+    with the size gap (the planted chunk pairs are size-balanced, so the
+    gate exercises both directions). A production quote-detector adds a
+    size-stratified banding pass; the verify join below is shape-
+    identical either way, and every emitted pair carries exact counts.
+    """
+    sh = shingles(chunks).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sh).localCheckpoint(eager=False)
+    counts = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
+    cands = lsh_candidates(lsh_buckets(sigs))
+    a_sh = cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+    inter = (
+        a_sh.join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    cb = counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    out = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / F.col("n_a").cast("double")).alias(
+                "cont_a_in_b"
+            ),
+            (F.col("n_inter").cast("double") / F.col("n_b").cast("double")).alias(
+                "cont_b_in_a"
+            ),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(
+        (F.col("cont_a_in_b") >= thresh) | (F.col("cont_b_in_a") >= thresh)
+    )

@@ -1186,3 +1186,53 @@ SELECT domain,
        CAST(sum(n_tok) AS BIGINT) AS total_doc_tokens,
        max(domain IN ({blocked})) AS is_blocked
 FROM rd GROUP BY domain"""
+
+
+def containment_oracle(thresh: float = 0.4, max_bucket: int = 1000) -> str:
+    """Twin of dedup.containment_pairs (asymmetric containment over the
+    same LSH candidate chain as near_dups_minhash)."""
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT id, {b} AS band, '{b}:' || CAST(mh_{b * ROWS_PER_BAND} AS VARCHAR)"
+        f" || ':' || CAST(mh_{b * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""{_DEDUP_BASE},
+hashed AS (SELECT id, {hash60_sql('shingle')} AS h0,
+                  {hash60_sql("'b:' || shingle")} AS h1 FROM shingled),
+sigs AS (
+    SELECT id,
+           {_minhash_aggs()}
+    FROM hashed GROUP BY id
+),
+buckets AS (
+    {bands}
+),
+bcounts AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
+ok AS (
+    SELECT b.* FROM buckets b JOIN bcounts c USING (band, bucket)
+    WHERE c.n <= {max_bucket}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.id < b.id
+),
+sets AS (
+    SELECT id, list_sort(list_distinct(list(shingle))) AS sh,
+           count(*) AS n_sh
+    FROM shingled GROUP BY id
+)
+SELECT id_a, id_b, cont_a_in_b, cont_b_in_a, jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(sa.n_sh AS DOUBLE) AS cont_a_in_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(sb.n_sh AS DOUBLE) AS cont_b_in_a,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))
+                    AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.id = c.id_a
+    JOIN sets sb ON sb.id = c.id_b
+)
+WHERE cont_a_in_b >= {thresh} OR cont_b_in_a >= {thresh}"""

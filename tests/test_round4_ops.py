@@ -290,3 +290,25 @@ def test_registry_invariants():
         assert isinstance(sql, str) and sql.strip().upper().startswith(
             ("WITH", "SELECT")
         ), f"oracle for {k} is not a SQL string"
+
+
+# ------------------------------------------------------------- containment
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from dygiepp_spark.operators.dedup import containment_pairs
+
+    # excerpt = 35 of 40 tokens: Jaccard 34/39 (~0.87) fails a 0.95 cut,
+    # but containment of the excerpt is exactly 1.0 — the asymmetric
+    # direction is what passes. (Candidates come from Jaccard-tuned LSH
+    # banding, so the test keeps overlap high enough to collide; extreme
+    # size-ratio recall is the documented banding limitation.)
+    big = " ".join(f"w{i}" for i in range(40))
+    small = " ".join(f"w{i}" for i in range(35))
+    chunks = spark.createDataFrame(
+        [(1, big), (2, small)], "chunk_id bigint, text string"
+    )
+    out = containment_pairs(chunks, thresh=0.95).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_b_in_a"] == 1.0 and r["jaccard"] < 0.95
