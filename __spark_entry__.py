@@ -1044,6 +1044,13 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_kcore(spark, sf_dir):
+    """2-core of the linked KG after 4 fixed peel rounds (bounded-round
+    parity like gold_transitive)."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.kcore(edges, k=2, rounds=4)
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric containment (quote/subset detection) over the minhash
     LSH candidate pairs — C(A in B) = |A∩B| / |A|."""
@@ -1308,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "streaming_sessions": q_streaming_sessions,
         "containment": q_containment,
+        "kcore": q_kcore,
     }
 
 
@@ -1427,4 +1435,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": oracles_data.domain_stats_oracle(),
         "streaming_sessions": oracles.session_stats_oracle(gap_sec=30),
         "containment": oracles_data.containment_oracle(thresh=0.4),
+        "kcore": oracles_kg.kcore_oracle(k=2, rounds=4),
     }

@@ -273,3 +273,45 @@ def negative_samples(
         ["subj_id", "pred", "neg_obj"],
         "left_anti",
     )
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with degree < k in the surviving subgraph; output the survivors
+    (node_id, deg) with their in-core degree after ``rounds`` peels.
+
+    ``rounds`` is a fixed knob rather than a convergence loop so the
+    DuckDB twin can unroll the exact same computation (the bounded-round
+    parity precedent of gold_transitive); peeling converges in a handful
+    of rounds on real graphs because each pass removes whole shells — a
+    production run loops to fixpoint exactly like compaction.
+    near_dup_groups (count the dropped set per round, stop at 0).
+
+    Scale: each round is one degree aggregation (map-side combinable)
+    plus two semi-joins of the edge list against the shrinking alive
+    set — the alive frame is (id) rows, broadcastable long after the
+    first peel. No node ever contributes more than its degree in rows.
+    """
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("lo"),
+            F.greatest("subj_id", "obj_id").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.unionByName(
+        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    alive = sym.select(F.col("lo").alias("node_id")).distinct()
+    deg = None
+    for _ in range(rounds):
+        live_edges = sym.join(
+            alive.withColumnRenamed("node_id", "lo"), "lo", "left_semi"
+        ).join(alive.withColumnRenamed("node_id", "hi"), "hi", "left_semi")
+        deg = live_edges.groupBy(F.col("lo").alias("node_id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node_id")
+    return deg.join(alive, "node_id", "left_semi").select("node_id", "deg")

@@ -1681,3 +1681,34 @@ WHERE NOT EXISTS (
     SELECT 1 FROM pos p
     WHERE p.subj_id = n.subj_id AND p.pred = n.pred AND p.obj_id = n.neg_obj
 )"""
+
+
+def kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """Twin of graph.kcore: the same fixed number of peel rounds unrolled."""
+    head = f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+sym AS (SELECT lo, hi FROM und UNION ALL SELECT hi, lo FROM und),
+a0 AS (SELECT DISTINCT lo AS node_id FROM sym)"""
+    levels = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        levels.append(f"""d{i} AS (
+    SELECT s.lo AS node_id, count(*) AS deg
+    FROM sym s
+    JOIN {prev} x ON s.lo = x.node_id
+    JOIN {prev} y ON s.hi = y.node_id
+    GROUP BY s.lo
+),
+a{i} AS (SELECT node_id FROM d{i} WHERE deg >= {k})""")
+        prev = f"a{i}"
+    return (
+        head
+        + ",\n"
+        + ",\n".join(levels)
+        + f"\nSELECT d.node_id, d.deg FROM d{rounds} d JOIN a{rounds} a"
+        f" ON d.node_id = a.node_id"
+    )

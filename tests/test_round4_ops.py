@@ -312,3 +312,24 @@ def test_containment_catches_subset_jaccard_misses(spark):
     r = out[0]
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["cont_b_in_a"] == 1.0 and r["jaccard"] < 0.95
+
+
+# ------------------------------------------------------------------ k-core
+
+def test_kcore_peels_tail(spark):
+    from dygiepp_spark.operators.graph import kcore
+
+    # triangle a-b-c (2-core) with a pendant chain c-d-e that must peel off
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("a", "p", "c"),
+            ("c", "p", "d"), ("d", "p", "e")]
+    edges = spark.createDataFrame(rows, "subj_id string, pred string, obj_id string")
+    out = {r["node_id"]: r["deg"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_when_tree(spark):
+    from dygiepp_spark.operators.graph import kcore
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d")]
+    edges = spark.createDataFrame(rows, "subj_id string, pred string, obj_id string")
+    assert kcore(edges, k=2, rounds=4).count() == 0
