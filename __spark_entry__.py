@@ -1044,6 +1044,24 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_partitioned_sink(spark, sf_dir):
+    """Hive-style partition layout + partition pruning: KG edges written
+    partitionBy(pred), then ONE predicate's partition read back — the
+    100 TB warehouse practice where a pred-filtered scan touches only its
+    directory (PartitionFilters in the plan, pinned by
+    test_partitioned_sink_prunes). Oracle = the same single-predicate
+    filter over the edges SQL."""
+    base = f"/root/repo/.tmp/part_{uuid.uuid4().hex[:8]}"
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    edges.write.mode("overwrite").partitionBy("pred").parquet(base)
+    back = (
+        spark.read.parquet(base)
+        .filter(F.col("pred") == "USED-FOR")
+        .select("subj_id", "pred", "obj_id", "conv_id", "turn_idx", "conf")
+    )
+    return _consume_and_remove(back, base)
+
+
 def q_kcore(spark, sf_dir):
     """2-core of the linked KG after 4 fixed peel rounds (bounded-round
     parity like gold_transitive)."""
@@ -1316,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "containment": q_containment,
         "kcore": q_kcore,
+        "partitioned_sink": q_partitioned_sink,
     }
 
 
@@ -1436,4 +1455,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": oracles.session_stats_oracle(gap_sec=30),
         "containment": oracles_data.containment_oracle(thresh=0.4),
         "kcore": oracles_kg.kcore_oracle(k=2, rounds=4),
+        "partitioned_sink": oracles_kg.partitioned_sink_oracle(),
     }

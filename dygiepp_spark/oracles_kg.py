@@ -1712,3 +1712,12 @@ a{i} AS (SELECT node_id FROM d{i} WHERE deg >= {k})""")
         + f"\nSELECT d.node_id, d.deg FROM d{rounds} d JOIN a{rounds} a"
         f" ON d.node_id = a.node_id"
     )
+
+
+def partitioned_sink_oracle(pred: str = "USED-FOR") -> str:
+    """Twin of q_partitioned_sink: one predicate's slice of the edge list
+    (the sink/scan round-trip itself has no SQL analog; values must
+    survive the parquet layout bit-exactly)."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()}
+SELECT subj_id, pred, obj_id, conv_id, turn_idx, conf
+FROM edges WHERE pred = '{pred}'"""

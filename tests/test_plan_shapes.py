@@ -279,3 +279,46 @@ def test_triangle_counts_no_nested_loop(spark, stored_turns):
     )
     plan = plan_of(triangle_counts(edges))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_partitioned_sink_prunes(spark, stored_turns, tmp_path):
+    """A pred-partitioned layout must turn a pred filter into PARTITION
+    pruning: the plan carries it in PartitionFilters and the scan reads
+    only that directory (at 100 TB: one predicate's slice, not the whole
+    edge list)."""
+    from dygiepp_spark import tables as TT
+    from dygiepp_spark.operators import graph as GR
+
+    p = str(tmp_path / "edges_by_pred")
+    GR.build_edges(stored_turns, TT.entity_dict(spark)).write.mode(
+        "overwrite"
+    ).partitionBy("pred").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("pred") == "USED-FOR")
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "USED-FOR" in m.group(1), plan
+    # the pred predicate must NOT degrade to a post-scan data filter
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "pred" not in pushed.group(1), plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, stored_turns):
+    """Co-located bucketed tables join WITHOUT a shuffle: both sides
+    bucketed on conv_id hash into the same bucket count, so the
+    sort-merge join reads buckets pairwise — zero Exchange in the plan.
+    This is the layout the production pipeline writes for turn-grain
+    tables (plans/store.py); at 100 TB it removes the dominant shuffle
+    from every conv-keyed join."""
+    spark.sql("DROP TABLE IF EXISTS t_left")
+    spark.sql("DROP TABLE IF EXISTS t_right")
+    stored_turns.select("conv_id", "turn_idx", "text").write.bucketBy(
+        8, "conv_id"
+    ).sortBy("conv_id").mode("overwrite").saveAsTable("t_left")
+    stored_turns.groupBy("conv_id").count().write.bucketBy(
+        8, "conv_id"
+    ).sortBy("conv_id").mode("overwrite").saveAsTable("t_right")
+    joined = spark.table("t_left").join(spark.table("t_right"), "conv_id")
+    plan = plan_of(joined)
+    assert count_shuffles(plan) == 0, plan
+    spark.sql("DROP TABLE IF EXISTS t_left")
+    spark.sql("DROP TABLE IF EXISTS t_right")
