@@ -1044,6 +1044,17 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_response_latency(spark, sf_dir):
+    """Assistant reply-latency rollup on the synthetic gap-ful clock
+    (same clock as the sessions queries)."""
+    from dygiepp_spark.operators import transcript as TR
+
+    with_ts = _turns(spark, sf_dir).withColumn(
+        "ts_sec", F.expr("turn_idx * 2 + (turn_idx div 4) * 60")
+    )
+    return TR.response_latency(with_ts)
+
+
 def q_partitioned_sink(spark, sf_dir):
     """Hive-style partition layout + partition pruning: KG edges written
     partitionBy(pred), then ONE predicate's partition read back — the
@@ -1335,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "kcore": q_kcore,
         "partitioned_sink": q_partitioned_sink,
+        "response_latency": q_response_latency,
     }
 
 
@@ -1456,4 +1468,5 @@ def oracle_sql() -> dict[str, str]:
         "containment": oracles_data.containment_oracle(thresh=0.4),
         "kcore": oracles_kg.kcore_oracle(k=2, rounds=4),
         "partitioned_sink": oracles_kg.partitioned_sink_oracle(),
+        "response_latency": oracles.response_latency_oracle(),
     }

@@ -140,3 +140,43 @@ def turn_taking(turns: DataFrame) -> DataFrame:
         F.min_by("role", "_first_turn").alias("first_role"),
         F.max_by("role", "_last_turn").alias("last_role"),
     )
+
+
+def response_latency(turns: DataFrame, ts_col: str = "ts_sec") -> DataFrame:
+    """Per-conversation assistant response-latency rollup:
+    (conv_id, n_responses, mean_latency, max_latency, min_latency) where
+    a response is an assistant turn directly following a user turn and
+    latency = its ts gap — the standing agent-quality question over a
+    transcript table. One lag window + one agg, both partitioned on
+    conv_id (same zero-extra-shuffle story as sessionize on a bucketed
+    table). mean is the single double division of two exact integers,
+    keeping the bit-parity contract.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap"),
+            F.lag("role").over(w).alias("prev_role"),
+        )
+        .filter(
+            (F.col("role") == "assistant") & (F.col("prev_role") == "user")
+        )
+    )
+    agg = gaps.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum("gap").cast("bigint").alias("_total"),
+        F.max("gap").cast("bigint").alias("max_latency"),
+        F.min("gap").cast("bigint").alias("min_latency"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_responses",
+        (F.col("_total").cast("double") / F.col("n_responses").cast("double")).alias(
+            "mean_latency"
+        ),
+        "max_latency",
+        "min_latency",
+    )

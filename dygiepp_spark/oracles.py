@@ -614,3 +614,36 @@ SELECT conv_id,
        arg_min(role, ft) AS first_role,
        arg_max(role, lt) AS last_role
 FROM pr GROUP BY conv_id"""
+
+
+def response_latency_oracle() -> str:
+    """Twin of transcript.response_latency over the synthetic gap-ful
+    clock ts_sec = turn_idx*2 + (turn_idx // 4)*60."""
+    return f"""WITH {TURNS_SQL.strip()},
+ts AS (
+    SELECT conv_id, turn_idx, role,
+           turn_idx * 2 + (turn_idx // 4) * 60 AS ts_sec
+    FROM turns
+),
+gaps AS (
+    SELECT conv_id, turn_idx, role,
+           ts_sec - lag(ts_sec) OVER w AS gap,
+           lag(role) OVER w AS prev_role
+    FROM ts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+resp AS (
+    SELECT * FROM gaps WHERE role = 'assistant' AND prev_role = 'user'
+),
+agg AS (
+    SELECT conv_id,
+           count(*) AS n_responses,
+           CAST(sum(gap) AS BIGINT) AS _total,
+           CAST(max(gap) AS BIGINT) AS max_latency,
+           CAST(min(gap) AS BIGINT) AS min_latency
+    FROM resp GROUP BY conv_id
+)
+SELECT conv_id, n_responses,
+       CAST(_total AS DOUBLE) / CAST(n_responses AS DOUBLE) AS mean_latency,
+       max_latency, min_latency
+FROM agg"""
