@@ -307,6 +307,11 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     alive = sym.select(F.col("lo").alias("node_id")).distinct()
     deg = None
     for _ in range(rounds):
+        # each round references `alive` twice (both semi-joins); without
+        # lineage truncation the logical plan DOUBLES per round — 2^rounds
+        # copies of the base subtree (the same fix as near_dup_groups'
+        # per-round checkpoint; surfaced by the hypothesis peel test)
+        alive = alive.localCheckpoint(eager=False)
         live_edges = sym.join(
             alive.withColumnRenamed("node_id", "lo"), "lo", "left_semi"
         ).join(alive.withColumnRenamed("node_id", "hi"), "hi", "left_semi")
@@ -314,4 +319,6 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
             F.count(F.lit(1)).alias("deg")
         )
         alive = deg.filter(F.col("deg") >= k).select("node_id")
-    return deg.join(alive, "node_id", "left_semi").select("node_id", "deg")
+    # survivors with their in-core degree = the last round's deg rows
+    # that pass the threshold (alive is exactly that filter)
+    return deg.filter(F.col("deg") >= k)
