@@ -1044,6 +1044,14 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_counts(edges)
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Support-weighted PageRank over the aggregated KG."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.pagerank_weighted(GR.aggregate_edges(edges), iterations=3).select(
+        "node_id", F.col("rank").alias("pr")
+    )
+
+
 def q_response_latency(spark, sf_dir):
     """Assistant reply-latency rollup on the synthetic gap-ful clock
     (same clock as the sessions queries)."""
@@ -1347,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "partitioned_sink": q_partitioned_sink,
         "response_latency": q_response_latency,
+        "pagerank_weighted": q_pagerank_weighted,
     }
 
 
@@ -1469,4 +1478,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore": oracles_kg.kcore_oracle(k=2, rounds=4),
         "partitioned_sink": oracles_kg.partitioned_sink_oracle(),
         "response_latency": oracles.response_latency_oracle(),
+        "pagerank_weighted": oracles_kg.pagerank_weighted_oracle(iterations=3),
     }

@@ -322,3 +322,49 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     # survivors with their in-core degree = the last round's deg rows
     # that pass the threshold (alive is exactly that filter)
     return deg.filter(F.col("deg") >= k)
+
+
+def pagerank_weighted(agg_edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Support-weighted PageRank over :func:`aggregate_edges` output:
+    contributions split proportionally to integer edge weight (support
+    summed across predicates) instead of uniformly —
+
+        contrib(u->v) = (rank(u) * 85 * w_uv) DIV (100 * W_u)
+
+    with W_u = total out-weight of u, all BIGINT floor division (same
+    fixed-point contract as :func:`pagerank`; weights are exact counts so
+    no float enters). Same per-iteration shape: one rank join onto the
+    weighted edge list + one map-side-combinable dst SUM.
+    """
+    e = (
+        agg_edges.groupBy(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+        .agg(F.sum("support").cast("bigint").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    base = F.lit(PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN).cast("bigint")
+    ranks = nodes.select("node_id", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr(
+                    f"(rank * {PR_DAMP_NUM} * w) div "
+                    f"(cast({PR_DAMP_DEN} as bigint) * outw)"
+                ).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node_id").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node_id", "left").select(
+            "node_id",
+            (base + F.coalesce(F.col("s"), F.lit(0).cast("bigint"))).alias("rank"),
+        )
+    return ranks

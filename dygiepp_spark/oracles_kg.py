@@ -1721,3 +1721,36 @@ def partitioned_sink_oracle(pred: str = "USED-FOR") -> str:
     return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()}
 SELECT subj_id, pred, obj_id, conv_id, turn_idx, conf
 FROM edges WHERE pred = '{pred}'"""
+
+
+def pagerank_weighted_oracle(iterations: int = 3) -> str:
+    """Twin of graph.pagerank_weighted (support-weighted contributions)."""
+    head = f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+agg AS (
+    SELECT subj_id, pred, obj_id, count(*) AS support
+    FROM edges GROUP BY subj_id, pred, obj_id
+),
+e AS (
+    SELECT subj_id AS src, obj_id AS dst, CAST(sum(support) AS BIGINT) AS w
+    FROM agg GROUP BY subj_id, obj_id
+),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    levels = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        levels.append(f"""r{i} AS (
+    SELECT n.node_id,
+           CAST(150000 + COALESCE(s.s, 0) AS BIGINT) AS pr
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node_id,
+               SUM((r.pr * 85 * e.w) // (100 * o.outw)) AS s
+        FROM e
+        JOIN {prev} r ON e.src = r.node_id
+        JOIN outw o ON e.src = o.src
+        GROUP BY e.dst
+    ) s ON n.node_id = s.node_id
+)""")
+        prev = f"r{i}"
+    return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, pr FROM {prev}"
