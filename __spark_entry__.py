@@ -1192,9 +1192,17 @@ def q_streaming_asof(spark, sf_dir):
 
 def q_negative_samples(spark, sf_dir):
     """Filtered tail-corruption negatives over the linked KG — the
-    KG-embedding training-data prep step."""
+    KG-embedding training-data prep step. Uses the dense-id path (the
+    E{ix:03d} dictionary ids ARE the dense rank), so the plan carries no
+    single-partition row_number sort; output — and hence the oracle — is
+    identical to the ranked fallback."""
     edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
-    return GR.negative_samples(edges, TT.entity_dict(spark), k=3)
+    return GR.negative_samples(
+        edges,
+        TT.entity_dict(spark),
+        k=3,
+        dense_id=F.expr("cast(substring(entity_id, 2) as bigint)"),
+    )
 
 
 def q_orc_roundtrip(spark, sf_dir):

@@ -115,11 +115,16 @@ def domain_stats(
 
     Same single-explode shape as :func:`url_stats` but folded to DOMAIN
     grain: narrow URL extraction + registered-domain reduction, one
-    broadcast join against the blocklist, one domain-keyed aggregation
-    (map-side combinable; a mega-domain like wikipedia.org is one hot
-    key whose aggregate state is three longs — AQE handles the rest).
-    total_doc_tokens counts each citing document's full token length, the
-    quantity used for per-domain token budgeting in data-mixing recipes.
+    broadcast join against the blocklist, then a TWO-level aggregation —
+    first to (domain, doc_id) grain, then to domain — so
+    total_doc_tokens counts each citing document's token length exactly
+    ONCE regardless of how many times it mentions the domain (the
+    quantity per-domain token budgeting actually wants; the r4 form
+    summed per MENTION, double-counting repeat citers). Both levels are
+    map-side combinable and share the domain key prefix, so the second
+    exchange is a cheap re-key of the already-collapsed per-doc frame; a
+    mega-domain like wikipedia.org is one hot key whose per-doc rows AQE
+    splits if needed.
     """
     from dygiepp_spark.functions.text import tokens_col
 
@@ -137,9 +142,14 @@ def domain_stats(
         exploded["domain"] == blocklist["blocked_domain"],
         "left",
     )
-    return marked.groupBy("domain").agg(
-        F.count_distinct("doc_id").alias("n_docs"),
+    per_doc = marked.groupBy("domain", "doc_id").agg(
         F.count(F.lit(1)).alias("n_mentions"),
-        F.sum("n_tok").alias("total_doc_tokens"),
+        F.max("n_tok").alias("n_tok"),
         F.max(F.col("blocked_domain").isNotNull()).alias("is_blocked"),
+    )
+    return per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.sum("n_tok").alias("total_doc_tokens"),
+        F.max("is_blocked").alias("is_blocked"),
     )

@@ -13,7 +13,7 @@ see dygiepp_spark.plans.pipeline for the checkpoint/lineage machinery).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from dygiepp_spark.operators.extraction import detect_mentions, relation_pairs
 from dygiepp_spark.operators.linking import link_mentions
@@ -213,7 +213,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def negative_samples(
-    edges: DataFrame, entities: DataFrame, k: int = 3
+    edges: DataFrame,
+    entities: DataFrame,
+    k: int = 3,
+    dense_id: Column | None = None,
 ) -> DataFrame:
     """Tail-corrupted negative triples for KG-embedding training (the
     TransE/DistMult data-prep step): for each distinct positive
@@ -223,9 +226,18 @@ def negative_samples(
 
     Determinism (bit-identical in the DuckDB twin): replacement index =
     hash60("i|subj|pred|obj") mod |entities| over the entity dictionary
-    ranked by id. The dictionary is a broadcast dim table — the ranking
-    window is global but runs on the SMALL side only (never corpus-sized;
-    a web-scale entity set would rank via its id column directly).
+    ranked by id.
+
+    ``dense_id`` is the web-scale path: a Column expression over the
+    entity frame that already yields the dense 0..n-1 rank (e.g. a dense
+    surrogate-id column, or ``cast(substring(entity_id, 2) as bigint)``
+    for the ``E{ix:03d}`` dictionary here, whose lexicographic id order
+    IS the numeric order). With it the global ``row_number`` window —
+    a single-partition sort of the dim table — disappears entirely; the
+    output is identical whenever ``dense_id`` matches the id-ranked
+    position, so the oracle is shared. Without it the ranked fallback
+    runs; that window is on the SMALL side only (fine while the
+    dictionary broadcasts, wrong once it stops fitting).
 
     Scale: positives explode k-fold (narrow), one broadcast join picks
     the replacement, one anti-join against the positive set filters
@@ -235,12 +247,15 @@ def negative_samples(
     from dygiepp_spark.functions.hashing import hash60
 
     ents = entities.select("entity_id").distinct()
-    from pyspark.sql import Window
+    if dense_id is not None:
+        ranked = ents.select("entity_id", dense_id.cast("bigint").alias("rk"))
+    else:
+        from pyspark.sql import Window
 
-    ranked = ents.select(
-        "entity_id",
-        (F.row_number().over(Window.orderBy("entity_id")) - 1).alias("rk"),
-    )
+        ranked = ents.select(
+            "entity_id",
+            (F.row_number().over(Window.orderBy("entity_id")) - 1).alias("rk"),
+        )
     nct = ents.agg(F.count(F.lit(1)).alias("_n"))
     pos = edges.select("subj_id", "pred", "obj_id").distinct()
     cand = (
@@ -278,20 +293,28 @@ def negative_samples(
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop nodes
     with degree < k in the surviving subgraph; output the survivors
-    (node_id, deg) with their in-core degree after ``rounds`` peels.
+    (node_id, deg) with their degree **as of the last peel round** — the
+    degree computed against the PREVIOUS round's alive set. When
+    ``rounds`` exceeds the graph's peel depth this equals the true
+    in-core degree (the alive set has stopped changing); on a graph whose
+    peel chain is deeper than ``rounds`` the survivors' degrees may still
+    count just-peeled neighbors. Use :func:`kcore_fixpoint` when the true
+    core (and true in-core degree) is required.
 
     ``rounds`` is a fixed knob rather than a convergence loop so the
     DuckDB twin can unroll the exact same computation (the bounded-round
     parity precedent of gold_transitive); peeling converges in a handful
     of rounds on real graphs because each pass removes whole shells — a
-    production run loops to fixpoint exactly like compaction.
-    near_dup_groups (count the dropped set per round, stop at 0).
+    production run loops to fixpoint exactly like near_dup_groups
+    (count the dropped set per round, stop at 0): :func:`kcore_fixpoint`.
 
     Scale: each round is one degree aggregation (map-side combinable)
     plus two semi-joins of the edge list against the shrinking alive
     set — the alive frame is (id) rows, broadcastable long after the
     first peel. No node ever contributes more than its degree in rows.
     """
+    if rounds < 1:
+        raise ValueError(f"kcore needs rounds >= 1, got {rounds}")
     und = (
         edges.select(
             F.least("subj_id", "obj_id").alias("lo"),
@@ -319,22 +342,94 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
             F.count(F.lit(1)).alias("deg")
         )
         alive = deg.filter(F.col("deg") >= k).select("node_id")
-    # survivors with their in-core degree = the last round's deg rows
-    # that pass the threshold (alive is exactly that filter)
+    # survivors with their last-round degree (alive is exactly the
+    # deg >= k filter of that frame)
     return deg.filter(F.col("deg") >= k)
+
+
+def kcore_fixpoint(
+    edges: DataFrame, k: int = 2, max_rounds: int = 200
+) -> DataFrame:
+    """True k-core: peel until no node drops (the production form the
+    ``--with-analytics`` DAG runs; :func:`kcore` is the bounded-round
+    parity twin). At fixpoint the returned degrees ARE the in-core
+    degrees — the alive set that produced them no longer changes.
+
+    Convergence is detected by counting the alive set each round (one
+    tiny action on an (id)-only frame); each round's frames are
+    lineage-truncated with localCheckpoint exactly like :func:`kcore`,
+    so the plan stays flat no matter the peel depth. ``max_rounds`` is a
+    fail-loud runaway bound (a graph peels at most |V| rounds; real KGs
+    converge in tens): exceeding it raises instead of silently returning
+    a non-core.
+    """
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("lo"),
+            F.greatest("subj_id", "obj_id").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.unionByName(
+        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    alive = sym.select(F.col("lo").alias("node_id")).distinct()
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        alive = alive.localCheckpoint(eager=False)
+        live_edges = sym.join(
+            alive.withColumnRenamed("node_id", "lo"), "lo", "left_semi"
+        ).join(alive.withColumnRenamed("node_id", "hi"), "hi", "left_semi")
+        deg = live_edges.groupBy(F.col("lo").alias("node_id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        survivors = deg.filter(F.col("deg") >= k)
+        alive = survivors.select("node_id")
+        n_next = alive.count()
+        if n_next == n_alive:
+            # nothing dropped: deg was computed over exactly this alive
+            # set, so it is the in-core degree
+            return survivors.localCheckpoint(eager=False)
+        n_alive = n_next
+        if n_alive == 0:
+            return survivors.localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"kcore_fixpoint did not converge within {max_rounds} rounds "
+        f"({n_alive} nodes still alive) — raise max_rounds"
+    )
+
+
+#: fixed-point scale for the per-edge weight share w/W (micro-units)
+SHARE_SCALE = 1_000_000
 
 
 def pagerank_weighted(agg_edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Support-weighted PageRank over :func:`aggregate_edges` output:
     contributions split proportionally to integer edge weight (support
-    summed across predicates) instead of uniformly —
+    summed across predicates) instead of uniformly. The weight fraction
+    is quantized ONCE per edge into fixed-point micro-units,
 
-        contrib(u->v) = (rank(u) * 85 * w_uv) DIV (100 * W_u)
+        share(u->v) = (w_uv * SHARE_SCALE) DIV W_u          (<= SHARE_SCALE)
+        contrib(u->v) = (((rank(u) * share) DIV SHARE_SCALE)
+                          * 85) DIV 100
 
     with W_u = total out-weight of u, all BIGINT floor division (same
     fixed-point contract as :func:`pagerank`; weights are exact counts so
-    no float enters). Same per-iteration shape: one rank join onto the
-    weighted edge list + one map-side-combinable dst SUM.
+    no float enters). Bounding the multiplier at SHARE_SCALE keeps the
+    intermediate product independent of the weight magnitude: the old
+    ``rank * 85 * w`` form silently wraps in Spark (non-ANSI) on heavy
+    support weights while DuckDB raises — a bit-parity divergence.
+    Overflow bounds, documented not silent: safe while every
+    ``rank < 2**63 / SHARE_SCALE`` (~9.2e12 micro-units, i.e. ~9.2M
+    units of rank mass on a single node) and every ``w < 2**63 /
+    SHARE_SCALE``; beyond that shrink SHARE_SCALE or move to decimal.
+    Precision cost: share truncates w/W at 1e-6 relative — invisible to
+    the ranking consumers this feeds. Same per-iteration shape: one rank
+    join onto the weighted edge list + one map-side-combinable dst SUM;
+    the share column is computed outside the loop, so the per-iteration
+    work drops the outw join entirely.
     """
     e = (
         agg_edges.groupBy(
@@ -348,17 +443,23 @@ def pagerank_weighted(agg_edges: DataFrame, iterations: int = 3) -> DataFrame:
         .distinct()
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    shares = e.join(outw, "src").select(
+        "src",
+        "dst",
+        F.expr(f"(w * {SHARE_SCALE}) div outw").alias("share"),
+    )
     base = F.lit(PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN).cast("bigint")
     ranks = nodes.select("node_id", F.lit(PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node_id", "src"), "src")
-            .join(outw, "src")
+            shares.join(ranks.withColumnRenamed("node_id", "src"), "src")
             .select(
                 F.col("dst").alias("node_id"),
+                # SQL `div` = exact BIGINT division (positive operands, so
+                # truncation == floor == DuckDB's `//`)
                 F.expr(
-                    f"(rank * {PR_DAMP_NUM} * w) div "
-                    f"(cast({PR_DAMP_DEN} as bigint) * outw)"
+                    f"(((rank * share) div {SHARE_SCALE}) * {PR_DAMP_NUM}) "
+                    f"div {PR_DAMP_DEN}"
                 ).alias("c"),
             )
         )

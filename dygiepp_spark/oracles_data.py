@@ -1179,13 +1179,20 @@ rd AS (
                string_split(regexp_extract(url, '{HOST_RE}', 1), '.') AS labels
         FROM urls
     )
+),
+per_doc AS (
+    SELECT domain, doc_id,
+           count(*) AS n_mentions,
+           max(n_tok) AS n_tok,
+           max(domain IN ({blocked})) AS is_blocked
+    FROM rd GROUP BY domain, doc_id
 )
 SELECT domain,
-       count(DISTINCT doc_id) AS n_docs,
-       count(*) AS n_mentions,
+       count(*) AS n_docs,
+       CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
        CAST(sum(n_tok) AS BIGINT) AS total_doc_tokens,
-       max(domain IN ({blocked})) AS is_blocked
-FROM rd GROUP BY domain"""
+       max(is_blocked) AS is_blocked
+FROM per_doc GROUP BY domain"""
 
 
 def containment_oracle(thresh: float = 0.4, max_bucket: int = 1000) -> str:

@@ -1724,7 +1724,8 @@ FROM edges WHERE pred = '{pred}'"""
 
 
 def pagerank_weighted_oracle(iterations: int = 3) -> str:
-    """Twin of graph.pagerank_weighted (support-weighted contributions)."""
+    """Twin of graph.pagerank_weighted (support-weighted contributions,
+    per-edge fixed-point share — the overflow-bounded formulation)."""
     head = f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
 agg AS (
     SELECT subj_id, pred, obj_id, count(*) AS support
@@ -1736,6 +1737,10 @@ e AS (
 ),
 nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
 outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+shares AS (
+    SELECT e.src, e.dst, CAST((e.w * 1000000) // o.outw AS BIGINT) AS share
+    FROM e JOIN outw o ON e.src = o.src
+),
 r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
     levels = []
     prev = "r0"
@@ -1744,12 +1749,11 @@ r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
     SELECT n.node_id,
            CAST(150000 + COALESCE(s.s, 0) AS BIGINT) AS pr
     FROM nodes n LEFT JOIN (
-        SELECT e.dst AS node_id,
-               SUM((r.pr * 85 * e.w) // (100 * o.outw)) AS s
-        FROM e
-        JOIN {prev} r ON e.src = r.node_id
-        JOIN outw o ON e.src = o.src
-        GROUP BY e.dst
+        SELECT es.dst AS node_id,
+               SUM((((r.pr * es.share) // 1000000) * 85) // 100) AS s
+        FROM shares es
+        JOIN {prev} r ON es.src = r.node_id
+        GROUP BY es.dst
     ) s ON n.node_id = s.node_id
 )""")
         prev = f"r{i}"

@@ -236,6 +236,17 @@ def build_kg_pipeline(
 
     @p.stage("kg_negatives", enabled=with_analytics)
     def _negatives(ctx):
-        return GR.negative_samples(ctx["kg_edges"], TT.entity_dict(spark), k=3)
+        return GR.negative_samples(
+            ctx["kg_edges"],
+            TT.entity_dict(spark),
+            k=3,
+            dense_id=F.expr("cast(substring(entity_id, 2) as bigint)"),
+        )
+
+    @p.stage("kg_kcore", enabled=with_analytics)
+    def _kcore(ctx):
+        # production runs the TRUE core (peel to fixpoint), not the
+        # bounded-round parity twin
+        return GR.kcore_fixpoint(ctx["kg_edges"], k=2)
 
     return p

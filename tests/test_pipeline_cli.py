@@ -15,6 +15,8 @@ import zipfile
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from dygiepp_spark.plans.store import IcebergStore, ParquetStore, make_store
 
 
@@ -142,12 +144,17 @@ def test_cli_analytics_phase_appends_graph_tables(spark, sf_dir, tmp_path, capsy
     stages = {s["stage"]: s for s in out["pipeline"]}
     assert list(stages) == [
         "turns", "mentions", "triples", "kg_edges", "kg_edges_agg",
-        "kg_pagerank", "kg_triangles", "kg_negatives",
+        "kg_pagerank", "kg_triangles", "kg_negatives", "kg_kcore",
     ]
     assert stages["kg_pagerank"]["rows"] > 0
     assert stages["kg_negatives"]["rows"] > 0
     pr = spark.read.parquet(os.path.join(wh, "kg_pagerank", "data"))
     assert set(pr.columns) == {"node_id", "rank"}
+    # the production DAG runs the TRUE core (fixpoint), so every reported
+    # degree is an in-core degree: >= k by definition
+    kc = spark.read.parquet(os.path.join(wh, "kg_kcore", "data"))
+    assert set(kc.columns) == {"node_id", "deg"}
+    assert kc.filter(F.col("deg") < 2).count() == 0
 
     assert rp.main(args) == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -1,0 +1,168 @@
+"""Round-5 operator tests: k-core fixpoint, dense-id negative sampling,
+overflow-bounded weighted PageRank, per-doc domain token counting, and the
+new eval-layer operators (partial-span metrics, filtered accept rate,
+human-eval sheet)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def _path_edges(spark, n):
+    rows = [(f"n{i:02d}", "p", f"n{i + 1:02d}") for i in range(n - 1)]
+    return spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+
+
+def test_kcore_rejects_zero_rounds(spark):
+    from dygiepp_spark.operators.graph import kcore
+
+    with pytest.raises(ValueError):
+        kcore(_path_edges(spark, 4), k=2, rounds=0)
+
+
+def test_kcore_fixpoint_matches_deep_rounds_on_deep_peel(spark):
+    from dygiepp_spark.operators.graph import kcore, kcore_fixpoint
+
+    # triangle (the true 2-core) + a 10-node pendant chain: peeling eats
+    # one chain node per round from the free end, so rounds=4 is NOT
+    # enough — exactly the case the bounded-round twin over-reports.
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("a", "p", "c"),
+            ("c", "p", "m0")]
+    rows += [(f"m{i}", "p", f"m{i + 1}") for i in range(9)]
+    edges = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+    shallow = {r["node_id"] for r in kcore(edges, k=2, rounds=3).collect()}
+    assert shallow > {"a", "b", "c"}, "peel depth fixture too shallow"
+    fx = {r["node_id"]: r["deg"] for r in kcore_fixpoint(edges, k=2).collect()}
+    deep = {r["node_id"]: r["deg"]
+            for r in kcore(edges, k=2, rounds=16).collect()}
+    assert fx == deep == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_fixpoint_empty_core(spark):
+    from dygiepp_spark.operators.graph import kcore_fixpoint
+
+    # a pure path has no 2-core; fixpoint must fully drain, not hang
+    assert kcore_fixpoint(_path_edges(spark, 12), k=2).count() == 0
+
+
+def test_kcore_fixpoint_degrees_are_in_core(spark):
+    from dygiepp_spark.operators.graph import kcore_fixpoint
+
+    # K4 plus a pendant on each corner: core = K4 with in-core degree 3
+    # (the pendant edges must NOT inflate the reported degrees)
+    corners = ["a", "b", "c", "d"]
+    rows = [(x, "p", y) for i, x in enumerate(corners)
+            for y in corners[i + 1:]]
+    rows += [(x, "p", f"leaf_{x}") for x in corners]
+    edges = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+    out = {r["node_id"]: r["deg"] for r in kcore_fixpoint(edges, k=3).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+# ----------------------------------------------- negative_samples dense id
+
+
+def test_negative_samples_dense_id_equals_ranked(spark):
+    from dygiepp_spark.operators.graph import negative_samples
+
+    edges = spark.createDataFrame(
+        [("E001", "p", "E002"), ("E002", "q", "E003"), ("E000", "p", "E004")],
+        "subj_id string, pred string, obj_id string",
+    )
+    ents = spark.createDataFrame(
+        [(f"E{i:03d}",) for i in range(9)], "entity_id string"
+    )
+    ranked = sorted(map(tuple, negative_samples(edges, ents, k=4).collect()))
+    dense = sorted(map(tuple, negative_samples(
+        edges, ents, k=4,
+        dense_id=F.expr("cast(substring(entity_id, 2) as bigint)"),
+    ).collect()))
+    assert ranked == dense and ranked
+
+
+def test_negative_samples_dense_id_plan_has_no_window(spark):
+    from dygiepp_spark.operators.graph import negative_samples
+
+    edges = spark.createDataFrame(
+        [("E001", "p", "E002")], "subj_id string, pred string, obj_id string"
+    )
+    ents = spark.createDataFrame(
+        [(f"E{i:03d}",) for i in range(5)], "entity_id string"
+    )
+    dense = negative_samples(
+        edges, ents, k=2,
+        dense_id=F.expr("cast(substring(entity_id, 2) as bigint)"),
+    )
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "dense-id path must not sort the dim table"
+    fallback = negative_samples(edges, ents, k=2)
+    fplan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in fplan  # the documented ranked fallback
+
+
+# ------------------------------------------------------ weighted pagerank
+
+
+def test_pagerank_weighted_share_split(spark):
+    from dygiepp_spark.operators.graph import (
+        PR_SCALE, SHARE_SCALE, pagerank_weighted,
+    )
+
+    # u -> v with weight 3, u -> w with weight 1: after one iteration
+    # v gets 3/4 of u's damped rank, w gets 1/4 (fixed-point floored)
+    agg = spark.createDataFrame(
+        [("u", "p", "v", 3), ("u", "p", "w", 1)],
+        "subj_id string, pred string, obj_id string, support long",
+    )
+    out = {r["node_id"]: r["rank"]
+           for r in pagerank_weighted(agg, iterations=1).collect()}
+    base = PR_SCALE * 15 // 100
+    share_v = 3 * SHARE_SCALE // 4
+    share_w = 1 * SHARE_SCALE // 4
+    assert out["v"] == base + (PR_SCALE * share_v // SHARE_SCALE) * 85 // 100
+    assert out["w"] == base + (PR_SCALE * share_w // SHARE_SCALE) * 85 // 100
+    assert out["u"] == base
+
+
+def test_pagerank_weighted_bounded_product(spark):
+    from dygiepp_spark.operators.graph import pagerank_weighted
+
+    # a support weight far beyond what rank*85*w could multiply without
+    # wrapping: the share formulation must stay exact (share <= 1e6)
+    big = 10**12
+    agg = spark.createDataFrame(
+        [("u", "p", "v", big), ("u", "p", "w", big)],
+        "subj_id string, pred string, obj_id string, support long",
+    )
+    out = {r["node_id"]: r["rank"]
+           for r in pagerank_weighted(agg, iterations=1).collect()}
+    # equal weights -> equal (positive) contributions, no wraparound sign
+    assert out["v"] == out["w"] > 150_000
+
+
+# ------------------------------------------------------------ domain stats
+
+
+def test_domain_stats_repeat_citer_counts_tokens_once(spark):
+    from dygiepp_spark.functions.web import default_blocklist, domain_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c https://x.good.org/p https://y.good.org/q")],
+        "doc_id bigint, text string",
+    )
+    out = domain_stats(docs, default_blocklist(spark)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 5 whitespace tokens, cited twice: tokens counted per citing DOC
+    assert (r["n_docs"], r["n_mentions"], r["total_doc_tokens"]) == (1, 2, 5)
