@@ -221,6 +221,22 @@ def q_ie_eval_substring(spark, sf_dir):
     return KE.ie_eval(EX.emit_triples(turns), KE.gold_triples(turns), "substring")
 
 
+def q_ie_eval_partial(spark, sf_dir):
+    """K1 'partial' (eval_metrics.py:40-64 ``partial_span_score`` /
+    ``partial_match_score``): refind-normalized token-overlap ratio
+    >= 0.3 on both argument pairs — the alternate eval path behind the
+    fork's ``eval_annotation_qualilty`` grids."""
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(EX.emit_triples(turns), KE.gold_triples(turns), "partial")
+
+
+def q_ie_eval_firsttok(spark, sf_dir):
+    """K1 'firsttok' (``scierc_partial_match_score``,
+    eval_metrics.py:67-75): first refind-normalized token equality."""
+    turns = _turns(spark, sf_dir)
+    return KE.ie_eval(EX.emit_triples(turns), KE.gold_triples(turns), "firsttok")
+
+
 def q_ie_eval_reverse(spark, sf_dir):
     """K2 consider_reverse (eval_utils.py:283-335): a pred also matches a
     gold with swapped arguments (label equality on both branches)."""
@@ -363,6 +379,43 @@ def q_method_accept_rate(spark, sf_dir):
         "depparse": BL.depparse_baseline(turns),
     }
     return KE.method_accept_rate(preds, KE.gold_triples(turns))
+
+
+def q_accept_rate_filtered(spark, sf_dir):
+    """Per-method accept-rate with the full calc_original_accept_per_alg
+    knob set (eval_predictions_quality.py:103-178): jaccard >= 0.4 on
+    stopword-filtered arguments, reverse branch on — the fuzzy
+    accept-by-code the reference ranks extraction methods with."""
+    from dygiepp_spark.operators import baselines as BL
+
+    turns = _turns(spark, sf_dir).localCheckpoint(eager=False)
+    preds = {
+        "dygiepp": EX.emit_triples(turns),
+        "srlmap": BL.srl_baseline(turns),
+        "depparse": BL.depparse_baseline(turns),
+    }
+    return KE.method_accept_rate_filtered(
+        preds, KE.gold_triples(turns), thresh=0.4, consider_reverse=True
+    )
+
+
+def q_human_eval_sheet(spark, sf_dir):
+    """Human-eval annotation sheet (write_human_eval.py:63-175): the
+    three in-tree methods' predictions interleaved over a deterministic
+    hash-ranked sample of the docs every method covered, capped at 2
+    rows per (doc, method)."""
+    from dygiepp_spark.operators import baselines as BL
+
+    turns = _turns(spark, sf_dir).localCheckpoint(eager=False)
+    preds = {
+        "dygiepp": EX.emit_triples(turns),
+        "srlmap": BL.srl_baseline(turns),
+        "depparse": BL.depparse_baseline(turns),
+    }
+    docs = DA.assemble_documents(
+        TT.turns_from_documents(spark, sf_dir, with_ts=True)
+    ).select("conv_id", "doc_text")
+    return KE.human_eval_sheet(preds, docs, n_docs=50, cap_per_method=2)
 
 
 def q_grid_best_cell(spark, sf_dir):
@@ -1364,6 +1417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_sink": q_partitioned_sink,
         "response_latency": q_response_latency,
         "pagerank_weighted": q_pagerank_weighted,
+        # ---- NEW in round 5 (rotated into the window by the final
+        # round-5 reordering) ----
+        "ie_eval_partial": q_ie_eval_partial,
+        "ie_eval_firsttok": q_ie_eval_firsttok,
+        "accept_rate_filtered": q_accept_rate_filtered,
+        "human_eval_sheet": q_human_eval_sheet,
     }
 
 
@@ -1397,6 +1456,14 @@ def oracle_sql() -> dict[str, str]:
         "ie_eval_rouge": oracles_kg.ie_eval_rouge_oracle(),
         "ie_eval_coref_expand": oracles_kg.ie_eval_coref_expand_oracle(),
         "ie_eval_head": oracles_kg.ie_eval_head_oracle(),
+        "ie_eval_partial": oracles_kg.ie_eval_partial_oracle(),
+        "ie_eval_firsttok": oracles_kg.ie_eval_firsttok_oracle(),
+        "accept_rate_filtered": oracles_kg.accept_rate_filtered_oracle(
+            thresh=0.4, consider_reverse=True
+        ),
+        "human_eval_sheet": oracles_kg.human_eval_sheet_oracle(
+            n_docs=50, cap_per_method=2
+        ),
         "ie_span_eval": oracles_kg.ie_span_eval_oracle(),
         "micro_prf": oracles_kg.micro_prf_oracle(),
         "micro_prf_namespaced": oracles_kg.micro_prf_namespaced_oracle(),

@@ -130,12 +130,64 @@ def match_rouge(a: Column, b: Column, thresh: float = ROUGE_THRESH) -> Column:
     return rouge_l_f()(a, b) > F.lit(thresh)
 
 
+def refind_tokens(c: Column) -> Column:
+    """K1 partial-family normalization — the reference's ``refind_span``
+    (eval_metrics.py:30-38) as pure JVM string ops: lowercase, strip a
+    leading ``'a '`` THEN a leading ``'the '`` (two sequential ifs, so
+    ``'a the x'`` reduces to ``'x'`` exactly as the reference does),
+    replace the three digraphs ``') '``/``'- '``/``'( '`` with a space,
+    split on a single space (empty tokens preserved — the reference does
+    no filtering, so a bare span still yields one token and the
+    max-length denominator never hits zero)."""
+    s = F.lower(c)
+    s = F.when(s.startswith("a "), F.substr(s, F.lit(3))).otherwise(s)
+    s = F.when(s.startswith("the "), F.substr(s, F.lit(5))).otherwise(s)
+    for pat in (") ", "- ", "( "):
+        s = F.replace(s, F.lit(pat), F.lit(" "))
+    return F.split(s, " ")
+
+
+#: the reference's token-overlap acceptance ratio (eval_metrics.py:61-63)
+PARTIAL_THRESH = 0.3
+
+
+def partial_span_score(a: Column, b: Column) -> Column:
+    """``partial_span_score`` (eval_metrics.py:40-55): count of span-1
+    tokens that occur anywhere in span 2 — WITH span-1 multiplicity, the
+    reference's ``[x for x in span1_tokens if x in span2_tokens]`` — over
+    the LONGER span's token count. Array intrinsics only (filter +
+    array_contains), no UDF."""
+    ta, tb = refind_tokens(a), refind_tokens(b)
+    common = F.size(F.filter(ta, lambda x: F.array_contains(tb, x)))
+    return common.cast("double") / F.greatest(
+        F.size(ta), F.size(tb)
+    ).cast("double")
+
+
+def match_partial(
+    a: Column, b: Column, thresh: float = PARTIAL_THRESH
+) -> Column:
+    """K1 'partial' (``partial_match_score``, eval_metrics.py:57-64):
+    token-overlap ratio >= thresh on the refind-normalized spans."""
+    return partial_span_score(a, b) >= F.lit(thresh)
+
+
+def match_firsttok(a: Column, b: Column) -> Column:
+    """K1 'firsttok' (``scierc_partial_match_score``,
+    eval_metrics.py:67-75): first refind-normalized token equality."""
+    return F.element_at(refind_tokens(a), 1) == F.element_at(
+        refind_tokens(b), 1
+    )
+
+
 _METRICS = {
     "exact": match_exact,
     "substring": match_substring,
     "jaccard": match_jaccard,
     "head": match_head,
     "rouge": match_rouge,
+    "partial": match_partial,
+    "firsttok": match_firsttok,
 }
 
 
@@ -410,7 +462,7 @@ def ie_span_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
 def eval_grid(
     pred: DataFrame,
     gold: DataFrame,
-    metrics: tuple = ("exact", "substring", "rouge"),
+    metrics: tuple = ("exact", "substring", "rouge", "partial"),
     topks: tuple = (50, 100, 150, 200),
 ) -> DataFrame:
     """The reference's evaluation grid sweep (eval_metric.py:142-214):
@@ -1187,6 +1239,205 @@ def method_accept_rate(
             F.col("n_accept").cast("double") / F.col("n_samples").cast("double")
         ).alias("accept_rate"),
     )
+
+
+#: deterministic stand-in for the spacy English stopword set the
+#: reference filters with (eval_utils.py:13,183-184 ``filter_stopwords``;
+#: spacy is not in this environment). Fixed tuple so both engines and
+#: every run share the exact vocabulary; extend freely — the list is a
+#: constant folded into the JVM expression, never a per-row lookup.
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "the", "and", "or", "but", "if", "then", "of", "in", "on",
+    "at", "to", "for", "with", "by", "from", "as", "is", "are", "was",
+    "were", "be", "been", "being", "it", "its", "this", "that", "these",
+    "those", "he", "she", "they", "we", "you", "i", "his", "her", "their",
+    "our", "your", "my", "not", "no", "so", "do", "does", "did", "can",
+    "could", "will", "would", "should", "may", "might", "must", "have",
+    "has", "had", "there", "here", "when", "where", "which", "who", "what",
+    "how", "all", "any", "both", "each", "more", "most", "other", "some",
+    "such", "only", "own", "same", "than", "too", "very", "just", "about",
+    "into", "over", "under", "again", "further", "once", "up", "down",
+    "out", "off", "between", "during", "before", "after", "above", "below",
+)
+
+
+def stop_filtered(c: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """``filter_stopwords`` (eval_utils.py:183-184) as a JVM expression:
+    lower+trim, split on single space, drop stopword tokens (multiplicity
+    and order preserved), re-join with spaces. The reference keeps the
+    kept tokens' original case, but every downstream span metric lowers
+    its inputs anyway, so lowering here is match-equivalent — and keeps
+    the DuckDB twin a one-liner."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.concat_ws(
+        " ",
+        F.filter(
+            F.split(F.lower(F.trim(c)), " "),
+            lambda t: ~F.array_contains(sw, t),
+        ),
+    )
+
+
+def method_accept_rate_filtered(
+    preds_by_method: dict[str, DataFrame],
+    gold: DataFrame,
+    thresh: float = 0.4,
+    consider_reverse: bool = False,
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> DataFrame:
+    """:func:`method_accept_rate` with the full
+    ``calc_original_accept_per_alg`` knob set
+    (eval_predictions_quality.py:103-178): accept-by-code = the predicted
+    pair FUZZY-matches some gold pair of the same doc — jaccard ratio
+    >= ``thresh`` on STOPWORD-FILTERED arguments (``filter_stop=True``,
+    ``metric='jaccard'``), with the optional swapped-argument branch
+    (``consider_reverse``). Label equality is not gated (the collapse
+    semantics): the baseline generators emit unlabeled pairs, exactly the
+    situation the reference runs this ranking in.
+
+    HONEST DIVERGENCE, documented: the reference's ``filter_stop`` branch
+    computes the filtered strings into ``p1``/``p2`` but then matches on
+    the UNFILTERED loop variables (``pair1_arg0`` etc.,
+    eval_utils.py:313-317) — a dead assignment. We implement the evident
+    intent and match on the filtered spans.
+
+    Output: (method, n_samples, n_accept, accept_rate) — same shape as
+    the unfiltered ranking so consumers can diff the two.
+
+    Scale: one union of the method frames, ONE conv_id equi-join against
+    the gold pairs with the fuzzy predicate evaluated post-probe (per-doc
+    candidate sets are small; the join key does the pruning), a distinct
+    on the pred key, one map-side-combinable method rollup.
+    """
+    parts = [
+        df.select(
+            F.lit(name).alias("method"), "conv_id", "arg0", "arg1"
+        ).distinct()
+        for name, df in sorted(preds_by_method.items())
+    ]
+    u = parts[0]
+    for pp in parts[1:]:
+        u = u.unionByName(pp)
+    u = u.withColumn("fa0", stop_filtered(F.col("arg0"), stopwords)).withColumn(
+        "fa1", stop_filtered(F.col("arg1"), stopwords)
+    )
+    g = (
+        gold.select("conv_id", "arg0", "arg1")
+        .distinct()
+        .select(
+            "conv_id",
+            stop_filtered(F.col("arg0"), stopwords).alias("ga0"),
+            stop_filtered(F.col("arg1"), stopwords).alias("ga1"),
+        )
+    )
+    fwd = match_jaccard(F.col("fa0"), F.col("ga0"), thresh) & match_jaccard(
+        F.col("fa1"), F.col("ga1"), thresh
+    )
+    cond = fwd
+    if consider_reverse:
+        rev = match_jaccard(F.col("fa0"), F.col("ga1"), thresh) & match_jaccard(
+            F.col("fa1"), F.col("ga0"), thresh
+        )
+        cond = fwd | rev
+    matched = (
+        u.join(g, "conv_id")
+        .filter(cond)
+        .select("method", "conv_id", "arg0", "arg1")
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    marked = u.join(matched, ["method", "conv_id", "arg0", "arg1"], "left")
+    return marked.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.count("_m").alias("n_accept"),
+    ).select(
+        "method",
+        "n_samples",
+        "n_accept",
+        (
+            F.col("n_accept").cast("double") / F.col("n_samples").cast("double")
+        ).alias("accept_rate"),
+    )
+
+
+def human_eval_sheet(
+    preds_by_method: dict[str, DataFrame],
+    docs: DataFrame,
+    n_docs: int = 50,
+    cap_per_method: int = 2,
+) -> DataFrame:
+    """Human-eval annotation sheet export (write_human_eval.py:63-175):
+    stratify each extraction method's predictions into one interleaved
+    annotation sheet.
+
+    Reference semantics, re-expressed deterministically:
+
+    * only docs where EVERY method produced at least one pair qualify
+      (the ``interset_ids`` intersection, :91-99);
+    * ``n_docs`` of those are sampled — the reference random.shuffles the
+      id list and slices ``[:abstract_count]`` (:99-112); here the ids
+      are ranked by ``hash60('sheet|' + conv_id)`` so both engines and
+      every run pick the same docs;
+    * per (doc, method) at most ``cap_per_method`` rows survive — the
+      reference shuffles each text group and caps per (text, method) at
+      2 (:141-147); the pick order here is the hash of the row key (the
+      deterministic shuffle), exposed as ``pick_ix`` so the sheet's
+      interleave is reproducible. The reference's grouping unit is the
+      prediction's sentence text; this corpus assembles one document
+      text per conv, so the unit is the conv (documented mapping).
+
+    Output: (method, arg0, arg1, conv_id, text, pick_ix) — the columns
+    of the reference's ``human_annotations2.tsv`` header (:104) plus the
+    interleave rank.
+
+    Scale: the doc sample is the only global ordering and it runs on the
+    kth_score_threshold survivor set (~n_docs rows + ties), never the
+    doc dim; the cap window partitions by (conv_id, method); the text
+    join is a conv_id equi-join.
+    """
+    from dygiepp_spark.functions.hashing import hash60
+    from dygiepp_spark.operators.pruning import kth_score_threshold
+
+    parts = [
+        df.select(
+            F.lit(name).alias("method"), "conv_id", "arg0", "arg1"
+        ).distinct()
+        for name, df in sorted(preds_by_method.items())
+    ]
+    u = parts[0]
+    for pp in parts[1:]:
+        u = u.unionByName(pp)
+    common = (
+        u.groupBy("conv_id")
+        .agg(F.count_distinct("method").alias("_nm"))
+        .filter(F.col("_nm") == len(parts))
+        .select("conv_id")
+    )
+    hashed = common.withColumn(
+        "_h", hash60(F.concat_ws("|", F.lit("sheet"), "conv_id"))
+    ).withColumn("_s", -F.col("_h"))
+    thr = kth_score_threshold(hashed, "_s", n_docs)
+    surv = hashed.join(
+        F.broadcast(thr), on=F.col("_s") >= F.col("_thr"), how="inner"
+    )
+    ws = Window.orderBy(F.col("_h").asc(), F.col("conv_id").asc())
+    sampled = (
+        surv.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") <= n_docs)
+        .select("conv_id")
+    )
+    rows = u.join(sampled, "conv_id", "left_semi")
+    wp = Window.partitionBy("conv_id", "method").orderBy(
+        hash60(F.concat_ws("|", "method", "arg0", "arg1")).asc(),
+        F.col("arg0").asc(),
+        F.col("arg1").asc(),
+    )
+    capped = rows.withColumn("pick_ix", F.row_number().over(wp)).filter(
+        F.col("pick_ix") <= cap_per_method
+    )
+    return capped.join(
+        docs.select("conv_id", F.col("doc_text").alias("text")), "conv_id"
+    ).select("method", "arg0", "arg1", "conv_id", "text", "pick_ix")
 
 
 def grid_best_cell(grid: DataFrame) -> DataFrame:

@@ -642,7 +642,7 @@ def ie_eval_head_oracle() -> str:
 
 
 def eval_grid_oracle(
-    metrics: tuple = ("exact", "substring", "rouge"),
+    metrics: tuple = ("exact", "substring", "rouge", "partial"),
     topks: tuple = (50, 100, 150, 200),
     rouge_thresh: float = 0.3,
 ) -> str:
@@ -661,6 +661,8 @@ def eval_grid_oracle(
             )
         if metric == "rouge":
             return f"{_rouge_f_sql(a, b)} > {rouge_thresh}"
+        if metric == "partial":
+            return _partial_match_sql(a, b, 0.3)
         raise ValueError(metric)
 
     max_k = max(topks)
@@ -772,6 +774,52 @@ ranked AS MATERIALIZED (
     return (
         f"{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , "
         f"{_gold_ctx_cte().strip()},\n{all_ctes}\n{union}"
+    )
+
+
+def _refind_toks_sql(x: str) -> str:
+    """kg_eval.refind_tokens twin: lowercase, strip 'a ' then 'the '
+    (sequential, like the reference's two ifs), replace the three
+    digraphs, split on single space."""
+    s1 = (
+        f"(CASE WHEN starts_with(lower({x}), 'a ') "
+        f"THEN lower({x})[3:] ELSE lower({x}) END)"
+    )
+    s2 = f"(CASE WHEN starts_with({s1}, 'the ') THEN {s1}[5:] ELSE {s1} END)"
+    s3 = f"replace(replace(replace({s2}, ') ', ' '), '- ', ' '), '( ', ' ')"
+    return f"string_split({s3}, ' ')"
+
+
+def _partial_match_sql(a: str, b: str, thresh: float) -> str:
+    """kg_eval.match_partial twin: span-1-multiplicity common count over
+    the longer span's token count, >= thresh."""
+    ta, tb = _refind_toks_sql(a), _refind_toks_sql(b)
+    return (
+        f"(CAST(len(list_filter({ta}, t -> list_contains({tb}, t))) AS DOUBLE)"
+        f" / CAST(greatest(len({ta}), len({tb})) AS DOUBLE)) >= {thresh}"
+    )
+
+
+def _firsttok_match_sql(a: str, b: str) -> str:
+    """kg_eval.match_firsttok twin: first refind token equality."""
+    return f"({_refind_toks_sql(a)})[1] = ({_refind_toks_sql(b)})[1]"
+
+
+def ie_eval_partial_oracle(thresh: float = 0.3) -> str:
+    """K1 'partial' (eval_metrics.py:40-64): refind-normalized
+    token-overlap ratio >= thresh on both argument pairs."""
+    return _ie_eval_sql(
+        _partial_match_sql("p.arg0", "g.arg0", thresh),
+        _partial_match_sql("p.arg1", "g.arg1", thresh),
+    )
+
+
+def ie_eval_firsttok_oracle() -> str:
+    """K1 'firsttok' (``scierc_partial_match_score``,
+    eval_metrics.py:67-75): first refind-normalized token equality."""
+    return _ie_eval_sql(
+        _firsttok_match_sql("p.arg0", "g.arg0"),
+        _firsttok_match_sql("p.arg1", "g.arg1"),
     )
 
 
@@ -1273,10 +1321,10 @@ SELECT conv_id, sent_text, arg0, arg1, label, conf FROM (
 # ---------------------------------------------------------------------------
 
 
-def method_accept_rate_oracle() -> str:
-    """Twin of kg_eval.method_accept_rate over the three in-tree methods:
-    flagship triples, srlmap baseline, depparse baseline; accept = the
-    distinct (conv, arg0, arg1) pair appears in the rule gold."""
+def _method_preds_ctes() -> str:
+    """Shared CTE chain building the three-method prediction frame
+    (flagship triples + srlmap + depparse baselines) — the pred side of
+    both accept-rate twins."""
     from dygiepp_spark.tables import SRL_STEM_MAP, TRIGGER_VOCAB
 
     trigs = ", ".join(f"'{t}'" for t in TRIGGER_VOCAB)
@@ -1284,8 +1332,7 @@ def method_accept_rate_oracle() -> str:
         f"WHEN position('{stem}' IN tk.token) > 0 THEN '{label}'"
         for stem, label in SRL_STEM_MAP
     ) + " ELSE NULL END"
-    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
-rep AS (
+    return f"""rep AS (
     SELECT conv_id, turn_idx FROM (
         SELECT conv_id, turn_idx,
                row_number() OVER (
@@ -1336,7 +1383,15 @@ preds AS (
     FROM (SELECT DISTINCT conv_id, arg0, arg1 FROM triples)
     UNION ALL SELECT 'srlmap', conv_id, arg0, arg1 FROM srlp
     UNION ALL SELECT 'depparse', conv_id, arg0, arg1 FROM depp
-),
+)"""
+
+
+def method_accept_rate_oracle() -> str:
+    """Twin of kg_eval.method_accept_rate over the three in-tree methods:
+    flagship triples, srlmap baseline, depparse baseline; accept = the
+    distinct (conv, arg0, arg1) pair appears in the rule gold."""
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+{_method_preds_ctes()},
 gp AS (SELECT DISTINCT conv_id, arg0, arg1 FROM gold)
 SELECT p.method, count(*) AS n_samples,
        count(g.conv_id) AS n_accept,
@@ -1346,6 +1401,101 @@ FROM preds p
 LEFT JOIN gp g ON p.conv_id = g.conv_id AND p.arg0 = g.arg0
               AND p.arg1 = g.arg1
 GROUP BY p.method"""
+
+
+def _stop_filtered_sql(x: str) -> str:
+    """kg_eval.stop_filtered twin: lower+trim, split on single space,
+    drop stopword tokens, re-join with spaces."""
+    from dygiepp_spark.operators.kg_eval import STOPWORDS
+
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return (
+        f"array_to_string(list_filter(string_split(lower(trim({x})), ' '), "
+        f"t -> NOT list_contains({sw}, t)), ' ')"
+    )
+
+
+def accept_rate_filtered_oracle(
+    thresh: float = 0.4, consider_reverse: bool = False
+) -> str:
+    """Twin of kg_eval.method_accept_rate_filtered: accept-by-code =
+    jaccard >= thresh on stopword-filtered args vs ANY gold pair of the
+    same conv (collapse semantics — no label gate), optional reverse."""
+    fwd = (
+        f"({_jac_sql('p.fa0', 'g.ga0')}) >= {thresh} "
+        f"AND ({_jac_sql('p.fa1', 'g.ga1')}) >= {thresh}"
+    )
+    cond = f"({fwd})"
+    if consider_reverse:
+        rev = (
+            f"({_jac_sql('p.fa0', 'g.ga1')}) >= {thresh} "
+            f"AND ({_jac_sql('p.fa1', 'g.ga0')}) >= {thresh}"
+        )
+        cond = f"(({fwd}) OR ({rev}))"
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+{_method_preds_ctes()},
+predf AS (
+    SELECT method, conv_id, arg0, arg1,
+           {_stop_filtered_sql('arg0')} AS fa0,
+           {_stop_filtered_sql('arg1')} AS fa1
+    FROM preds
+),
+gf AS (
+    SELECT conv_id,
+           {_stop_filtered_sql('arg0')} AS ga0,
+           {_stop_filtered_sql('arg1')} AS ga1
+    FROM (SELECT DISTINCT conv_id, arg0, arg1 FROM gold)
+),
+matched AS (
+    SELECT DISTINCT p.method, p.conv_id, p.arg0, p.arg1
+    FROM predf p JOIN gf g ON p.conv_id = g.conv_id AND {cond}
+)
+SELECT p.method, count(*) AS n_samples,
+       count(m.method) AS n_accept,
+       CAST(count(m.method) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS accept_rate
+FROM predf p
+LEFT JOIN matched m ON p.method = m.method AND p.conv_id = m.conv_id
+                   AND p.arg0 = m.arg0 AND p.arg1 = m.arg1
+GROUP BY p.method"""
+
+
+def human_eval_sheet_oracle(n_docs: int = 50, cap_per_method: int = 2) -> str:
+    """Twin of kg_eval.human_eval_sheet: intersection of the three
+    method's doc sets, hash-ranked sample of n_docs, per (doc, method)
+    hash-ordered cap, doc text joined on."""
+    from dygiepp_spark.functions.hashing import hash60_sql
+
+    hs = hash60_sql("'sheet|' || conv_id")
+    hp = hash60_sql("method || '|' || arg0 || '|' || arg1")
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+{_method_preds_ctes()},
+docs AS (
+    SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+    FROM turns GROUP BY conv_id
+),
+common AS (
+    SELECT conv_id FROM preds
+    GROUP BY conv_id HAVING count(DISTINCT method) = 3
+),
+sampled AS (
+    SELECT conv_id FROM (
+        SELECT conv_id,
+               row_number() OVER (ORDER BY {hs}, conv_id) AS rn
+        FROM common
+    ) WHERE rn <= {n_docs}
+),
+capped AS (
+    SELECT method, arg0, arg1, conv_id,
+           row_number() OVER (
+               PARTITION BY conv_id, method
+               ORDER BY {hp}, arg0, arg1) AS pick_ix
+    FROM preds JOIN sampled USING (conv_id)
+)
+SELECT c.method, c.arg0, c.arg1, c.conv_id, d.text,
+       CAST(c.pick_ix AS INT) AS pick_ix
+FROM capped c JOIN docs d ON c.conv_id = d.conv_id
+WHERE c.pick_ix <= {cap_per_method}"""
 
 
 def grid_best_cell_oracle() -> str:

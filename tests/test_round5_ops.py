@@ -154,6 +154,100 @@ def test_pagerank_weighted_bounded_product(spark):
 # ------------------------------------------------------------ domain stats
 
 
+def test_partial_span_score_reference_semantics(spark):
+    from dygiepp_spark.operators.kg_eval import partial_span_score
+
+    # refind: 'The Spark engine' -> ['spark','engine']; multiplicity kept
+    # on span-1 side: 'spark spark x' vs 'the spark' -> 2 common / 3 max
+    df = spark.createDataFrame(
+        [
+            ("The Spark engine", "a spark engine", 2 / 2),
+            ("spark spark x", "the spark", 2 / 3),
+            ("alpha ( beta )", "alpha beta )", None),  # digraph '( ' -> ' '
+            ("x", "y", 0.0),
+        ],
+        "a string, b string, want double",
+    )
+    rows = df.select(
+        "a", "b", "want", partial_span_score(F.col("a"), F.col("b")).alias("got")
+    ).collect()
+    for r in rows:
+        if r["want"] is not None:
+            assert abs(r["got"] - r["want"]) < 1e-12, (r["a"], r["b"], r["got"])
+
+
+def test_match_firsttok_strips_articles(spark):
+    from dygiepp_spark.operators.kg_eval import match_firsttok
+
+    df = spark.createDataFrame(
+        [("The spark engine", "spark cluster", True),
+         ("a dog", "the dog house", True),
+         ("cat", "dog", False)],
+        "a string, b string, want boolean",
+    )
+    got = df.select(
+        "want", match_firsttok(F.col("a"), F.col("b")).alias("got")
+    ).collect()
+    assert all(r["got"] == r["want"] for r in got)
+
+
+def test_stop_filtered_keeps_order_and_multiplicity(spark):
+    from dygiepp_spark.operators.kg_eval import stop_filtered
+
+    df = spark.createDataFrame(
+        [("The quick the fox of doom doom",)], "a string"
+    )
+    out = df.select(stop_filtered(F.col("a")).alias("f")).collect()[0]["f"]
+    assert out == "quick fox doom doom"
+
+
+def test_human_eval_sheet_caps_and_intersects(spark):
+    from dygiepp_spark.operators.kg_eval import human_eval_sheet
+
+    # method m2 never covers conv 'c2', so c2 must not appear at all;
+    # conv 'c1' has 3 m1 rows -> capped at 2
+    m1 = spark.createDataFrame(
+        [("c1", "a", "b"), ("c1", "a", "c"), ("c1", "a", "d"),
+         ("c2", "x", "y")],
+        "conv_id string, arg0 string, arg1 string",
+    )
+    m2 = spark.createDataFrame(
+        [("c1", "p", "q")], "conv_id string, arg0 string, arg1 string"
+    )
+    docs = spark.createDataFrame(
+        [("c1", "text one"), ("c2", "text two")],
+        "conv_id string, doc_text string",
+    )
+    out = human_eval_sheet({"m1": m1, "m2": m2}, docs, n_docs=10).collect()
+    convs = {r["conv_id"] for r in out}
+    assert convs == {"c1"}
+    per_method = {}
+    for r in out:
+        per_method.setdefault(r["method"], []).append(r)
+        assert r["text"] == "text one" and 1 <= r["pick_ix"] <= 2
+    assert len(per_method["m1"]) == 2 and len(per_method["m2"]) == 1
+
+
+def test_accept_rate_filtered_fuzzy_beats_exact(spark):
+    from dygiepp_spark.operators.kg_eval import (
+        method_accept_rate, method_accept_rate_filtered,
+    )
+
+    # pred differs from gold only by a stopword + word order-insensitive
+    # jaccard: exact accept misses it, the filtered knob set accepts it
+    preds = {"m": spark.createDataFrame(
+        [("c1", "the spark engine", "fast cluster")],
+        "conv_id string, arg0 string, arg1 string",
+    )}
+    gold = spark.createDataFrame(
+        [("c1", "spark engine", "a fast cluster")],
+        "conv_id string, arg0 string, arg1 string",
+    )
+    exact = method_accept_rate(preds, gold).collect()[0]
+    fuzzy = method_accept_rate_filtered(preds, gold, thresh=0.9).collect()[0]
+    assert exact["n_accept"] == 0 and fuzzy["n_accept"] == 1
+
+
 def test_domain_stats_repeat_citer_counts_tokens_once(spark):
     from dygiepp_spark.functions.web import default_blocklist, domain_stats
 
