@@ -286,6 +286,21 @@ def test_registry_invariants():
     assert "triples_transformer" not in window, (
         "a rows-only query is burning a harness window slot"
     )
+    # round-5 rotation contract (VERDICT r4 #1): every query added at the
+    # r4 tail — local-parity evidence only, no driver row yet — must sit
+    # inside the 50-entry window this round, along with the round-5-new
+    # and round-5-changed-chain queries
+    must_be_in_window = {
+        "asof_events", "pagerank", "pagerank_weighted", "kcore",
+        "negative_samples", "triangles", "substring_dedup", "containment",
+        "turn_taking", "response_latency", "length_quantiles",
+        "domain_stats", "orc_roundtrip", "partitioned_sink",
+        "streaming_asof", "streaming_sessions",
+        "ie_eval_partial", "ie_eval_firsttok", "accept_rate_filtered",
+        "human_eval_sheet", "eval_grid", "grid_best_cell",
+    }
+    out = must_be_in_window - set(window)
+    assert not out, f"rotation contract broken, missing from window: {out}"
     for k, sql in osql.items():
         assert isinstance(sql, str) and sql.strip().upper().startswith(
             ("WITH", "SELECT")
