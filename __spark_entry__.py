@@ -661,6 +661,13 @@ def q_near_dups_embedding(spark, sf_dir):
     return SIM.embedding_near_dups(_emb(spark, sf_dir))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): cluster-bounded semantic duplicate
+    pairs over the embedding column — assign to coarse centroids, exact
+    within-cell cosine >= eps, drop the member closer to its centroid."""
+    return SIM.semantic_dedup(_emb(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents table)
 # --------------------------------------------------------------------------
@@ -1272,13 +1279,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies the FIRST 50 entries. The round-5 window (the rotation plan
     VERDICT r4 #1 prescribed): (a) the 16 queries added at the round-4
     tail, which have local parity evidence but no driver row yet —
-    front-loaded so they finally earn one; (b) the 4 queries NEW this
+    front-loaded so they finally earn one; (b) the 5 queries NEW this
     round; (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
-    chain); (d) the 27 OLDEST green rows — queries whose last driver row
+    chain); (d) the 26 OLDEST green rows — queries whose last driver row
     is CORRECTNESS_r03, taken in their r3 tail order. The tail holds the
-    remaining 20 r3-row queries (incl. the rows-only
+    remaining 21 r3-row queries (incl. the rows-only
     triples_transformer) followed by the 48 queries with fresh r4 rows —
     rotated out intentionally, not dropped; every tail entry stayed
     green in this round's full scripts/parity.py run at sf0.001 (see
@@ -1310,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_firsttok": q_ie_eval_firsttok,
         "accept_rate_filtered": q_accept_rate_filtered,
         "human_eval_sheet": q_human_eval_sheet,
+        "semantic_dedup": q_semantic_dedup,
         # (c) chains changed in round 5
         "eval_grid": q_eval_grid,
         "grid_best_cell": q_grid_best_cell,
@@ -1342,10 +1350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest": q_csv_ingest,
         "json_ingest": q_json_ingest,
         "coref_mention_recall": q_coref_mention_recall,
-        "doc_split": q_doc_split,
         # ---- tail: beyond the 50-query harness window ----
         # remaining r3-row queries (each green in this round's full
         # sf0.001 parity pass)
+        "doc_split": q_doc_split,
         "doc_assembly_salted": q_doc_assembly_salted,
         "triples_replay": q_triples_replay,
         "dedup_groups": q_dedup_groups,
@@ -1494,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": oracles_data.ann_brute_force_oracle(),
         "ann_ivf": oracles_data.ann_ivf_oracle(),
         "near_dups_embedding": oracles_data.embedding_near_dups_oracle(),
+        "semantic_dedup": oracles_data.semantic_dedup_oracle(),
         "pii_scrub": oracles_data.pii_scrub_oracle(),
         "repetition": oracles_data.repetition_oracle(),
         "stratified_sample": oracles_data.stratified_sample_oracle(),

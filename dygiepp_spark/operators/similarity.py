@@ -103,6 +103,30 @@ def brute_force_topk(
     )
 
 
+def _assign_qz(qz: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Cell assignment over an already-quantized frame: centroid = argmax
+    cosine among the first ``n_centroids`` corpus vectors, broadcast; ties
+    break to the lower centroid id. Output keeps the winning cosine:
+    (vec_id, q, nq, cell, ccos)."""
+    cents = qz.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nq").alias("cn"),
+    )
+    scored = qz.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        _cos(_dot(F.col("q"), F.col("cq")), F.col("nq"), F.col("cn")).alias("ccos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cent_id").alias("cell"), F.col("ccos").alias("ccos")),
+            F.struct(F.col("ccos"), -F.col("cent_id")),
+        ).alias("_b")
+    ).select("vec_id", F.col("_b.cell").alias("cell"), F.col("_b.ccos").alias("ccos"))
+    return qz.join(best, "vec_id")
+
+
 def assign_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     """IVF cell assignment: centroid = argmax cosine among the first
     ``n_centroids`` vectors (a deterministic stand-in for k-means output —
@@ -111,25 +135,7 @@ def assign_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     Broadcast the centroid table; ties break on centroid id.
     Output: (vec_id, q, nq, cell).
     """
-    qz = quantized(emb)
-    cents = qz.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("q").alias("cq"),
-        F.col("nq").alias("cn"),
-    )
-    scored = qz.join(F.broadcast(cents)).select(
-        "vec_id",
-        "q",
-        "nq",
-        "cent_id",
-        _cos(_dot(F.col("q"), F.col("cq")), F.col("nq"), F.col("cn")).alias("ccos"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("cent_id"), F.struct(F.col("ccos"), -F.col("cent_id"))
-        ).alias("cell")
-    )
-    return qz.join(best, "vec_id")
+    return _assign_qz(quantized(emb), n_centroids).drop("ccos")
 
 
 SRP_PLANES = 24
@@ -247,6 +253,88 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= thresh)
     )
+
+
+#: SemDeDup acceptance threshold: the planted twins sit at cos ~0.99999,
+#: the synthetic corpus's max natural pairwise cos is ~0.51 — 0.97 is the
+#: decisive middle ground (production tunes this per-embedding-model)
+SEMDEDUP_EPS = 0.97
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    eps: float = SEMDEDUP_EPS,
+    n_centroids: int = N_CENTROIDS,
+    plant_twins: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication via clustering: assign every embedding to a coarse
+    centroid, call within-cluster pairs with exact cosine >= ``eps``
+    semantic duplicates, and mark the member CLOSER to the centroid as
+    the drop (the paper keeps the low-centroid-similarity example to
+    preserve diversity). This catches paraphrases and re-encodings that
+    MinHash/SimHash (lexical) and even SRP-LSH near-dup (which needs
+    cos ~0.99) miss at lower thresholds, because the cluster key — not a
+    hash band — bounds the candidate set.
+
+    Determinism: same integer milli-unit quantization as every similarity
+    op (dot products exact BIGINT; the cosine one IEEE division), first-k
+    centroid init, ties to lower centroid id / higher vec_id, so the
+    DuckDB twin reproduces every row bit-identically. ``plant_twins``
+    injects the deterministic near-dup pairs (the corpus has no natural
+    ones) exactly like embedding_near_dups.
+
+    Output: (cell, id_a, id_b, cos, drop_id), id_a < id_b.
+
+    Scale: ONE broadcast centroid join + ONE cell-keyed self-join. The
+    self-join is |cell|^2 per cell — the SemDeDup design point is k large
+    enough that cells stay bounded (the paper runs k = 50k on LAION);
+    a degenerate mega-cell is handled the same way ngram_jaccard handles
+    hot blocks (reroute members through SRP-LSH banding), and the cell
+    key is a write-time partition at warehouse scale, so the join is
+    partition-local with zero shuffle on a cell-partitioned layout.
+    """
+    qz = quantized(emb)
+    if plant_twins:
+        qz = with_planted_twins(qz)
+    assigned = _assign_qz(
+        qz.localCheckpoint(eager=False), n_centroids
+    ).localCheckpoint(eager=False)  # feeds BOTH sides of the pair join
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+        F.col("ccos").alias("ca"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+        F.col("ccos").alias("cb"),
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            _cos(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias(
+                "cos"
+            ),
+            "ca",
+            "cb",
+        )
+        .filter(F.col("cos") >= eps)
+    )
+    drop = (
+        F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+        .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+    )
+    return scored.select("cell", "id_a", "id_b", "cos", drop.alias("drop_id"))
 
 
 def ivf_topk(

@@ -277,6 +277,77 @@ SELECT id_a, id_b, cos FROM (
 ) WHERE cos >= {thresh}"""
 
 
+def semantic_dedup_oracle(
+    eps: float = 0.97,
+    n_centroids: int = 4,
+    twin_offset: int = 100_000,
+) -> str:
+    """Twin of similarity.semantic_dedup: planted twins, first-k centroid
+    assignment (ties to lower centroid id), within-cell exact-cosine
+    pairs, drop = the member closer to its centroid (tie: higher id)."""
+    return f"""WITH {_QZ_SQL.strip()},
+qt AS (
+    SELECT vec_id, q, nq FROM qn
+    UNION ALL
+    SELECT vec_id + {twin_offset},
+           list_prepend(q[1] + 5, q[2:]) AS q,
+           CAST(list_sum(list_transform(list_prepend(q[1] + 5, q[2:]),
+                x -> x * x)) AS BIGINT) AS nq
+    FROM qn
+),
+qe2 AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM qt),
+ce AS (
+    SELECT vec_id AS cent_id, unnest(q) AS cv, generate_subscripts(q, 1) AS i
+    FROM qt WHERE vec_id < {n_centroids}
+),
+cnq AS (SELECT vec_id AS cent_id, nq AS cn FROM qt WHERE vec_id < {n_centroids}),
+cdots AS (
+    SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+    FROM qe2 e JOIN ce c ON e.i = c.i
+    GROUP BY 1, 2
+),
+cscore AS (
+    SELECT d.vec_id, d.cent_id,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nq * c.cn AS DOUBLE)) AS ccos
+    FROM cdots d
+    JOIN qt n ON n.vec_id = d.vec_id
+    JOIN cnq c ON c.cent_id = d.cent_id
+),
+cells AS (
+    SELECT vec_id, cell, ccos FROM (
+        SELECT vec_id, cent_id AS cell, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS rn
+        FROM cscore
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT ca.cell, ca.vec_id AS id_a, cb.vec_id AS id_b,
+           ca.ccos AS ca_c, cb.ccos AS cb_c
+    FROM cells ca JOIN cells cb
+      ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+),
+dots AS (
+    SELECT p.cell, p.id_a, p.id_b, p.ca_c, p.cb_c,
+           CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
+    FROM pairs p
+    JOIN qe2 ea ON ea.vec_id = p.id_a
+    JOIN qe2 eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT cell, id_a, id_b, cos,
+       CASE WHEN ca_c > cb_c THEN id_a
+            WHEN cb_c > ca_c THEN id_b
+            ELSE greatest(id_a, id_b) END AS drop_id
+FROM (
+    SELECT d.*,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) AS cos
+    FROM dots d
+    JOIN qt na ON na.vec_id = d.id_a
+    JOIN qt nb ON nb.vec_id = d.id_b
+) WHERE cos >= {eps}"""
+
+
 def ann_brute_force_oracle(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
     return f"""WITH {_QZ_SQL.strip()},
 dots AS (

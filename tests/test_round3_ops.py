@@ -226,15 +226,21 @@ def test_eval_grid_cells_match_single_cell_operators(spark, sf_dir):
         (r["kind"], r["metric"], r["collapse"], r["topk"]): r
         for r in KE.eval_grid(pred, gold, topks=(25, 50)).collect()
     }
-    # 6 rel + 3 span + 3x2 p@k cells
-    assert len(grid) == 15
+    # 4 metrics (round 5 added 'partial') x 2 collapse rel + 4 span +
+    # 4x2 p@k cells
+    assert len(grid) == 20
     # the exact/collapse=False cell equals the standalone ie_eval
     single = KE.ie_eval(pred, gold, "exact").collect()[0]
     cell = grid[("rel", "exact", False, None)]
     for c in ("n_pred", "n_gold", "tp", "tp_recall", "precision", "recall", "f1"):
         assert cell[c] == single[c], c
+    # the partial cell equals the standalone ie_eval under the same metric
+    single_p = KE.ie_eval(pred, gold, "partial").collect()[0]
+    cell_p = grid[("rel", "partial", False, None)]
+    for c in ("n_pred", "n_gold", "tp", "tp_recall", "precision", "recall", "f1"):
+        assert cell_p[c] == single_p[c], c
     # collapse can only add matches
-    for metric in ("exact", "substring", "rouge"):
+    for metric in ("exact", "substring", "rouge", "partial"):
         assert (
             grid[("rel", metric, True, None)]["tp"]
             >= grid[("rel", metric, False, None)]["tp"]

@@ -151,6 +151,31 @@ def test_pagerank_weighted_bounded_product(spark):
     assert out["v"] == out["w"] > 150_000
 
 
+# ---------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_drops_the_centroid_closer_twin(spark, sf_dir):
+    from dygiepp_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb).collect()
+    assert out, "planted twins must surface as semantic duplicates"
+    for r in out:
+        # every pair is a planted twin (original, original + 100000) and
+        # the drop is one of the two members
+        assert r["id_b"] == r["id_a"] + 100_000
+        assert r["drop_id"] in (r["id_a"], r["id_b"])
+        assert r["cos"] >= 0.97
+
+
+def test_semantic_dedup_no_twins_no_pairs(spark, sf_dir):
+    from dygiepp_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the synthetic corpus has no natural near-dups at eps=0.97
+    assert semantic_dedup(emb, plant_twins=False).count() == 0
+
+
 # ------------------------------------------------------------ domain stats
 
 
