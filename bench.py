@@ -148,6 +148,9 @@ BENCH_QUERIES = {
     "pagerank",
     "triangles",
     "asof_events",
+    # semantic-dedup layer (added r5; the r4 20-query set above is
+    # carried forward UNCHANGED so round-over-round sums stay comparable)
+    "semantic_dedup",
 }
 
 if __name__ == "__main__":

@@ -261,10 +261,16 @@ def embedding_near_dups(
 SEMDEDUP_EPS = 0.97
 
 
+#: SemDeDup target cell population: k = max(4, n // SEMDEDUP_CELL_TARGET)
+#: keeps the within-cell pair join ~quadratic in a CONSTANT (the cell
+#: size), linear in the corpus — the paper's k ~ N/avg_cluster_size rule
+SEMDEDUP_CELL_TARGET = 100
+
+
 def semantic_dedup(
     emb: DataFrame,
     eps: float = SEMDEDUP_EPS,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     plant_twins: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
@@ -287,13 +293,20 @@ def semantic_dedup(
     Output: (cell, id_a, id_b, cos, drop_id), id_a < id_b.
 
     Scale: ONE broadcast centroid join + ONE cell-keyed self-join. The
-    self-join is |cell|^2 per cell — the SemDeDup design point is k large
-    enough that cells stay bounded (the paper runs k = 50k on LAION);
-    a degenerate mega-cell is handled the same way ngram_jaccard handles
-    hot blocks (reroute members through SRP-LSH banding), and the cell
-    key is a write-time partition at warehouse scale, so the join is
-    partition-local with zero shuffle on a cell-partitioned layout.
+    self-join is |cell|^2 per cell, so ``n_centroids`` defaults to
+    DATA-ADAPTIVE ``max(4, n // SEMDEDUP_CELL_TARGET)`` — cell population
+    stays ~constant as the corpus grows and total pair work stays LINEAR
+    in n (the paper's k ~ N/avg_cluster_size rule; a fixed small k would
+    blow up quadratically at 100x the data). The count is one cheap
+    corpus action on the Spark side and a scalar subquery in the twin,
+    so both engines derive the same k. A degenerate mega-cell is handled
+    the same way ngram_jaccard handles hot blocks (reroute members
+    through SRP-LSH banding), and the cell key is a write-time partition
+    at warehouse scale, so the join is partition-local with zero shuffle
+    on a cell-partitioned layout.
     """
+    if n_centroids is None:
+        n_centroids = max(4, emb.count() // SEMDEDUP_CELL_TARGET)
     qz = quantized(emb)
     if plant_twins:
         qz = with_planted_twins(qz)

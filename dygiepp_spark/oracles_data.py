@@ -279,12 +279,18 @@ SELECT id_a, id_b, cos FROM (
 
 def semantic_dedup_oracle(
     eps: float = 0.97,
-    n_centroids: int = 4,
+    n_centroids: int | None = None,
     twin_offset: int = 100_000,
 ) -> str:
     """Twin of similarity.semantic_dedup: planted twins, first-k centroid
     assignment (ties to lower centroid id), within-cell exact-cosine
-    pairs, drop = the member closer to its centroid (tie: higher id)."""
+    pairs, drop = the member closer to its centroid (tie: higher id).
+    ``n_centroids=None`` mirrors the data-adaptive default — k =
+    greatest(4, n // 100) as a scalar subquery over the same table."""
+    if n_centroids is None:
+        k = "(SELECT greatest(4, count(*) // 100) FROM embeddings)"
+    else:
+        k = str(n_centroids)
     return f"""WITH {_QZ_SQL.strip()},
 qt AS (
     SELECT vec_id, q, nq FROM qn
@@ -298,9 +304,9 @@ qt AS (
 qe2 AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM qt),
 ce AS (
     SELECT vec_id AS cent_id, unnest(q) AS cv, generate_subscripts(q, 1) AS i
-    FROM qt WHERE vec_id < {n_centroids}
+    FROM qt WHERE vec_id < {k}
 ),
-cnq AS (SELECT vec_id AS cent_id, nq AS cn FROM qt WHERE vec_id < {n_centroids}),
+cnq AS (SELECT vec_id AS cent_id, nq AS cn FROM qt WHERE vec_id < {k}),
 cdots AS (
     SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
     FROM qe2 e JOIN ce c ON e.i = c.i
