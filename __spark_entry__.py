@@ -418,6 +418,25 @@ def q_human_eval_sheet(spark, sf_dir):
     return KE.human_eval_sheet(preds, docs, n_docs=50, cap_per_method=2)
 
 
+def q_human_eval_scores(spark, sf_dir):
+    """The similarity-scores sheet write_human_eval emits alongside the
+    annotation TSV (write_human_eval.py:148-160 / get_relation_scores,
+    eval_utils.py:29-37): raw case-sensitive jaccard + substring per
+    argument for every (sampled pred, same-doc gold) combination that
+    some metric scores nonzero on both arguments."""
+    from dygiepp_spark.operators import baselines as BL
+
+    turns = _turns(spark, sf_dir).localCheckpoint(eager=False)
+    preds = {
+        "dygiepp": EX.emit_triples(turns),
+        "srlmap": BL.srl_baseline(turns),
+        "depparse": BL.depparse_baseline(turns),
+    }
+    return KE.human_eval_scores(
+        preds, KE.gold_triples(turns), n_docs=50, cap_per_method=2
+    )
+
+
 def q_grid_best_cell(spark, sf_dir):
     """Best-cell selection (find_max_score consumer,
     eval_predictions_quality.py:29-63) over the eval_grid stats frame."""
@@ -1279,13 +1298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies the FIRST 50 entries. The round-5 window (the rotation plan
     VERDICT r4 #1 prescribed): (a) the 16 queries added at the round-4
     tail, which have local parity evidence but no driver row yet —
-    front-loaded so they finally earn one; (b) the 5 queries NEW this
+    front-loaded so they finally earn one; (b) the 6 queries NEW this
     round; (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
-    chain); (d) the 26 OLDEST green rows — queries whose last driver row
+    chain); (d) the 25 OLDEST green rows — queries whose last driver row
     is CORRECTNESS_r03, taken in their r3 tail order. The tail holds the
-    remaining 21 r3-row queries (incl. the rows-only
+    remaining 22 r3-row queries (incl. the rows-only
     triples_transformer) followed by the 48 queries with fresh r4 rows —
     rotated out intentionally, not dropped; every tail entry stayed
     green in this round's full scripts/parity.py run at sf0.001 (see
@@ -1317,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_firsttok": q_ie_eval_firsttok,
         "accept_rate_filtered": q_accept_rate_filtered,
         "human_eval_sheet": q_human_eval_sheet,
+        "human_eval_scores": q_human_eval_scores,
         "semantic_dedup": q_semantic_dedup,
         # (c) chains changed in round 5
         "eval_grid": q_eval_grid,
@@ -1349,10 +1369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "baseline_srl": q_baseline_srl,
         "csv_ingest": q_csv_ingest,
         "json_ingest": q_json_ingest,
-        "coref_mention_recall": q_coref_mention_recall,
         # ---- tail: beyond the 50-query harness window ----
         # remaining r3-row queries (each green in this round's full
         # sf0.001 parity pass)
+        "coref_mention_recall": q_coref_mention_recall,
         "doc_split": q_doc_split,
         "doc_assembly_salted": q_doc_assembly_salted,
         "triples_replay": q_triples_replay,
@@ -1464,6 +1484,9 @@ def oracle_sql() -> dict[str, str]:
             thresh=0.4, consider_reverse=True
         ),
         "human_eval_sheet": oracles_kg.human_eval_sheet_oracle(
+            n_docs=50, cap_per_method=2
+        ),
+        "human_eval_scores": oracles_kg.human_eval_scores_oracle(
             n_docs=50, cap_per_method=2
         ),
         "ie_span_eval": oracles_kg.ie_span_eval_oracle(),

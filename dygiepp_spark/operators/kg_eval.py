@@ -1395,6 +1395,18 @@ def human_eval_sheet(
     doc dim; the cap window partitions by (conv_id, method); the text
     join is a conv_id equi-join.
     """
+    capped = _sheet_rows(preds_by_method, n_docs, cap_per_method)
+    return capped.join(
+        docs.select("conv_id", F.col("doc_text").alias("text")), "conv_id"
+    ).select("method", "arg0", "arg1", "conv_id", "text", "pick_ix")
+
+
+def _sheet_rows(
+    preds_by_method: dict[str, DataFrame], n_docs: int, cap_per_method: int
+) -> DataFrame:
+    """The sheet's sampled + interleave-capped prediction rows (shared by
+    :func:`human_eval_sheet` and :func:`human_eval_scores`):
+    (method, conv_id, arg0, arg1, pick_ix)."""
     from dygiepp_spark.functions.hashing import hash60
     from dygiepp_spark.operators.pruning import kth_score_threshold
 
@@ -1432,12 +1444,86 @@ def human_eval_sheet(
         F.col("arg0").asc(),
         F.col("arg1").asc(),
     )
-    capped = rows.withColumn("pick_ix", F.row_number().over(wp)).filter(
+    return rows.withColumn("pick_ix", F.row_number().over(wp)).filter(
         F.col("pick_ix") <= cap_per_method
     )
-    return capped.join(
-        docs.select("conv_id", F.col("doc_text").alias("text")), "conv_id"
-    ).select("method", "arg0", "arg1", "conv_id", "text", "pick_ix")
+
+
+def _raw_toks(c: Column) -> Column:
+    """The reference's bare ``.split()``: whitespace split, empties
+    dropped, CASE-SENSITIVE (span_score's jaccard path does not lower,
+    eval_utils.py:243-245)."""
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def _raw_jaccard(a: Column, b: Column) -> Column:
+    """``jaccard_similarity`` (eval_utils.py:174-178): token-SET overlap
+    of the raw splits, one IEEE double division."""
+    ta, tb = F.array_distinct(_raw_toks(a)), F.array_distinct(_raw_toks(b))
+    return F.size(F.array_intersect(ta, tb)).cast("double") / F.size(
+        F.array_union(ta, tb)
+    ).cast("double")
+
+
+def human_eval_scores(
+    preds_by_method: dict[str, DataFrame],
+    gold: DataFrame,
+    n_docs: int = 50,
+    cap_per_method: int = 2,
+) -> DataFrame:
+    """The scores sheet ``write_human_eval`` emits alongside the
+    annotation TSV (``human_annotations_scores2.tsv``,
+    write_human_eval.py:104,148-160): for every sampled+capped prediction
+    row, its per-argument similarity to every gold pair of the same doc
+    (``get_relation_scores``, eval_utils.py:29-37), keeping (gold, pred)
+    combinations where some metric scores BOTH arguments nonzero.
+
+    Metrics mirror ``span_score`` (eval_utils.py:236-262): jaccard =
+    token-set overlap of the RAW case-sensitive whitespace split;
+    substring = raw case-sensitive containment 0/1. The reference's third
+    column (rouge-L f) is omitted from this frame: for multi-token spans
+    the LCS is not SQL-expressible bit-identically (the ie_eval rouge
+    twin relies on its single-token degeneration), and rouge's
+    nonzero-ness — the only thing the sheet's keep-filter reads — equals
+    jaccard's (both are "shares >= 1 token"), so the kept row set is
+    unchanged. Production adds the rouge column back via the existing
+    pandas-UDF ``rouge_l_f`` when the sheet is for humans, not the
+    parity gate.
+
+    Output: (method, conv_id, gold_arg0, gold_arg1, pred_arg0, pred_arg1,
+    jac0, jac1, sub0, sub1).
+
+    Scale: the capped sheet frame is ~n_docs * methods * cap rows; the
+    gold join is a conv_id equi-join with per-doc products.
+    """
+    capped = _sheet_rows(preds_by_method, n_docs, cap_per_method)
+    g = gold.select(
+        "conv_id",
+        F.col("arg0").alias("gold_arg0"),
+        F.col("arg1").alias("gold_arg1"),
+    ).distinct()
+    scored = capped.join(g, "conv_id").select(
+        "method",
+        "conv_id",
+        "gold_arg0",
+        "gold_arg1",
+        F.col("arg0").alias("pred_arg0"),
+        F.col("arg1").alias("pred_arg1"),
+        _raw_jaccard(F.col("gold_arg0"), F.col("arg0")).alias("jac0"),
+        _raw_jaccard(F.col("gold_arg1"), F.col("arg1")).alias("jac1"),
+        (
+            F.col("gold_arg0").contains(F.col("arg0"))
+            | F.col("arg0").contains(F.col("gold_arg0"))
+        ).cast("int").alias("sub0"),
+        (
+            F.col("gold_arg1").contains(F.col("arg1"))
+            | F.col("arg1").contains(F.col("gold_arg1"))
+        ).cast("int").alias("sub1"),
+    )
+    keep = ((F.col("jac0") > 0) & (F.col("jac1") > 0)) | (
+        (F.col("sub0") == 1) & (F.col("sub1") == 1)
+    )
+    return scored.filter(keep).distinct()
 
 
 def grid_best_cell(grid: DataFrame) -> DataFrame:

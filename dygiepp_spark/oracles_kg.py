@@ -1464,17 +1464,26 @@ def human_eval_sheet_oracle(n_docs: int = 50, cap_per_method: int = 2) -> str:
     """Twin of kg_eval.human_eval_sheet: intersection of the three
     method's doc sets, hash-ranked sample of n_docs, per (doc, method)
     hash-ordered cap, doc text joined on."""
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+{_method_preds_ctes()},
+{_sheet_capped_ctes(n_docs, cap_per_method)},
+docs AS (
+    SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+    FROM turns GROUP BY conv_id
+)
+SELECT c.method, c.arg0, c.arg1, c.conv_id, d.text,
+       CAST(c.pick_ix AS INT) AS pick_ix
+FROM capped c JOIN docs d ON c.conv_id = d.conv_id"""
+
+
+def _sheet_capped_ctes(n_docs: int, cap_per_method: int) -> str:
+    """Shared CTE chain producing the sampled + interleave-capped sheet
+    rows (twin of kg_eval._sheet_rows)."""
     from dygiepp_spark.functions.hashing import hash60_sql
 
     hs = hash60_sql("'sheet|' || conv_id")
     hp = hash60_sql("method || '|' || arg0 || '|' || arg1")
-    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
-{_method_preds_ctes()},
-docs AS (
-    SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
-    FROM turns GROUP BY conv_id
-),
-common AS (
+    return f"""common AS (
     SELECT conv_id FROM preds
     GROUP BY conv_id HAVING count(DISTINCT method) = 3
 ),
@@ -1486,16 +1495,49 @@ sampled AS (
     ) WHERE rn <= {n_docs}
 ),
 capped AS (
-    SELECT method, arg0, arg1, conv_id,
-           row_number() OVER (
-               PARTITION BY conv_id, method
-               ORDER BY {hp}, arg0, arg1) AS pick_ix
-    FROM preds JOIN sampled USING (conv_id)
+    SELECT method, arg0, arg1, conv_id, pick_ix FROM (
+        SELECT method, arg0, arg1, conv_id,
+               row_number() OVER (
+                   PARTITION BY conv_id, method
+                   ORDER BY {hp}, arg0, arg1) AS pick_ix
+        FROM preds JOIN sampled USING (conv_id)
+    ) WHERE pick_ix <= {cap_per_method}
+)"""
+
+
+def _raw_jac_sql(a: str, b: str) -> str:
+    """span_score's jaccard (eval_utils.py:174-178,243-245): RAW
+    case-sensitive whitespace split, set overlap, one double division."""
+    ta = f"list_distinct(list_filter(regexp_split_to_array({a}, '\\s+'), t -> t <> ''))"
+    tb = f"list_distinct(list_filter(regexp_split_to_array({b}, '\\s+'), t -> t <> ''))"
+    return (
+        f"(CAST(len(list_intersect({ta}, {tb})) AS DOUBLE) / "
+        f"CAST(len(list_distinct(list_concat({ta}, {tb}))) AS DOUBLE))"
+    )
+
+
+def human_eval_scores_oracle(n_docs: int = 50, cap_per_method: int = 2) -> str:
+    """Twin of kg_eval.human_eval_scores: the capped sheet rows crossed
+    with the same-doc gold pairs, raw jaccard + raw substring per
+    argument, keep where some metric scores both arguments nonzero."""
+    sub = "(contains({a}, {b}) OR contains({b}, {a}))"
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+{_method_preds_ctes()},
+{_sheet_capped_ctes(n_docs, cap_per_method)},
+gp AS (
+    SELECT DISTINCT conv_id, arg0 AS gold_arg0, arg1 AS gold_arg1 FROM gold
 )
-SELECT c.method, c.arg0, c.arg1, c.conv_id, d.text,
-       CAST(c.pick_ix AS INT) AS pick_ix
-FROM capped c JOIN docs d ON c.conv_id = d.conv_id
-WHERE c.pick_ix <= {cap_per_method}"""
+SELECT DISTINCT c.method, c.conv_id, g.gold_arg0, g.gold_arg1,
+       c.arg0 AS pred_arg0, c.arg1 AS pred_arg1,
+       {_raw_jac_sql('g.gold_arg0', 'c.arg0')} AS jac0,
+       {_raw_jac_sql('g.gold_arg1', 'c.arg1')} AS jac1,
+       CAST({sub.format(a='g.gold_arg0', b='c.arg0')} AS INT) AS sub0,
+       CAST({sub.format(a='g.gold_arg1', b='c.arg1')} AS INT) AS sub1
+FROM capped c JOIN gp g ON c.conv_id = g.conv_id
+WHERE ((({_raw_jac_sql('g.gold_arg0', 'c.arg0')}) > 0
+        AND ({_raw_jac_sql('g.gold_arg1', 'c.arg1')}) > 0)
+    OR ({sub.format(a='g.gold_arg0', b='c.arg0')}
+        AND {sub.format(a='g.gold_arg1', b='c.arg1')}))"""
 
 
 def grid_best_cell_oracle() -> str:

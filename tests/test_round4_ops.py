@@ -297,7 +297,8 @@ def test_registry_invariants():
         "domain_stats", "orc_roundtrip", "partitioned_sink",
         "streaming_asof", "streaming_sessions",
         "ie_eval_partial", "ie_eval_firsttok", "accept_rate_filtered",
-        "human_eval_sheet", "semantic_dedup", "eval_grid", "grid_best_cell",
+        "human_eval_sheet", "human_eval_scores", "semantic_dedup",
+        "eval_grid", "grid_best_cell",
     }
     out = must_be_in_window - set(window)
     assert not out, f"rotation contract broken, missing from window: {out}"
