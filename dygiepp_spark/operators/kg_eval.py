@@ -1301,8 +1301,14 @@ def method_accept_rate_filtered(
     eval_utils.py:313-317) — a dead assignment. We implement the evident
     intent and match on the filtered spans.
 
-    Output: (method, n_samples, n_accept, accept_rate) — same shape as
-    the unfiltered ranking so consumers can diff the two.
+    Output: (method, n_samples, n_accept, accept_rate) — same core shape
+    as the unfiltered ranking so consumers can diff the two — plus the
+    reference's four-way confusion (:139-178): true/false accept/reject
+    of the fuzzy accept-by-code against the ``answer`` column. No human
+    answers exist in this corpus, so ``answer`` is the deterministic
+    stand-in the r4 ranking already uses — the pair appears EXACTLY in
+    gold — making the four-way a fuzzy-vs-exact agreement table (e.g.
+    ``n_false_accept`` = pairs only the fuzzy matcher accepts).
 
     Scale: one union of the method frames, ONE conv_id equi-join against
     the gold pairs with the fuzzy predicate evaluated post-probe (per-doc
@@ -1346,10 +1352,22 @@ def method_accept_rate_filtered(
         .distinct()
         .withColumn("_m", F.lit(1))
     )
-    marked = u.join(matched, ["method", "conv_id", "arg0", "arg1"], "left")
+    exact = (
+        gold.select("conv_id", "arg0", "arg1")
+        .distinct()
+        .withColumn("_a", F.lit(1))
+    )
+    marked = u.join(
+        matched, ["method", "conv_id", "arg0", "arg1"], "left"
+    ).join(exact, ["conv_id", "arg0", "arg1"], "left")
+    acc, ans = F.col("_m").isNotNull(), F.col("_a").isNotNull()
     return marked.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.count("_m").alias("n_accept"),
+        F.count(F.when(acc & ans, 1)).alias("n_true_accept"),
+        F.count(F.when(acc & ~ans, 1)).alias("n_false_accept"),
+        F.count(F.when(~acc & ans, 1)).alias("n_false_reject"),
+        F.count(F.when(~acc & ~ans, 1)).alias("n_true_reject"),
     ).select(
         "method",
         "n_samples",
@@ -1357,6 +1375,10 @@ def method_accept_rate_filtered(
         (
             F.col("n_accept").cast("double") / F.col("n_samples").cast("double")
         ).alias("accept_rate"),
+        "n_true_accept",
+        "n_false_accept",
+        "n_false_reject",
+        "n_true_reject",
     )
 
 

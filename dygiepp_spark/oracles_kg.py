@@ -1449,14 +1449,25 @@ gf AS (
 matched AS (
     SELECT DISTINCT p.method, p.conv_id, p.arg0, p.arg1
     FROM predf p JOIN gf g ON p.conv_id = g.conv_id AND {cond}
-)
+),
+gexact AS (SELECT DISTINCT conv_id, arg0, arg1 FROM gold)
 SELECT p.method, count(*) AS n_samples,
        count(m.method) AS n_accept,
        CAST(count(m.method) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-           AS accept_rate
+           AS accept_rate,
+       count(CASE WHEN m.method IS NOT NULL AND e.conv_id IS NOT NULL
+                  THEN 1 END) AS n_true_accept,
+       count(CASE WHEN m.method IS NOT NULL AND e.conv_id IS NULL
+                  THEN 1 END) AS n_false_accept,
+       count(CASE WHEN m.method IS NULL AND e.conv_id IS NOT NULL
+                  THEN 1 END) AS n_false_reject,
+       count(CASE WHEN m.method IS NULL AND e.conv_id IS NULL
+                  THEN 1 END) AS n_true_reject
 FROM predf p
 LEFT JOIN matched m ON p.method = m.method AND p.conv_id = m.conv_id
                    AND p.arg0 = m.arg0 AND p.arg1 = m.arg1
+LEFT JOIN gexact e ON p.conv_id = e.conv_id AND p.arg0 = e.arg0
+                  AND p.arg1 = e.arg1
 GROUP BY p.method"""
 
 

@@ -271,6 +271,12 @@ def test_accept_rate_filtered_fuzzy_beats_exact(spark):
     exact = method_accept_rate(preds, gold).collect()[0]
     fuzzy = method_accept_rate_filtered(preds, gold, thresh=0.9).collect()[0]
     assert exact["n_accept"] == 0 and fuzzy["n_accept"] == 1
+    # four-way confusion vs the exact-in-gold 'answer' stand-in: the pair
+    # is fuzzy-accepted but NOT exactly in gold -> one false accept
+    assert (
+        fuzzy["n_true_accept"], fuzzy["n_false_accept"],
+        fuzzy["n_false_reject"], fuzzy["n_true_reject"],
+    ) == (0, 1, 0, 0)
 
 
 def test_domain_stats_repeat_citer_counts_tokens_once(spark):
