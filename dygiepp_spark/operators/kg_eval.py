@@ -56,13 +56,24 @@ def match_substring(a: Column, b: Column) -> Column:
     return la.contains(lb) | lb.contains(la)
 
 
-def match_jaccard(a: Column, b: Column, thresh: float = 0.5) -> Column:
-    """K1 'jaccard': token-set overlap ratio >= thresh (eval_utils.py:201-215)."""
+def jaccard_ratio(a: Column, b: Column) -> Column:
+    """Token-set jaccard ratio (lower+trim, split on single space,
+    distinct) — one IEEE double division."""
     ta = F.array_distinct(F.split(F.lower(F.trim(a)), " "))
     tb = F.array_distinct(F.split(F.lower(F.trim(b)), " "))
     inter = F.size(F.array_intersect(ta, tb)).cast("double")
     union = F.size(F.array_union(ta, tb)).cast("double")
-    return (inter / F.greatest(union, F.lit(1.0))) >= thresh
+    return inter / F.greatest(union, F.lit(1.0))
+
+
+def match_jaccard(a: Column, b: Column, thresh: float = 0.5) -> Column:
+    """K1 'jaccard': token-set overlap ratio >= thresh (eval_utils.py:201-215).
+    NOTE the reference's ``span_matching`` comparator is strictly greater
+    (``if j>thresh``, eval_utils.py:218); the >= here is the documented
+    K1 choice carried since round 1 across every grid/agreement cell —
+    accept-path consumers that need the strict form compare
+    :func:`jaccard_ratio` directly."""
+    return jaccard_ratio(a, b) >= thresh
 
 
 def match_head(a: Column, b: Column) -> Column:
@@ -168,8 +179,16 @@ def match_partial(
     a: Column, b: Column, thresh: float = PARTIAL_THRESH
 ) -> Column:
     """K1 'partial' (``partial_match_score``, eval_metrics.py:57-64):
-    token-overlap ratio >= thresh on the refind-normalized spans."""
-    return partial_span_score(a, b) >= F.lit(thresh)
+    token-overlap ratio >= thresh on the refind-normalized spans.
+
+    The score is ASYMMETRIC (the common count carries span-1's token
+    multiplicity) and the reference scores ``(gold, pred)``
+    (eval_metrics.py:61-63) while K2's calling convention passes
+    ``(pred, gold)`` — so the arguments are swapped INTERNALLY here:
+    ``a`` = pred, ``b`` = gold, score = partial_span_score(gold, pred).
+    On 'x z w q' vs gold 'x x x y' the multiplicity side matters:
+    3/4 (match) the reference way, 1/4 (miss) unswapped."""
+    return partial_span_score(b, a) >= F.lit(thresh)
 
 
 def match_firsttok(a: Column, b: Column) -> Column:
@@ -1194,6 +1213,23 @@ def ie_errors(
 # ---------------------------------------------------------------------------
 
 
+def _method_union(preds_by_method: dict[str, DataFrame]) -> DataFrame:
+    """Normalized prediction frame shared by the accept rankings and the
+    human-eval sheets: DISTINCT (method, conv_id, arg0, arg1) rows,
+    methods in sorted-name order (the Spark twin of the oracle side's
+    ``_method_preds_ctes``)."""
+    parts = [
+        df.select(
+            F.lit(name).alias("method"), "conv_id", "arg0", "arg1"
+        ).distinct()
+        for name, df in sorted(preds_by_method.items())
+    ]
+    u = parts[0]
+    for pp in parts[1:]:
+        u = u.unionByName(pp)
+    return u
+
+
 def method_accept_rate(
     preds_by_method: dict[str, DataFrame], gold: DataFrame
 ) -> DataFrame:
@@ -1218,15 +1254,7 @@ def method_accept_rate(
     gp = gold.select("conv_id", "arg0", "arg1").distinct().withColumn(
         "_g", F.lit(1)
     )
-    parts = [
-        df.select(
-            F.lit(name).alias("method"), "conv_id", "arg0", "arg1"
-        ).distinct()
-        for name, df in sorted(preds_by_method.items())
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    u = _method_union(preds_by_method)
     marked = u.join(gp, ["conv_id", "arg0", "arg1"], "left")
     return marked.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_samples"),
@@ -1295,11 +1323,17 @@ def method_accept_rate_filtered(
     semantics): the baseline generators emit unlabeled pairs, exactly the
     situation the reference runs this ranking in.
 
-    HONEST DIVERGENCE, documented: the reference's ``filter_stop`` branch
-    computes the filtered strings into ``p1``/``p2`` but then matches on
-    the UNFILTERED loop variables (``pair1_arg0`` etc.,
-    eval_utils.py:313-317) — a dead assignment. We implement the evident
-    intent and match on the filtered spans.
+    HONEST DIVERGENCES, documented: (1) the reference's ``filter_stop``
+    branch computes the filtered strings into ``p1``/``p2`` but then
+    matches on the UNFILTERED loop variables (``pair1_arg0`` etc.,
+    eval_utils.py:313-317) — a dead assignment; we implement the evident
+    intent and match on the filtered spans. (2) the reference's
+    ``matched_predictions`` gate (eval_predictions_quality.py:131-141)
+    skips admitting a pred when the GOLD pair it matched textually equals
+    an ALREADY-STORED PRED pair — a sequential-loop artifact that mixes
+    the gold and pred key spaces and depends on pandas iteration order,
+    so it has no well-defined distributed re-expression; here every pred
+    that fuzzy-matches any same-doc gold is accepted, order-independent.
 
     Output: (method, n_samples, n_accept, accept_rate) — same core shape
     as the unfiltered ranking so consumers can diff the two — plus the
@@ -1315,15 +1349,7 @@ def method_accept_rate_filtered(
     candidate sets are small; the join key does the pruning), a distinct
     on the pred key, one map-side-combinable method rollup.
     """
-    parts = [
-        df.select(
-            F.lit(name).alias("method"), "conv_id", "arg0", "arg1"
-        ).distinct()
-        for name, df in sorted(preds_by_method.items())
-    ]
-    u = parts[0]
-    for pp in parts[1:]:
-        u = u.unionByName(pp)
+    u = _method_union(preds_by_method)
     u = u.withColumn("fa0", stop_filtered(F.col("arg0"), stopwords)).withColumn(
         "fa1", stop_filtered(F.col("arg1"), stopwords)
     )
@@ -1336,13 +1362,15 @@ def method_accept_rate_filtered(
             stop_filtered(F.col("arg1"), stopwords).alias("ga1"),
         )
     )
-    fwd = match_jaccard(F.col("fa0"), F.col("ga0"), thresh) & match_jaccard(
-        F.col("fa1"), F.col("ga1"), thresh
+    # span_matching's comparator is STRICTLY greater (eval_utils.py:218)
+    # — the accept path reproduces it, unlike K1's documented >= cells
+    fwd = (jaccard_ratio(F.col("fa0"), F.col("ga0")) > thresh) & (
+        jaccard_ratio(F.col("fa1"), F.col("ga1")) > thresh
     )
     cond = fwd
     if consider_reverse:
-        rev = match_jaccard(F.col("fa0"), F.col("ga1"), thresh) & match_jaccard(
-            F.col("fa1"), F.col("ga0"), thresh
+        rev = (jaccard_ratio(F.col("fa0"), F.col("ga1")) > thresh) & (
+            jaccard_ratio(F.col("fa1"), F.col("ga0")) > thresh
         )
         cond = fwd | rev
     matched = (
@@ -1432,19 +1460,11 @@ def _sheet_rows(
     from dygiepp_spark.functions.hashing import hash60
     from dygiepp_spark.operators.pruning import kth_score_threshold
 
-    parts = [
-        df.select(
-            F.lit(name).alias("method"), "conv_id", "arg0", "arg1"
-        ).distinct()
-        for name, df in sorted(preds_by_method.items())
-    ]
-    u = parts[0]
-    for pp in parts[1:]:
-        u = u.unionByName(pp)
+    u = _method_union(preds_by_method)
     common = (
         u.groupBy("conv_id")
         .agg(F.count_distinct("method").alias("_nm"))
-        .filter(F.col("_nm") == len(parts))
+        .filter(F.col("_nm") == len(preds_by_method))
         .select("conv_id")
     )
     hashed = common.withColumn(
@@ -1503,14 +1523,16 @@ def human_eval_scores(
     Metrics mirror ``span_score`` (eval_utils.py:236-262): jaccard =
     token-set overlap of the RAW case-sensitive whitespace split;
     substring = raw case-sensitive containment 0/1. The reference's third
-    column (rouge-L f) is omitted from this frame: for multi-token spans
+    column (rouge-L f) is omitted from this frame — for multi-token spans
     the LCS is not SQL-expressible bit-identically (the ie_eval rouge
-    twin relies on its single-token degeneration), and rouge's
-    nonzero-ness — the only thing the sheet's keep-filter reads — equals
-    jaccard's (both are "shares >= 1 token"), so the kept row set is
-    unchanged. Production adds the rouge column back via the existing
-    pandas-UDF ``rouge_l_f`` when the sheet is for humans, not the
-    parity gate.
+    twin relies on its single-token degeneration) — but its effect on
+    the KEEP-filter is reproduced exactly: rouge tokenizes
+    case-INSENSITIVELY, so its f is nonzero iff the spans share a token
+    after lowering, and the filter tests that overlap directly (raw
+    jaccard alone would silently drop rows overlapping only
+    case-insensitively). Production adds the rouge column back via the
+    existing pandas-UDF ``rouge_l_f`` when the sheet is for humans, not
+    the parity gate.
 
     Output: (method, conv_id, gold_arg0, gold_arg1, pred_arg0, pred_arg1,
     jac0, jac1, sub0, sub1).
@@ -1542,8 +1564,20 @@ def human_eval_scores(
             | F.col("arg1").contains(F.col("gold_arg1"))
         ).cast("int").alias("sub1"),
     )
-    keep = ((F.col("jac0") > 0) & (F.col("jac1") > 0)) | (
-        (F.col("sub0") == 1) & (F.col("sub1") == 1)
+    # rouge's nonzero-ness stand-in: case-insensitive token overlap
+    # (subsumes jac > 0, which is the case-sensitive overlap)
+    def ci_overlap(x: Column, y: Column) -> Column:
+        return F.arrays_overlap(
+            F.array_distinct(_raw_toks(F.lower(x))),
+            F.array_distinct(_raw_toks(F.lower(y))),
+        )
+
+    keep = (
+        (
+            ci_overlap(F.col("gold_arg0"), F.col("pred_arg0"))
+            & ci_overlap(F.col("gold_arg1"), F.col("pred_arg1"))
+        )
+        | ((F.col("sub0") == 1) & (F.col("sub1") == 1))
     )
     return scored.filter(keep).distinct()
 

@@ -791,11 +791,13 @@ def _refind_toks_sql(x: str) -> str:
 
 
 def _partial_match_sql(a: str, b: str, thresh: float) -> str:
-    """kg_eval.match_partial twin: span-1-multiplicity common count over
-    the longer span's token count, >= thresh."""
+    """kg_eval.match_partial twin. Arguments follow K2's (pred, gold)
+    convention; the reference scores (gold, pred) and the common count
+    carries span-1's multiplicity, so the GOLD side (``b``) drives the
+    filter here — same internal swap as the Spark column."""
     ta, tb = _refind_toks_sql(a), _refind_toks_sql(b)
     return (
-        f"(CAST(len(list_filter({ta}, t -> list_contains({tb}, t))) AS DOUBLE)"
+        f"(CAST(len(list_filter({tb}, t -> list_contains({ta}, t))) AS DOUBLE)"
         f" / CAST(greatest(len({ta}), len({tb})) AS DOUBLE)) >= {thresh}"
     )
 
@@ -1421,15 +1423,16 @@ def accept_rate_filtered_oracle(
     """Twin of kg_eval.method_accept_rate_filtered: accept-by-code =
     jaccard >= thresh on stopword-filtered args vs ANY gold pair of the
     same conv (collapse semantics — no label gate), optional reverse."""
+    # strict > — span_matching's comparator (eval_utils.py:218)
     fwd = (
-        f"({_jac_sql('p.fa0', 'g.ga0')}) >= {thresh} "
-        f"AND ({_jac_sql('p.fa1', 'g.ga1')}) >= {thresh}"
+        f"({_jac_sql('p.fa0', 'g.ga0')}) > {thresh} "
+        f"AND ({_jac_sql('p.fa1', 'g.ga1')}) > {thresh}"
     )
     cond = f"({fwd})"
     if consider_reverse:
         rev = (
-            f"({_jac_sql('p.fa0', 'g.ga1')}) >= {thresh} "
-            f"AND ({_jac_sql('p.fa1', 'g.ga0')}) >= {thresh}"
+            f"({_jac_sql('p.fa0', 'g.ga1')}) > {thresh} "
+            f"AND ({_jac_sql('p.fa1', 'g.ga0')}) > {thresh}"
         )
         cond = f"(({fwd}) OR ({rev}))"
     return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
@@ -1530,8 +1533,21 @@ def _raw_jac_sql(a: str, b: str) -> str:
 def human_eval_scores_oracle(n_docs: int = 50, cap_per_method: int = 2) -> str:
     """Twin of kg_eval.human_eval_scores: the capped sheet rows crossed
     with the same-doc gold pairs, raw jaccard + raw substring per
-    argument, keep where some metric scores both arguments nonzero."""
+    argument, keep where some metric scores both arguments nonzero
+    (rouge's nonzero-ness = case-insensitive token overlap)."""
     sub = "(contains({a}, {b}) OR contains({b}, {a}))"
+
+    def ci(a: str, b: str) -> str:
+        ta = (
+            f"list_distinct(list_filter("
+            f"regexp_split_to_array(lower({a}), '\\s+'), t -> t <> ''))"
+        )
+        tb = (
+            f"list_distinct(list_filter("
+            f"regexp_split_to_array(lower({b}), '\\s+'), t -> t <> ''))"
+        )
+        return f"(len(list_intersect({ta}, {tb})) > 0)"
+
     return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
 {_method_preds_ctes()},
 {_sheet_capped_ctes(n_docs, cap_per_method)},
@@ -1545,8 +1561,7 @@ SELECT DISTINCT c.method, c.conv_id, g.gold_arg0, g.gold_arg1,
        CAST({sub.format(a='g.gold_arg0', b='c.arg0')} AS INT) AS sub0,
        CAST({sub.format(a='g.gold_arg1', b='c.arg1')} AS INT) AS sub1
 FROM capped c JOIN gp g ON c.conv_id = g.conv_id
-WHERE ((({_raw_jac_sql('g.gold_arg0', 'c.arg0')}) > 0
-        AND ({_raw_jac_sql('g.gold_arg1', 'c.arg1')}) > 0)
+WHERE (({ci('g.gold_arg0', 'c.arg0')} AND {ci('g.gold_arg1', 'c.arg1')})
     OR ({sub.format(a='g.gold_arg0', b='c.arg0')}
         AND {sub.format(a='g.gold_arg1', b='c.arg1')}))"""
 

@@ -201,6 +201,23 @@ def test_partial_span_score_reference_semantics(spark):
             assert abs(r["got"] - r["want"]) < 1e-12, (r["a"], r["b"], r["got"])
 
 
+def test_match_partial_scores_gold_side_multiplicity(spark):
+    """The reference scores partial_span_score(GOLD, PRED) — span-1
+    multiplicity comes from the gold side — while K2 passes (pred, gold);
+    match_partial must swap internally. gold='x x x y' vs pred='x z w q':
+    common counted the reference way = [x,x,x] -> 3/4 >= 0.3 (match);
+    unswapped it would be [x] -> 1/4 (miss)."""
+    from dygiepp_spark.operators.kg_eval import match_partial
+
+    df = spark.createDataFrame(
+        [("x z w q", "x x x y")], "pred string, gold string"
+    )
+    got = df.select(
+        match_partial(F.col("pred"), F.col("gold")).alias("m")
+    ).collect()[0]["m"]
+    assert got is True
+
+
 def test_match_firsttok_strips_articles(spark):
     from dygiepp_spark.operators.kg_eval import match_firsttok
 
