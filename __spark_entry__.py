@@ -1293,13 +1293,41 @@ def q_orc_roundtrip(spark, sf_dir):
     return _consume_and_remove(JS.read_triples_orc(spark, base), base)
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring + head/middle/tail
+    perplexity tertiles (integer floor-log2 surprisal — bit-portable)."""
+    return TX.lm_score(_docs(spark, sf_dir))
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """One BPE merge round: top-50 adjacent-symbol-pair merge candidates
+    over the word-type frequency table (subword-nmt get_stats shape)."""
+    return TX.bpe_pair_counts(_docs(spark, sf_dir), k=50)
+
+
+def q_source_mix(spark, sf_dir):
+    """Training-mixture weighting per source: natural token share vs the
+    alpha=1/2 temperature-smoothed sampling mixture, all BIGINT ppm."""
+    return TX.source_mix(_docs(spark, sf_dir))
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous min-tie label-propagation communities over the linked
+    KG (bounded rounds — the deterministic, oracle-checkable LPA)."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.lpa_communities(edges, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is DELIBERATE: the driver's correctness harness
     verifies the FIRST 50 entries. The round-5 window (the rotation plan
     VERDICT r4 #1 prescribed): (a) the 16 queries added at the round-4
     tail, which have local parity evidence but no driver row yet —
-    front-loaded so they finally earn one; (b) the 6 queries NEW this
-    round; (c) the 3 queries whose chains changed this round (eval_grid
+    front-loaded so they finally earn one; (b) the 10 queries NEW this
+    round (incl. the late-round lm_score / bpe_pairs / source_mix /
+    lpa_communities, which displace the newest four (d) rows —
+    event_f1_4way, baseline_srl, csv_ingest, json_ingest — to the top
+    of the tail); (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
     chain); (d) the 25 OLDEST green rows — queries whose last driver row
@@ -1338,6 +1366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "human_eval_sheet": q_human_eval_sheet,
         "human_eval_scores": q_human_eval_scores,
         "semantic_dedup": q_semantic_dedup,
+        "lm_score": q_lm_score,
+        "bpe_pairs": q_bpe_pairs,
+        "source_mix": q_source_mix,
+        "lpa_communities": q_lpa_communities,
         # (c) chains changed in round 5
         "eval_grid": q_eval_grid,
         "grid_best_cell": q_grid_best_cell,
@@ -1365,11 +1397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "streaming_dedup": q_streaming_dedup,
         "ie_errors": q_ie_errors,
+        # ---- tail: beyond the 50-query harness window ----
+        # displaced from (d) by the four late-round-5 queries above —
+        # their r3 rows stand, chains unchanged, full-parity green
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
         "csv_ingest": q_csv_ingest,
         "json_ingest": q_json_ingest,
-        # ---- tail: beyond the 50-query harness window ----
         # remaining r3-row queries (each green in this round's full
         # sf0.001 parity pass)
         "coref_mention_recall": q_coref_mention_recall,
@@ -1580,4 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_sink": oracles_kg.partitioned_sink_oracle(),
         "response_latency": oracles.response_latency_oracle(),
         "pagerank_weighted": oracles_kg.pagerank_weighted_oracle(iterations=3),
+        "lm_score": oracles_data.lm_score_oracle(),
+        "bpe_pairs": oracles_data.bpe_pairs_oracle(k=50),
+        "source_mix": oracles_data.source_mix_oracle(),
+        "lpa_communities": oracles_kg.lpa_oracle(rounds=4),
     }

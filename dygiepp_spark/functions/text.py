@@ -468,3 +468,249 @@ def length_quantiles(
         F.col("cum") >= F.floor(F.col("q") * (F.col("_n") - 1)) + 1
     )
     return hit.groupBy("q").agg(F.min("n_tok").alias("n_tok"))
+
+
+def lm_score(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality scoring: train a unigram LM on
+    the corpus itself, score each document with its total surprisal, and
+    bucket the corpus into head/middle/tail perplexity tertiles (the
+    split CCNet feeds to downstream sampling — head = most-fluent third).
+
+    Bit-portable by construction: token surprisal is the INTEGER
+    ``floor(log2(T / freq))`` computed as ``length(bin(T div freq)) - 1``
+    — exact in both engines because ``floor(log2(x)) == floor(log2(
+    floor(x)))`` for x >= 1 (powers of two are integers), so no float
+    ``log`` with engine-dependent rounding exists anywhere. The per-doc
+    score is ``bits_per_kt = (total_bits * 1000) div n_tok`` (BIGINT).
+    Integer surprisal is coarse (whole bits); it preserves the ordering
+    a bucketing consumer needs, not a perplexity a reporting consumer
+    would publish — documented, like tfidf's integer idf.
+
+    Tertile thresholds use the same integer-domain trick as
+    ``length_quantiles``: aggregate to (bits_per_kt, cnt) first, then
+    rank over DISTINCT score values only (bounded domain), never over
+    corpus rows; rank cut = ``floor(q * (N-1)) + 1`` with q = 1/3, 2/3
+    in exact integer form. head <= t1 < middle <= t2 < tail.
+
+    Plan at scale: one map-side-combinable (doc, term) tf agg, one term
+    freq agg, a term-keyed join (AQE broadcasts the vocabulary side when
+    it fits), one doc-keyed sum — then the threshold fold runs over the
+    distinct-score frame (tiny). No corpus sort, no UDF, no driver loop
+    beyond the 2-scalar threshold fold every corpus stat uses.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("_t"))
+    bits = freq.crossJoin(F.broadcast(total)).select(
+        "term",
+        (F.length(F.bin(F.expr("_t div freq"))) - F.lit(1))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    scored = (
+        tf.join(bits, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("bits")).alias("lm_bits"),
+        )
+        .withColumn(
+            "bits_per_kt",
+            F.expr("CAST(lm_bits * 1000 div n_tok AS BIGINT)"),
+        )
+    )
+    counts = scored.groupBy("bits_per_kt").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bits_per_kt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    n = counts.agg(F.sum("cnt").alias("_n"))
+    thr = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(_n - 1) div 3 + 1"),
+                    F.col("bits_per_kt"),
+                )
+            ).alias("_t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("2 * (_n - 1) div 3 + 1"),
+                    F.col("bits_per_kt"),
+                )
+            ).alias("_t2"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tok",
+        "lm_bits",
+        "bits_per_kt",
+        F.when(F.col("bits_per_kt") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("bits_per_kt") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    """One merge-round of BPE training: weighted adjacent-symbol-pair
+    frequencies over the corpus word-frequency table (symbols start as
+    single characters, so an adjacent pair IS a 2-char substring), cut
+    to the top-``k`` merge candidates under the (n DESC, pair ASC)
+    total order — the candidate table the reference-world subword-nmt
+    `get_stats` step produces before each merge.
+
+    Plan at scale: word frequencies are one map-side-combinable agg
+    (vocabulary-sized output, NOT corpus-sized); pair explosion runs
+    over the word TYPES weighted by freq — corpus length never touches
+    the pair stage. The global cut reuses kth_score_threshold so no
+    unpartitioned window sees the full pair table.
+    """
+    from dygiepp_spark.operators.pruning import kth_score_threshold
+    from pyspark.sql import Window
+
+    wf = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "f",
+    ).groupBy("pair").agg(F.sum("f").alias("n"))
+    thr = kth_score_threshold(pairs, "n", k)
+    surv = pairs.join(
+        F.broadcast(thr), on=F.col("n") >= F.col("_thr"), how="inner"
+    ).drop("_thr")
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("pair", "n", (F.col("_rn") - 1).cast("int").alias("rank"))
+    )
+
+
+def bpe_train(df: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Greedy BPE merge learning (subword-nmt semantics): repeatedly pick
+    the most frequent adjacent symbol pair (ties -> lexicographically
+    smallest joined pair) and merge its occurrences left-to-right in
+    every word. Returns the learned merge list.
+
+    Distributed shape: the corpus collapses to the word-TYPE frequency
+    table once (one map-side-combinable agg); every round is then a
+    pair-count agg over word types + ONE collected row (the argmax — a
+    1-row scalar fold per round, the same driver-side shape every
+    reference BPE trainer has) + a JVM regexp merge pass. Words are
+    carried space-joined; the merge regex uses non-consuming lookarounds
+    so overlapping runs merge left-to-right exactly like subword-nmt's
+    ``(?<!\\S)a b(?!\\S)`` substitution. localCheckpoint per round keeps
+    the plan linear in rounds (the k-core lesson).
+
+    No oracle twin: iterative argmax-then-rewrite is not one SQL
+    expression; correctness is pinned by a pytest against a pure-Python
+    reference implementation on the same corpus.
+    """
+    wf = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            F.concat_ws(" ", F.split(F.col("w"), "(?!^)(?=.)")).alias("sym"),
+            "f",
+        )
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            wf.select(F.split(F.col("sym"), " ").alias("arr"), "f")
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1),"
+                        " i -> concat(element_at(arr, i), ' ',"
+                        " element_at(arr, i + 1)))"
+                    )
+                ).alias("pair"),
+                "f",
+            )
+            .groupBy("pair")
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ", 1)
+        merges.append((a, b))
+        pat = "(?<= )\\Q" + a + "\\E \\Q" + b + "\\E(?= )"
+        wf = wf.select(
+            F.trim(
+                F.regexp_replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    pat,
+                    # lookarounds leave the surrounding spaces in place —
+                    # the replacement is the bare joined symbol
+                    (a + b).replace("\\", "\\\\").replace("$", "\\$"),
+                )
+            ).alias("sym"),
+            "f",
+        ).localCheckpoint()
+    return merges
+
+
+def source_mix(df: DataFrame, text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Training-data mixture weighting over the corpus' source labels:
+    per-source document/token counts, the natural token share, and the
+    temperature-smoothed sampling mixture w_i ∝ p_i^0.5 (the standard
+    alpha-smoothing that up-weights small sources, alpha fixed at 1/2 so
+    the power is ``sqrt`` — IEEE-754 correctly rounded in BOTH engines,
+    unlike ``pow(x, 0.7)``, and floored to BIGINT so every downstream
+    number stays integer-exact). Shares are parts-per-million via BIGINT
+    floor division.
+
+    Output: (source, n_docs, n_tok, natural_ppm, weight, mix_ppm).
+
+    Plan at scale: ONE map-side-combinable agg over the corpus keyed by
+    source; everything after runs on the source dimension (broadcast
+    scalar folds). The skew story is the agg's: partial aggregation
+    absorbs a dominant source map-side.
+    """
+    per_src = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col(text_col)))).alias("n_tok"),
+        )
+        .withColumn(
+            "weight", F.floor(F.sqrt(F.col("n_tok"))).cast("bigint")
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tok").alias("_t"), F.sum("weight").alias("_w")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tok",
+        F.expr("CAST(n_tok * 1000000 div _t AS BIGINT)").alias("natural_ppm"),
+        "weight",
+        F.expr("CAST(weight * 1000000 div _w AS BIGINT)").alias("mix_ppm"),
+    )

@@ -469,3 +469,70 @@ def pagerank_weighted(agg_edges: DataFrame, iterations: int = 3) -> DataFrame:
             (base + F.coalesce(F.col("s"), F.lit(0).cast("bigint"))).alias("rank"),
         )
     return ranks
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected KG: every node starts labeled with its own id; each round
+    every node adopts the label carried by the most of its neighbors,
+    ties broken toward the SMALLEST label — a deterministic total order,
+    so the bounded-round result is bit-identical on any engine (the
+    GraphX/GraphFrames LPA is the same recurrence with random tie
+    breaks; determinism is what makes this one oracle-checkable).
+
+    Output (node_id, label) after ``rounds`` synchronous updates; nodes
+    whose neighborhood is empty (none here — nodes come FROM edges) keep
+    their label via the left join. Like :func:`kcore`, ``rounds`` is a
+    fixed knob so the DuckDB twin can unroll the identical recurrence;
+    production runs loop until the label frame stops changing (same
+    subtract-count convergence probe as near_dup_groups).
+
+    Scale shape per round: ONE shuffle — edges join labels on src
+    (broadcastable once communities are the dim side; label frame is
+    (node, label) rows), then a (dst, label)-keyed count agg with
+    map-side partial aggregation (a celebrity node's million identical
+    neighbor labels collapse before the shuffle), then a per-dst
+    row_number cut. The label frame is localCheckpoint'd per round —
+    the linear-plan lesson the k-core property test taught.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("lo"),
+            F.greatest("subj_id", "obj_id").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.unionByName(
+        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    labels = sym.select(F.col("lo").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("label")
+    )
+    w = Window.partitionBy("node_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=False)
+        msgs = sym.join(
+            labels.withColumnRenamed("node_id", "lo"), "lo"
+        ).select(F.col("hi").alias("node_id"), "label")
+        votes = msgs.groupBy("node_id", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        new = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(new, "node_id", "left")
+            .select(
+                "node_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    return labels

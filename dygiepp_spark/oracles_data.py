@@ -1320,3 +1320,107 @@ SELECT id_a, id_b, cont_a_in_b, cont_b_in_a, jaccard FROM (
     JOIN sets sb ON sb.id = c.id_b
 )
 WHERE cont_a_in_b >= {thresh} OR cont_b_in_a >= {thresh}"""
+
+
+def lm_score_oracle() -> str:
+    """Twin of functions.text.lm_score: integer floor-log2 surprisal
+    (length(bin(T div freq)) - 1 — valid because floor(log2(x)) ==
+    floor(log2(floor(x))) for x >= 1), BIGINT bits_per_kt, tertile cuts
+    at the exact-integer ranks (N-1)//3 + 1 and 2*(N-1)//3 + 1 over the
+    distinct-score domain. DuckDB SUM widens to HUGEINT — cast back."""
+    return f"""
+WITH tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_DTOKS}) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY 1, 2
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+tt AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM freq),
+bits AS (
+    SELECT term,
+           CAST(length(bin((SELECT t FROM tt) // freq)) - 1 AS BIGINT)
+               AS bits
+    FROM freq
+),
+scored AS (
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tok,
+           CAST(sum(tf * bits) AS BIGINT) AS lm_bits
+    FROM tf JOIN bits USING (term) GROUP BY 1
+),
+s2 AS (
+    SELECT *, CAST(lm_bits * 1000 // n_tok AS BIGINT) AS bits_per_kt
+    FROM scored
+),
+counts AS (SELECT bits_per_kt, count(*) AS cnt FROM s2 GROUP BY 1),
+cum AS (
+    SELECT bits_per_kt, sum(cnt) OVER (ORDER BY bits_per_kt) AS cum
+    FROM counts
+),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+thr AS (
+    SELECT
+        min(CASE WHEN cum >= ((SELECT n FROM n) - 1) // 3 + 1
+                 THEN bits_per_kt END) AS t1,
+        min(CASE WHEN cum >= 2 * ((SELECT n FROM n) - 1) // 3 + 1
+                 THEN bits_per_kt END) AS t2
+    FROM cum
+)
+SELECT doc_id, n_tok, lm_bits, bits_per_kt,
+       CASE WHEN bits_per_kt <= (SELECT t1 FROM thr) THEN 'head'
+            WHEN bits_per_kt <= (SELECT t2 FROM thr) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s2"""
+
+
+def bpe_pairs_oracle(k: int = 50) -> str:
+    """Twin of functions.text.bpe_pair_counts: word-type frequencies,
+    adjacent 2-char substrings weighted by word freq, (n DESC, pair ASC)
+    row_number cut."""
+    return f"""
+WITH wt AS (SELECT unnest({_DTOKS}) AS w FROM documents),
+wf AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS f
+    FROM wt GROUP BY 1 HAVING length(w) >= 2
+),
+pairs AS (
+    SELECT substring(w, CAST(i AS INT), 2) AS pair, f
+    FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+),
+pc AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY 1),
+ranked AS (
+    SELECT pair, n,
+           row_number() OVER (ORDER BY n DESC, pair ASC) AS rn
+    FROM pc
+)
+SELECT pair, n, CAST(rn - 1 AS INT) AS rank FROM ranked WHERE rn <= {k}"""
+
+
+def source_mix_oracle() -> str:
+    """Twin of functions.text.source_mix: per-source token totals,
+    floor(sqrt) alpha=1/2 smoothing weight, ppm shares via BIGINT floor
+    division."""
+    return f"""
+WITH per AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_DTOKS})) AS BIGINT) AS n_tok
+    FROM documents GROUP BY 1
+),
+pw AS (
+    SELECT *, CAST(floor(sqrt(n_tok)) AS BIGINT) AS weight FROM per
+),
+tot AS (
+    SELECT CAST(sum(n_tok) AS BIGINT) AS t,
+           CAST(sum(weight) AS BIGINT) AS w
+    FROM pw
+)
+SELECT source, n_docs, n_tok,
+       CAST(n_tok * 1000000 // (SELECT t FROM tot) AS BIGINT)
+           AS natural_ppm,
+       weight,
+       CAST(weight * 1000000 // (SELECT w FROM tot) AS BIGINT) AS mix_ppm
+FROM pw"""

@@ -1976,3 +1976,36 @@ r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
 )""")
         prev = f"r{i}"
     return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, pr FROM {prev}"
+
+
+def lpa_oracle(rounds: int = 4) -> str:
+    """Twin of graph.lpa_communities: synchronous min-tie label
+    propagation over the undirected linked-KG edge list, unrolled to
+    ``rounds`` levels exactly like pagerank_oracle. Deterministic: the
+    per-node winner is the (count DESC, label ASC) row_number minimum."""
+    head = f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+sym AS (SELECT lo, hi FROM und UNION ALL SELECT hi AS lo, lo AS hi FROM und),
+l0 AS (SELECT DISTINCT lo AS node_id, lo AS label FROM sym)"""
+    levels = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        levels.append(f"""l{i} AS (
+    SELECT p.node_id, COALESCE(nl.new_label, p.label) AS label
+    FROM {prev} p LEFT JOIN (
+        SELECT node_id, label AS new_label FROM (
+            SELECT s.hi AS node_id, r.label, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY s.hi
+                       ORDER BY count(*) DESC, r.label ASC) AS rn
+            FROM sym s JOIN {prev} r ON s.lo = r.node_id
+            GROUP BY s.hi, r.label
+        ) WHERE rn = 1
+    ) nl ON p.node_id = nl.node_id
+)""")
+        prev = f"l{i}"
+    return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, label FROM {prev}"

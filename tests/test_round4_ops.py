@@ -298,6 +298,7 @@ def test_registry_invariants():
         "streaming_asof", "streaming_sessions",
         "ie_eval_partial", "ie_eval_firsttok", "accept_rate_filtered",
         "human_eval_sheet", "human_eval_scores", "semantic_dedup",
+        "lm_score", "bpe_pairs", "source_mix", "lpa_communities",
         "eval_grid", "grid_best_cell",
     }
     out = must_be_in_window - set(window)

@@ -308,3 +308,122 @@ def test_domain_stats_repeat_citer_counts_tokens_once(spark):
     r = out[0]
     # 5 whitespace tokens, cited twice: tokens counted per citing DOC
     assert (r["n_docs"], r["n_mentions"], r["total_doc_tokens"]) == (1, 2, 5)
+
+
+# ------------------------------------------------- late-round-5 operators
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed BPE trainer must learn the exact merge sequence of
+    a pure-Python subword-nmt-style reference (freq-desc, pair-asc ties,
+    left-to-right greedy application) on the same corpus."""
+    from dygiepp_spark.functions.text import bpe_train
+
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest newest newest",
+        "newest newest widest widest widest",
+        "low lower newest widest",
+    ]
+
+    def py_bpe(texts, n_merges):
+        from collections import Counter
+
+        wf = Counter()
+        for t in texts:
+            for w in t.split():
+                wf[tuple(w)] += 1
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for sym, f in wf.items():
+                for i in range(len(sym) - 1):
+                    pairs[(sym[i], sym[i + 1])] += f
+            if not pairs:
+                break
+            # max count, ties -> smallest "a b" string (the engine order)
+            best = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+            merges.append(best)
+            new_wf = Counter()
+            for sym, f in wf.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (
+                        i < len(sym) - 1
+                        and (sym[i], sym[i + 1]) == best
+                    ):
+                        out.append(sym[i] + sym[i + 1])
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                new_wf[tuple(out)] += f
+            wf = new_wf
+        return merges
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_train(df, n_merges=6)
+    want = py_bpe(corpus, 6)
+    assert got == want, f"{got} != {want}"
+
+
+def test_bpe_pair_counts_weights_by_word_freq(spark):
+    from dygiepp_spark.functions.text import bpe_pair_counts
+
+    # "ab ab ab cd" -> pair 'ab' n=3, 'cd' n=1; single-char words ignored
+    df = spark.createDataFrame([("ab ab ab cd x",)], "text string")
+    rows = {r["pair"]: (r["n"], r["rank"]) for r in bpe_pair_counts(df, k=5).collect()}
+    assert rows == {"ab": (3, 0), "cd": (1, 1)}
+
+
+def test_lpa_finds_two_communities(spark):
+    """Two triangles joined by one bridge edge: LPA with min-label ties
+    must converge to one label per triangle (the bridge can't outvote
+    two in-triangle neighbors)."""
+    from dygiepp_spark.operators.graph import lpa_communities
+
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    bridge = [("a3", "b1")]
+    edges = spark.createDataFrame(
+        [(s, "p", o) for s, o in tri1 + tri2 + bridge],
+        "subj_id string, pred string, obj_id string",
+    )
+    out = {r["node_id"]: r["label"] for r in lpa_communities(edges, rounds=6).collect()}
+    assert set(out[n] for n in ("a1", "a2", "a3")) == {"a1"}
+    # the b-triangle converges to ONE label of its own — two in-triangle
+    # votes always beat the single bridge vote
+    b_labels = set(out[n] for n in ("b1", "b2", "b3"))
+    assert len(b_labels) == 1 and b_labels != {"a1"}
+
+
+def test_lm_score_buckets_order_by_surprisal(spark):
+    """head docs must carry <= bits_per_kt than middle, middle <= tail,
+    and common-word docs land in head (low surprisal)."""
+    from dygiepp_spark.functions.text import lm_score
+
+    common = " ".join(["the"] * 20)
+    mixed = "the the the rare1 rare2 " * 4
+    rare = "zeta1 zeta2 zeta3 zeta4 zeta5"
+    df = spark.createDataFrame(
+        [(0, common), (1, mixed), (2, rare)], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_score(df).collect()}
+    assert rows[0]["bucket"] == "head"
+    assert rows[2]["bucket"] == "tail"
+    assert (
+        rows[0]["bits_per_kt"] <= rows[1]["bits_per_kt"] <= rows[2]["bits_per_kt"]
+    )
+
+
+def test_source_mix_flattens_toward_small_sources(spark):
+    """alpha=1/2 smoothing must give the minority source a mix share
+    ABOVE its natural share and the majority source one below."""
+    from dygiepp_spark.functions.text import source_mix
+
+    rows = [(i, "w " * 100, "big") for i in range(9)] + [(99, "w " * 100, "small")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in source_mix(df).collect()}
+    assert out["small"]["mix_ppm"] > out["small"]["natural_ppm"]
+    assert out["big"]["mix_ppm"] < out["big"]["natural_ppm"]
+    assert out["big"]["n_tok"] == 900 and out["small"]["n_tok"] == 100
