@@ -1311,6 +1311,31 @@ def q_source_mix(spark, sf_dir):
     return TX.source_mix(_docs(spark, sf_dir))
 
 
+def q_intra_dedup(spark, sf_dir):
+    """Intra-document block dedup (RefinedWeb line-dedup adapted to
+    delimiter-less text): keep-first over 8-token blocks + cleaned text."""
+    return DD.intra_doc_dedup(_docs(spark, sf_dir), block=8)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic token-budget shard packing via the two-level scan
+    (bucket-partitioned cumsum + bounded bucket-dim prefix)."""
+    return TX.pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style hashed-unigram importance weights (target = lang='en'),
+    integer floor-log2 surprisal difference."""
+    return TX.dsir_weights(_docs(spark, sf_dir))
+
+
+def q_kg_components(spark, sf_dir):
+    """Connected components over the linked KG (bounded min-label rounds
+    — the oracle-checkable twin of the pointer-doubling production CC)."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.kg_components(edges, rounds=6)
+
+
 def q_lpa_communities(spark, sf_dir):
     """Synchronous min-tie label-propagation communities over the linked
     KG (bounded rounds — the deterministic, oracle-checkable LPA)."""
@@ -1323,11 +1348,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies the FIRST 50 entries. The round-5 window (the rotation plan
     VERDICT r4 #1 prescribed): (a) the 16 queries added at the round-4
     tail, which have local parity evidence but no driver row yet —
-    front-loaded so they finally earn one; (b) the 10 queries NEW this
+    front-loaded so they finally earn one; (b) the 14 queries NEW this
     round (incl. the late-round lm_score / bpe_pairs / source_mix /
-    lpa_communities, which displace the newest four (d) rows —
-    event_f1_4way, baseline_srl, csv_ingest, json_ingest — to the top
-    of the tail); (c) the 3 queries whose chains changed this round (eval_grid
+    lpa_communities / intra_dedup / pack_sequences / dsir_weights /
+    kg_components, which displace the newest eight (d) rows —
+    event_f1_4way, baseline_srl, csv_ingest, json_ingest, conv_stats,
+    sessions, streaming_dedup, ie_errors — to the top of the tail);
+    (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
     chain); (d) the 25 OLDEST green rows — queries whose last driver row
@@ -1370,6 +1397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "source_mix": q_source_mix,
         "lpa_communities": q_lpa_communities,
+        "intra_dedup": q_intra_dedup,
+        "pack_sequences": q_pack_sequences,
+        "dsir_weights": q_dsir_weights,
+        "kg_components": q_kg_components,
         # (c) chains changed in round 5
         "eval_grid": q_eval_grid,
         "grid_best_cell": q_grid_best_cell,
@@ -1393,13 +1424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
         "decontam": q_decontam,
+        # ---- tail: beyond the 50-query harness window ----
+        # displaced from (d) by the eight late-round-5 queries above —
+        # their r3 rows stand, chains unchanged, full-parity green
         "conv_stats": q_conv_stats,
         "sessions": q_sessions,
         "streaming_dedup": q_streaming_dedup,
         "ie_errors": q_ie_errors,
-        # ---- tail: beyond the 50-query harness window ----
-        # displaced from (d) by the four late-round-5 queries above —
-        # their r3 rows stand, chains unchanged, full-parity green
         "event_f1_4way": q_event_f1_4way,
         "baseline_srl": q_baseline_srl,
         "csv_ingest": q_csv_ingest,
@@ -1618,4 +1649,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": oracles_data.bpe_pairs_oracle(k=50),
         "source_mix": oracles_data.source_mix_oracle(),
         "lpa_communities": oracles_kg.lpa_oracle(rounds=4),
+        "intra_dedup": oracles_data.intra_dedup_oracle(block=8),
+        "pack_sequences": oracles_data.pack_sequences_oracle(budget=2048),
+        "dsir_weights": oracles_data.dsir_weights_oracle(),
+        "kg_components": oracles_kg.kg_components_oracle(rounds=6),
     }

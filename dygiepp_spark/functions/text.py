@@ -714,3 +714,137 @@ def source_mix(df: DataFrame, text_col: str = "text",
         "weight",
         F.expr("CAST(weight * 1000000 div _w AS BIGINT)").alias("mix_ppm"),
     )
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048,
+                   n_buckets: int = 1024,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-shard packing: lay documents end-to-end in
+    ``id_col`` order and assign each to the fixed token-budget pack its
+    START offset falls in (docs may straddle a boundary — the loader's
+    usual contract; pack_offset says where inside the pack the doc
+    begins). Output (doc_id, n_tok, g_offset, pack_id, pack_offset).
+
+    The global running offset is the classic two-level scan, shaped so
+    NO window ever sees corpus rows unpartitioned: docs hash to a FIXED
+    number of order-preserving buckets (``doc_id div width`` with width
+    from one max() scalar fold), the intra-bucket cumsum is a window
+    PARTITIONED by bucket, and the cross-bucket prefix is a running sum
+    over the bucket totals — a frame bounded by ``n_buckets`` (1024)
+    at ANY corpus size, the same bounded-domain discipline as
+    length_quantiles. One bucket-keyed shuffle over the corpus total.
+    """
+    from pyspark.sql import Window
+
+    lens = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("n_tok"),
+    )
+    mx = lens.agg(F.max("doc_id").alias("_mx"))
+    b = lens.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"doc_id div ((_mx + {n_buckets}) div {n_buckets})")
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    totals = b.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = totals.withColumn(
+        "bprefix", F.sum("btot").over(w_b) - F.col("btot")
+    ).select("bucket", "bprefix")
+    return (
+        local.join(F.broadcast(prefix), "bucket")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("bprefix") + F.col("local_cum") - F.col("n_tok"))
+            .alias("g_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "g_offset",
+            F.expr(f"g_offset div {budget}").cast("bigint").alias("pack_id"),
+            (F.col("g_offset") % budget).cast("bigint").alias("pack_offset"),
+        )
+    )
+
+
+#: DSIR hashed-feature dimensionality (Xie et al. 2023 use 10^4; a fixed
+#: power of two keeps the bucket dim broadcast-trivial at any scale)
+DSIR_BUCKETS = 4096
+
+
+def dsir_weights(df: DataFrame, target_filter: Column | None = None,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style data-selection importance weights (hashed n-gram
+    variant of Xie et al. 2023): score every document by how much more
+    likely its tokens are under the TARGET distribution (rows matching
+    ``target_filter``; default ``lang = 'en'``) than under the RAW
+    corpus distribution. Tokens hash into ``DSIR_BUCKETS`` fixed
+    buckets (portable hash60 mod), add-1 smoothed.
+
+    Integer-exact like lm_score: per-bucket surprisal is the integer
+    ``floor(log2(T div c))`` (length(bin(..)) - 1), and the document
+    weight is ``dsir_bits = Σ tf * (bits_raw - bits_target)`` — POSITIVE
+    means the doc looks more target-like than the corpus average (the
+    raw distribution assigns it more surprisal than the target one), so
+    selection = the top of the dsir_bits ordering. Coarse whole-bit
+    resolution, same documented tradeoff as lm_score's.
+
+    Plan at scale: one (doc, bucket) tf agg + two bucket-dim aggs
+    (4096 rows each — broadcast dims), one broadcast join back, one
+    doc-keyed sum. The smoothing domain is the set of buckets observed
+    in the raw corpus (identical in both engines by construction).
+    """
+    if target_filter is None:
+        target_filter = F.col("lang") == "en"
+    tok = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        target_filter.alias("is_tgt"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        (hash60(F.col("term")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    tf = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    per_bucket = tok.groupBy("bucket").agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("c_raw"),
+        (F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)) + F.lit(1)).alias(
+            "c_tgt"
+        ),
+    )
+    tots = per_bucket.agg(
+        F.sum("c_raw").alias("_tr"), F.sum("c_tgt").alias("_tt")
+    )
+    bits = per_bucket.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (F.length(F.bin(F.expr("_tr div c_raw"))) - 1)
+        .cast("bigint")
+        .alias("bits_raw"),
+        (F.length(F.bin(F.expr("_tt div c_tgt"))) - 1)
+        .cast("bigint")
+        .alias("bits_tgt"),
+    )
+    return (
+        tf.join(bits, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(
+                F.col("tf") * (F.col("bits_raw") - F.col("bits_tgt"))
+            ).alias("dsir_bits"),
+        )
+    )

@@ -35,6 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from dygiepp_spark.functions.hashing import hash60, hash_family_from
+from dygiepp_spark.functions.text import tokens_col
 
 #: LSH structure: N_BANDS bands x ROWS_PER_BAND minhash rows.
 N_BANDS = 16
@@ -608,4 +609,65 @@ def containment_pairs(chunks: DataFrame, thresh: float = 0.4) -> DataFrame:
     )
     return out.filter(
         (F.col("cont_a_in_b") >= thresh) | (F.col("cont_b_in_a") >= thresh)
+    )
+
+
+def intra_doc_dedup(df: DataFrame, block: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Intra-document dedup (the RefinedWeb/Gopher line-dedup rule,
+    adapted to delimiter-less text): split each document into consecutive
+    ``block``-token blocks, KEEP the first occurrence of every distinct
+    block, drop repeats, and re-emit the cleaned text plus the kept/total
+    ratio inputs. Output (doc_id, n_blocks, n_kept, text_dedup).
+
+    Cross-doc near-dup is the LSH family's job; this is the REWRITING
+    intra-doc pass that strips boilerplate a document repeats internally
+    (nav bars, quoted loops in agent transcripts) before token budgeting.
+
+    Plan at scale: block explosion is corpus-linear; the keep-first cut
+    is a window PARTITIONED by (doc_id, block) — never unpartitioned —
+    and the reassembly is one doc-keyed agg whose collect_list holds one
+    document's blocks (bounded by doc length, the same per-doc state
+    every assembly op carries). Empty docs are dropped (no blocks).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("arr"),
+    ).filter(F.size("arr") >= 1)
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(arr) / {block}.0) AS INT)"
+                f" - 1), i -> concat_ws(' ', slice(arr, i * {block} + 1,"
+                f" {block})))"
+            )
+        ).alias("pos", "blk"),
+    )
+    w = Window.partitionBy("doc_id", "blk").orderBy("pos")
+    marked = blocks.withColumn("_rn", F.row_number().over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") == 1, F.struct("pos", "blk")
+                    )
+                )
+            ).alias("_ks"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_kept",
+            F.concat_ws(
+                " ", F.expr("transform(_ks, x -> x.blk)")
+            ).alias("text_dedup"),
+        )
     )

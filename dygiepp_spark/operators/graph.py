@@ -471,6 +471,30 @@ def pagerank_weighted(agg_edges: DataFrame, iterations: int = 3) -> DataFrame:
     return ranks
 
 
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edge list symmetrized to (lo, hi) in both
+    directions, self-loops dropped, lineage-truncated — the shared input
+    frame of the label-propagation family (LPA, components)."""
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("lo"),
+            F.greatest("subj_id", "obj_id").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return und.unionByName(
+        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+
+
+def _self_labels(sym: DataFrame) -> DataFrame:
+    return sym.select(F.col("lo").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("label")
+    )
+
+
 def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
     """Community detection by synchronous label propagation over the
     undirected KG: every node starts labeled with its own id; each round
@@ -497,21 +521,8 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    und = (
-        edges.select(
-            F.least("subj_id", "obj_id").alias("lo"),
-            F.greatest("subj_id", "obj_id").alias("hi"),
-        )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sym = und.unionByName(
-        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
-    )
-    labels = sym.select(F.col("lo").alias("node_id")).distinct().select(
-        "node_id", F.col("node_id").alias("label")
-    )
+    sym = _sym_edges(edges)
+    labels = _self_labels(sym)
     w = Window.partitionBy("node_id").orderBy(
         F.col("n").desc(), F.col("label").asc()
     )
@@ -535,4 +546,90 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
                 F.coalesce("new_label", "label").alias("label"),
             )
         )
+    return labels
+
+
+def kg_components(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Connected components over the undirected KG by bounded-round
+    min-label propagation: every node starts labeled with its own id and
+    repeatedly takes the MIN of its own and its neighbors' labels — after
+    ``rounds`` passes every node within ``rounds`` hops of its
+    component's minimum carries that minimum. The bounded knob exists for
+    the unrollable DuckDB twin (gold_transitive precedent); the
+    production path is the pointer-doubling CC in
+    operators.compaction.near_dup_groups, which converges in O(log D)
+    rounds instead of O(D) — this operator is the oracle-checkable
+    recurrence, near_dup_groups is what the 100 TB DAG runs.
+
+    Per round: ONE join (edges x labels on src) + a min agg keyed by
+    node — map-side combinable, so a celebrity node's neighbor labels
+    collapse before the shuffle. localCheckpoint per round (linear plan).
+    """
+    sym = _sym_edges(edges)
+    labels = _self_labels(sym)
+    for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=False)
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node_id", "lo"), "lo")
+            .groupBy(F.col("hi").alias("node_id"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    "label", F.coalesce("nbr", "label")
+                ).alias("label"),
+            )
+        )
+    return labels
+
+
+def lpa_fixpoint(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Production LPA: propagate until the label frame stops changing
+    (subtract-count convergence probe per round, the near_dup_groups
+    pattern), bounded by ``max_rounds`` as a livelock guard — synchronous
+    LPA can oscillate 2-cycles on bipartite structures, which the guard
+    absorbs by returning the current frame. :func:`lpa_communities` is
+    the bounded-round parity twin; this is what --with-analytics runs.
+    """
+    from pyspark.sql import Window
+
+    sym = _sym_edges(edges)
+    labels = _self_labels(sym)
+    w = Window.partitionBy("node_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(max_rounds):
+        labels = labels.localCheckpoint(eager=False)
+        msgs = sym.join(
+            labels.withColumnRenamed("node_id", "lo"), "lo"
+        ).select(F.col("hi").alias("node_id"), "label")
+        votes = msgs.groupBy("node_id", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        new_labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node_id", F.col("label").alias("new_label"))
+        )
+        nxt = (
+            labels.join(new_labels, "node_id", "left")
+            .select(
+                "node_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            nxt.join(
+                labels.withColumnRenamed("label", "old"), "node_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
     return labels

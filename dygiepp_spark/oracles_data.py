@@ -1424,3 +1424,114 @@ SELECT source, n_docs, n_tok,
        weight,
        CAST(weight * 1000000 // (SELECT w FROM tot) AS BIGINT) AS mix_ppm
 FROM pw"""
+
+
+def intra_dedup_oracle(block: int = 8) -> str:
+    """Twin of dedup.intra_doc_dedup: consecutive block-token windows,
+    keep-first via (doc_id, blk)-partitioned row_number, ordered
+    string_agg reassembly."""
+    return f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_DTOKS} AS arr
+    FROM documents WHERE len({_DTOKS}) >= 1
+),
+blocks AS (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           array_to_string(arr[(i*{block}+1):(i*{block}+{block})], ' ') AS blk
+    FROM t, unnest(range(0, CAST(ceil(len(arr) / {block}.0) AS INT))) AS u(i)
+),
+marked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, blk ORDER BY pos) AS rn
+    FROM blocks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY pos),
+                '') AS text_dedup
+FROM marked GROUP BY doc_id"""
+
+
+def pack_sequences_oracle(budget: int = 2048, n_buckets: int = 1024) -> str:
+    """Twin of functions.text.pack_sequences: order-preserving bucketing
+    from one max() fold, bucket-partitioned local cumsum, running prefix
+    over the bucket dim, BIGINT pack arithmetic."""
+    return f"""
+WITH lens AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len({_DTOKS}) AS BIGINT) AS n_tok
+    FROM documents
+),
+mx AS (SELECT max(doc_id) AS mx FROM lens),
+b AS (
+    SELECT doc_id, n_tok,
+           doc_id // (((SELECT mx FROM mx) + {n_buckets}) // {n_buckets})
+               AS bucket
+    FROM lens
+),
+local AS (
+    SELECT *, CAST(sum(n_tok) OVER (
+        PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS local_cum
+    FROM b
+),
+totals AS (SELECT bucket, CAST(sum(n_tok) AS BIGINT) AS btot FROM b GROUP BY 1),
+prefix AS (
+    SELECT bucket,
+           CAST(sum(btot) OVER (ORDER BY bucket) - btot AS BIGINT) AS bprefix
+    FROM totals
+),
+j AS (
+    SELECT l.doc_id, l.n_tok,
+           CAST(bprefix + local_cum - l.n_tok AS BIGINT) AS g_offset
+    FROM local l JOIN prefix USING (bucket)
+)
+SELECT doc_id, n_tok, g_offset,
+       CAST(g_offset // {budget} AS BIGINT) AS pack_id,
+       CAST(g_offset % {budget} AS BIGINT) AS pack_offset
+FROM j"""
+
+
+def dsir_weights_oracle(n_buckets: int = 4096) -> str:
+    """Twin of functions.text.dsir_weights: hash60-bucketed token
+    features, add-1 smoothing over the observed-bucket domain, integer
+    floor-log2 surprisal difference (raw - target)."""
+    return f"""
+WITH raw_tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang = 'en' AS is_tgt,
+           unnest({_DTOKS}) AS term
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, is_tgt,
+           (('0x' || substr(md5(term), 1, 15))::BIGINT) % {n_buckets}
+               AS bucket
+    FROM raw_tok
+),
+tf AS (
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY 1, 2
+),
+pb AS (
+    SELECT bucket,
+           CAST(count(*) + 1 AS BIGINT) AS c_raw,
+           CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS c_tgt
+    FROM tok GROUP BY 1
+),
+tots AS (
+    SELECT CAST(sum(c_raw) AS BIGINT) AS tr,
+           CAST(sum(c_tgt) AS BIGINT) AS tt
+    FROM pb
+),
+bits AS (
+    SELECT bucket,
+           CAST(length(bin((SELECT tr FROM tots) // c_raw)) - 1 AS BIGINT)
+               AS bits_raw,
+           CAST(length(bin((SELECT tt FROM tots) // c_tgt)) - 1 AS BIGINT)
+               AS bits_tgt
+    FROM pb
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tok,
+       CAST(sum(tf * (bits_raw - bits_tgt)) AS BIGINT) AS dsir_bits
+FROM tf JOIN bits USING (bucket) GROUP BY 1"""

@@ -2009,3 +2009,30 @@ l0 AS (SELECT DISTINCT lo AS node_id, lo AS label FROM sym)"""
 )""")
         prev = f"l{i}"
     return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, label FROM {prev}"
+
+
+def kg_components_oracle(rounds: int = 6) -> str:
+    """Twin of graph.kg_components: bounded-round min-label propagation
+    over the undirected linked-KG edges, unrolled like lpa_oracle."""
+    head = f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+sym AS (SELECT lo, hi FROM und UNION ALL SELECT hi AS lo, lo AS hi FROM und),
+c0 AS (SELECT DISTINCT lo AS node_id, lo AS label FROM sym)"""
+    levels = []
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        levels.append(f"""c{i} AS (
+    SELECT p.node_id,
+           least(p.label, COALESCE(nm.nbr, p.label)) AS label
+    FROM {prev} p LEFT JOIN (
+        SELECT s.hi AS node_id, min(r.label) AS nbr
+        FROM sym s JOIN {prev} r ON s.lo = r.node_id
+        GROUP BY s.hi
+    ) nm ON p.node_id = nm.node_id
+)""")
+        prev = f"c{i}"
+    return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, label FROM {prev}"

@@ -299,6 +299,7 @@ def test_registry_invariants():
         "ie_eval_partial", "ie_eval_firsttok", "accept_rate_filtered",
         "human_eval_sheet", "human_eval_scores", "semantic_dedup",
         "lm_score", "bpe_pairs", "source_mix", "lpa_communities",
+        "intra_dedup", "pack_sequences", "dsir_weights", "kg_components",
         "eval_grid", "grid_best_cell",
     }
     out = must_be_in_window - set(window)

@@ -427,3 +427,56 @@ def test_source_mix_flattens_toward_small_sources(spark):
     assert out["small"]["mix_ppm"] > out["small"]["natural_ppm"]
     assert out["big"]["mix_ppm"] < out["big"]["natural_ppm"]
     assert out["big"]["n_tok"] == 900 and out["small"]["n_tok"] == 100
+
+
+def test_intra_doc_dedup_strips_repeated_blocks(spark):
+    from dygiepp_spark.operators.dedup import intra_doc_dedup
+
+    blk_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    blk_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    text = " ".join([blk_a, blk_b, blk_a, blk_a])  # a repeated 3x
+    df = spark.createDataFrame([(7, text)], "doc_id bigint, text string")
+    r = intra_doc_dedup(df, block=8).collect()[0]
+    assert (r["n_blocks"], r["n_kept"]) == (4, 2)
+    assert r["text_dedup"] == f"{blk_a} {blk_b}"
+
+
+def test_pack_sequences_offsets_are_end_to_end(spark):
+    from dygiepp_spark.functions.text import pack_sequences
+
+    rows = [(0, "w " * 10), (1, "w " * 5), (2, "w " * 7), (3, "w " * 3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=12).collect()}
+    assert [out[i]["g_offset"] for i in range(4)] == [0, 10, 15, 22]
+    assert [out[i]["pack_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert [out[i]["pack_offset"] for i in range(4)] == [0, 10, 3, 10]
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target (en) vocabulary must score ABOVE docs in
+    the off-target vocabulary — the selection ordering DSIR promises."""
+    from dygiepp_spark.functions.text import dsir_weights
+
+    en = [(i, "alpha beta gamma delta " * 5, "en") for i in range(8)]
+    fr = [(100 + i, "rouge bleu vert jaune " * 5, "fr") for i in range(2)]
+    probe_en = [(200, "alpha beta gamma delta", "fr")]  # en-vocab, fr-labeled
+    df = spark.createDataFrame(
+        en + fr + probe_en, "doc_id bigint, text string, lang string"
+    )
+    out = {r["doc_id"]: r["dsir_bits"] for r in dsir_weights(df).collect()}
+    assert out[200] > out[100], "target-vocab doc must outrank off-target"
+    assert out[0] > out[100]
+
+
+def test_kg_components_two_islands(spark):
+    from dygiepp_spark.operators.graph import kg_components
+
+    tri1 = [("a1", "a2"), ("a2", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3")]
+    edges = spark.createDataFrame(
+        [(s, "p", o) for s, o in tri1 + tri2],
+        "subj_id string, pred string, obj_id string",
+    )
+    out = {r["node_id"]: r["label"] for r in kg_components(edges, rounds=4).collect()}
+    assert all(out[n] == "a1" for n in ("a1", "a2", "a3"))
+    assert all(out[n] == "b1" for n in ("b1", "b2", "b3"))
