@@ -151,6 +151,12 @@ BENCH_QUERIES = {
     # semantic-dedup layer (added r5; the r4 20-query set above is
     # carried forward UNCHANGED so round-over-round sums stay comparable)
     "semantic_dedup",
+    # late-r5 curation/graph wave (new lines, not in any prior sum)
+    "lm_score",
+    "intra_dedup",
+    "pack_sequences",
+    "dsir_weights",
+    "lpa_communities",
 }
 
 if __name__ == "__main__":

@@ -505,8 +505,13 @@ def lm_score(df: DataFrame, text_col: str = "text",
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("term"),
     )
+    # ONE corpus explosion: freq rolls up from the (doc, term) tf frame
+    # (vocabulary x docs rows, map-side combinable) instead of a second
+    # pass over corpus tokens — the shape that matters at 100 TB, where
+    # re-exploding the corpus costs a full scan
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    tf = tf.localCheckpoint(eager=False)
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("freq"))
     total = freq.agg(F.sum("freq").alias("_t"))
     bits = freq.crossJoin(F.broadcast(total)).select(
         "term",
@@ -819,12 +824,17 @@ def dsir_weights(df: DataFrame, target_filter: Column | None = None,
         "is_tgt",
         (hash60(F.col("term")) % DSIR_BUCKETS).alias("bucket"),
     )
-    tf = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    per_bucket = tok.groupBy("bucket").agg(
-        (F.count(F.lit(1)) + F.lit(1)).alias("c_raw"),
-        (F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)) + F.lit(1)).alias(
-            "c_tgt"
-        ),
+    # ONE corpus explosion: is_tgt is constant per doc, so grouping it
+    # into the tf key is free, and the bucket-dim counts roll up from tf
+    # instead of a second corpus pass (same single-scan shape as lm_score)
+    tf3 = tok.groupBy("doc_id", "is_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    tf = tf3.select("doc_id", "bucket", "tf")
+    per_bucket = tf3.groupBy("bucket").agg(
+        (F.sum("tf") + F.lit(1)).alias("c_raw"),
+        (F.sum(F.when(F.col("is_tgt"), F.col("tf")).otherwise(0))
+         + F.lit(1)).alias("c_tgt"),
     )
     tots = per_bucket.agg(
         F.sum("c_raw").alias("_tr"), F.sum("c_tgt").alias("_tt")

@@ -249,4 +249,10 @@ def build_kg_pipeline(
         # bounded-round parity twin
         return GR.kcore_fixpoint(ctx["kg_edges"], k=2)
 
+    @p.stage("kg_communities", enabled=with_analytics)
+    def _communities(ctx):
+        # same fixpoint-vs-parity-twin split as k-core: production LPA
+        # propagates until labels stop changing
+        return GR.lpa_fixpoint(ctx["kg_edges"])
+
     return p

@@ -145,6 +145,7 @@ def test_cli_analytics_phase_appends_graph_tables(spark, sf_dir, tmp_path, capsy
     assert list(stages) == [
         "turns", "mentions", "triples", "kg_edges", "kg_edges_agg",
         "kg_pagerank", "kg_triangles", "kg_negatives", "kg_kcore",
+        "kg_communities",
     ]
     assert stages["kg_pagerank"]["rows"] > 0
     assert stages["kg_negatives"]["rows"] > 0
@@ -155,6 +156,11 @@ def test_cli_analytics_phase_appends_graph_tables(spark, sf_dir, tmp_path, capsy
     kc = spark.read.parquet(os.path.join(wh, "kg_kcore", "data"))
     assert set(kc.columns) == {"node_id", "deg"}
     assert kc.filter(F.col("deg") < 2).count() == 0
+    # fixpoint LPA: every node labeled, labels drawn from the node set
+    lc = spark.read.parquet(os.path.join(wh, "kg_communities", "data"))
+    assert set(lc.columns) == {"node_id", "label"}
+    nodes = {r["node_id"] for r in lc.collect()}
+    assert {r["label"] for r in lc.collect()} <= nodes
 
     assert rp.main(args) == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
