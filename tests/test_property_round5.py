@@ -109,3 +109,135 @@ def test_kcore_fixpoint_matches_sequential_peel(spark, raw, k):
     }
     want = _kcore_py({(u, v) for u, v in raw}, k)
     assert got == want
+
+
+# ---------------------------------------------- late-round-5 operator models
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40),
+                  min_size=1, max_size=24),
+    budget=st.integers(min_value=1, max_value=64),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_running_sum_model(spark, lens, budget):
+    """pack offsets must equal the plain sequential cumsum regardless of
+    how the two-level scan bucketed the ids (incl. sparse ids)."""
+    from dygiepp_spark.functions.text import pack_sequences
+
+    rows = [(i * 3, "w " * n) for i, n in enumerate(lens)]  # sparse doc_ids
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["g_offset"], r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(df, budget=budget, n_buckets=7).collect()}
+    off = 0
+    for i, n in enumerate(lens):
+        assert got[i * 3] == (off, off // budget, off % budget)
+        off += n
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=30),
+        min_size=1, max_size=8,
+    ),
+    block=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_intra_dedup_matches_keep_first_model(spark, docs, block):
+    from dygiepp_spark.operators.dedup import intra_doc_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in intra_doc_dedup(df, block=block).collect()}
+    for i, toks in enumerate(docs):
+        blocks = [" ".join(toks[j:j + block])
+                  for j in range(0, len(toks), block)]
+        seen, kept = set(), []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        r = got[i]
+        assert r["n_blocks"] == len(blocks)
+        assert r["n_kept"] == len(kept)
+        assert r["text_dedup"] == " ".join(kept)
+
+
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=20,
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_lpa_matches_sync_propagation_model(spark, raw, rounds):
+    """Bounded-round LPA vs a literal pure-Python synchronous update with
+    the same (count desc, label asc) argmin tie rule."""
+    from dygiepp_spark.operators.graph import lpa_communities
+
+    edges = [(f"n{a}", f"n{b}") for a, b in raw if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        [(s, "p", o) for s, o in edges],
+        "subj_id string, pred string, obj_id string",
+    )
+    und = {tuple(sorted(e)) for e in edges}
+    nbrs: dict[str, set[str]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n in labels:
+            from collections import Counter
+
+            c = Counter(labels[m] for m in nbrs[n])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        labels = nxt
+    got = {r["node_id"]: r["label"]
+           for r in lpa_communities(df, rounds=rounds).collect()}
+    assert got == labels
+
+
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=24,
+    ),
+)
+@settings(**SETTINGS)
+def test_kg_components_converged_matches_union_find(spark, raw):
+    """With rounds >= n_nodes the bounded min-label propagation must equal
+    true connected components (union-find model)."""
+    from dygiepp_spark.operators.graph import kg_components
+
+    edges = [(f"n{a}", f"n{b}") for a, b in raw if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        [(s, "p", o) for s, o in edges],
+        "subj_id string, pred string, obj_id string",
+    )
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = sorted({n for e in edges for n in e})
+    for n in nodes:
+        parent[n] = n
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+    got = {r["node_id"]: r["label"]
+           for r in kg_components(df, rounds=len(nodes)).collect()}
+    assert got == want
