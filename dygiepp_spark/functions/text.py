@@ -858,3 +858,58 @@ def dsir_weights(df: DataFrame, target_filter: Column | None = None,
             ).alias("dsir_bits"),
         )
     )
+
+
+def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned BPE merge list (from :func:`bpe_train`) — the
+    other half of the tokenizer: output (doc_id, n_tok, n_subwords,
+    subwords) where ``subwords`` is each word's final symbol sequence
+    concatenated in document order.
+
+    Distributed shape: merges apply over the DISTINCT word types, not
+    corpus tokens — one distinct agg, then a chain of ``len(merges)``
+    row-local lookaround regexp passes (identical greedy left-to-right
+    semantics as training), then one broadcast-friendly join back onto
+    the exploded corpus (AQE broadcasts the vocabulary side) and one
+    doc-keyed reassembly. Corpus text is scanned once.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "w"),
+    )
+    types = tok.select("w").distinct().select(
+        "w",
+        F.concat_ws(" ", F.split(F.col("w"), "(?!^)(?=.)")).alias("sym"),
+    )
+    sym = F.col("sym")
+    for a, b in merges:
+        pat = "(?<= )\\Q" + a + "\\E \\Q" + b + "\\E(?= )"
+        rep = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+        sym = F.regexp_replace(
+            F.concat(F.lit(" "), sym, F.lit(" ")), pat, rep
+        )
+        sym = F.trim(sym)
+    typed = types.select("w", F.split(sym, " ").alias("pieces"))
+    joined = tok.join(typed, "w")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.size("pieces")).alias("n_subwords"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "pieces"))
+            ).alias("_ps"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_subwords",
+            F.flatten(F.expr("transform(_ps, x -> x.pieces)")).alias(
+                "subwords"
+            ),
+        )
+    )

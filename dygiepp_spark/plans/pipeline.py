@@ -127,6 +127,7 @@ def build_kg_pipeline(
     with_eval: bool = True,
     with_curation: bool = False,
     with_analytics: bool = False,
+    curation_lm_buckets: tuple[str, ...] | None = None,
 ) -> Pipeline:
     """The full production DAG (M18/B4): transcript turns -> mentions ->
     triples -> coref clusters -> canonical entities -> KG edges -> edge
@@ -175,6 +176,20 @@ def build_kg_pipeline(
         )
         return exact_dedup_groups(docs)
 
+    lm_gate = bool(with_curation and curation_lm_buckets)
+
+    @p.stage("doc_lm", enabled=lm_gate)
+    def _doc_lm(ctx):
+        # CCNet-style perplexity gate: keep only the requested tertiles
+        # (e.g. head,middle) — the standard fluency cut a raw web corpus
+        # gets before extraction ever sees it
+        from dygiepp_spark.functions.text import lm_score
+
+        docs = TT.load_documents(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        )
+        return lm_score(docs)
+
     @p.stage("clean_docs", enabled=with_curation)
     def _clean_docs(ctx):
         from dygiepp_spark.functions.privacy import scrub_col
@@ -186,11 +201,15 @@ def build_kg_pipeline(
         keepers = ctx["doc_dedup"].select(
             F.col("canonical_id").alias("doc_id")
         )
-        return (
-            docs.join(kept, "doc_id")
-            .join(keepers, "doc_id")
-            .select("doc_id", scrub_col(F.col("text")).alias("text"))
-        )
+        out = docs.join(kept, "doc_id").join(keepers, "doc_id")
+        if lm_gate:
+            fluent = (
+                ctx["doc_lm"]
+                .filter(F.col("bucket").isin(*curation_lm_buckets))
+                .select("doc_id")
+            )
+            out = out.join(fluent, "doc_id")
+        return out.select("doc_id", scrub_col(F.col("text")).alias("text"))
 
     @p.stage("turns")
     def _turns(ctx):

@@ -91,6 +91,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-eval", action="store_true")
     ap.add_argument("--with-analytics", action="store_true",
                     help="append PageRank / triangles / negative-sample tables")
+    ap.add_argument("--curation-lm-buckets", default=None,
+                    metavar="BUCKETS",
+                    help="with --with-curation: keep only these CCNet-style "
+                         "perplexity tertiles, e.g. 'head,middle'")
     ap.add_argument("--pack-pyfiles", metavar="ZIP", default=None)
     args = ap.parse_args(argv)
 
@@ -114,6 +118,10 @@ def main(argv=None) -> int:
         with_eval=not args.no_eval,
         with_curation=args.with_curation,
         with_analytics=args.with_analytics,
+        curation_lm_buckets=(
+            tuple(args.curation_lm_buckets.split(","))
+            if args.curation_lm_buckets else None
+        ),
     )
     p.run()
     report = [

@@ -165,3 +165,28 @@ def test_cli_analytics_phase_appends_graph_tables(spark, sf_dir, tmp_path, capsy
     assert rp.main(args) == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all(s["resumed"] for s in second["pipeline"])
+
+
+def test_cli_curation_lm_bucket_gate(spark, sf_dir, tmp_path, capsys):
+    """--curation-lm-buckets head,middle adds the doc_lm stage and drops
+    the tail perplexity tertile from the curated doc set."""
+    import scripts.run_pipeline as rp
+
+    wh = str(tmp_path / "whl")
+    base = [
+        "--sf-dir", sf_dir, "--warehouse", wh,
+        "--master", "local[4]", "--no-coref", "--no-eval", "--with-curation",
+        "--curation-lm-buckets", "head,middle",
+    ]
+    assert rp.main(base) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = {s["stage"]: s for s in out["pipeline"]}
+    assert list(stages) == [
+        "doc_filter", "doc_dedup", "doc_lm", "clean_docs",
+        "turns", "mentions", "triples", "kg_edges", "kg_edges_agg",
+    ]
+    lm = spark.read.parquet(os.path.join(wh, "doc_lm", "data"))
+    kept = spark.read.parquet(os.path.join(wh, "clean_docs", "data"))
+    tail_ids = {r["doc_id"] for r in lm.filter(F.col("bucket") == "tail").collect()}
+    assert tail_ids, "tertile split must produce a tail third"
+    assert not tail_ids & {r["doc_id"] for r in kept.select("doc_id").collect()}

@@ -480,3 +480,40 @@ def test_kg_components_two_islands(spark):
     out = {r["node_id"]: r["label"] for r in kg_components(edges, rounds=4).collect()}
     assert all(out[n] == "a1" for n in ("a1", "a2", "a3"))
     assert all(out[n] == "b1" for n in ("b1", "b2", "b3"))
+
+
+def test_bpe_apply_matches_python_applier(spark):
+    """bpe_train + bpe_apply must reproduce the pure-Python greedy
+    left-to-right merge application word by word."""
+    from dygiepp_spark.functions.text import bpe_apply, bpe_train
+
+    corpus = [
+        "low low lower lowest newest newest",
+        "widest newest low wide wider",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    merges = bpe_train(df, n_merges=5)
+    assert merges
+
+    def apply_word(w):
+        sym = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    got = {r["doc_id"]: r for r in bpe_apply(df, merges).collect()}
+    for i, t in enumerate(corpus):
+        want = [p for w in t.split() for p in apply_word(w)]
+        assert got[i]["subwords"] == want
+        assert got[i]["n_subwords"] == len(want)
+        assert got[i]["n_tok"] == len(t.split())
