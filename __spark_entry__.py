@@ -1336,6 +1336,29 @@ def q_kg_components(spark, sf_dir):
     return GR.kg_components(edges, rounds=6)
 
 
+def q_streaming_kg_agg(spark, sf_dir):
+    """Streaming KG materialization: micro-batch extract->link->rollup
+    into per-batch partials (the Iceberg streaming-upsert shape), folded
+    by merge_kg_partials on read. The feed is conv-partitioned (8
+    conv-hashed files, 2 per micro-batch), so partials merge exactly and
+    the fold equals batch aggregate_edges — same SQL oracle as
+    `kg_edges_agg`."""
+    base = f"/root/repo/.tmp/stream_kg_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    _turns(spark, sf_dir).repartition(8, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    ST.run_kg_agg_stream(
+        spark, in_dir, out_dir, ckpt, TT.entity_dict(spark),
+        max_files_per_trigger=2,
+    )
+    partials = spark.read.parquet(out_dir).select(
+        "subj_id", "pred", "obj_id", "support", "max_conf", "n_convs"
+    )
+    return _consume_and_remove(ST.merge_kg_partials(partials), base)
+
+
 def q_lpa_communities(spark, sf_dir):
     """Synchronous min-tie label-propagation communities over the linked
     KG (bounded rounds — the deterministic, oracle-checkable LPA)."""
@@ -1348,12 +1371,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies the FIRST 50 entries. The round-5 window (the rotation plan
     VERDICT r4 #1 prescribed): (a) the 16 queries added at the round-4
     tail, which have local parity evidence but no driver row yet —
-    front-loaded so they finally earn one; (b) the 14 queries NEW this
+    front-loaded so they finally earn one; (b) the 15 queries NEW this
     round (incl. the late-round lm_score / bpe_pairs / source_mix /
     lpa_communities / intra_dedup / pack_sequences / dsir_weights /
-    kg_components, which displace the newest eight (d) rows —
-    event_f1_4way, baseline_srl, csv_ingest, json_ingest, conv_stats,
-    sessions, streaming_dedup, ie_errors — to the top of the tail);
+    kg_components / streaming_kg_agg, which displace the newest nine (d)
+    rows — event_f1_4way, baseline_srl, csv_ingest, json_ingest,
+    conv_stats, sessions, streaming_dedup, ie_errors, decontam — to the
+    top of the tail);
     (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
@@ -1401,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
         "kg_components": q_kg_components,
+        "streaming_kg_agg": q_streaming_kg_agg,
         # (c) chains changed in round 5
         "eval_grid": q_eval_grid,
         "grid_best_cell": q_grid_best_cell,
@@ -1423,10 +1448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
-        "decontam": q_decontam,
         # ---- tail: beyond the 50-query harness window ----
-        # displaced from (d) by the eight late-round-5 queries above —
+        # displaced from (d) by the nine late-round-5 queries above —
         # their r3 rows stand, chains unchanged, full-parity green
+        "decontam": q_decontam,
         "conv_stats": q_conv_stats,
         "sessions": q_sessions,
         "streaming_dedup": q_streaming_dedup,
@@ -1653,4 +1678,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles_data.pack_sequences_oracle(budget=2048),
         "dsir_weights": oracles_data.dsir_weights_oracle(),
         "kg_components": oracles_kg.kg_components_oracle(rounds=6),
+        "streaming_kg_agg": oracles_kg.kg_edges_agg_oracle(),
     }

@@ -636,3 +636,57 @@ def run_session_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_kg_agg_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    entity_dict: DataFrame, max_files_per_trigger: int = 8,
+) -> None:
+    """Streaming KG materialization — the north-star loop in micro-batch
+    form: each batch runs mention detection -> broadcast entity linking ->
+    pair generation -> edge rollup, and lands PER-BATCH PARTIAL aggregates
+    (support / max_conf / n_convs per (subj, pred, obj)) in an idempotent
+    batch_id-partitioned sink. This is the merge-on-read shape an Iceberg
+    edge table takes under streaming upsert: writers append mergeable
+    partials, readers (or a compaction job) fold them — see
+    ``merge_kg_partials`` for the read-side fold.
+
+    The partials are exactly mergeable when no conversation straddles a
+    micro-batch (the feed is conv-partitioned, as in run_triples_stream):
+    support and n_convs then ADD across batches and max_conf MAXes —
+    sum/sum/max is the whole compaction. Exactly-once on replay via the
+    same dynamic-partition-overwrite contract as the other foreachBatch
+    sinks.
+    """
+    from dygiepp_spark.operators import graph as GR
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            GR.aggregate_edges(GR.build_edges(batch_df, entity_dict))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_turns(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merge_kg_partials(partials: DataFrame) -> DataFrame:
+    """Fold the per-batch KG edge partials into the final edge rollup —
+    the read-side / compaction half of the streaming-upsert contract.
+    Equals the batch ``aggregate_edges`` output when the feed was
+    conv-partitioned (one map-side-combinable agg)."""
+    return partials.groupBy("subj_id", "pred", "obj_id").agg(
+        F.sum("support").alias("support"),
+        F.max("max_conf").alias("max_conf"),
+        F.sum("n_convs").alias("n_convs"),
+    )

@@ -231,3 +231,35 @@ def test_quality_stream_equals_batch_filter(spark, sf_dir, tmp_path):
     # re-drain on the same checkpoint: idempotent
     ST.run_quality_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
     assert spark.read.parquet(out_dir).count() == want.count()
+
+
+def test_streaming_kg_agg_merges_partials_across_batches(spark, sf_dir, tmp_path):
+    """The kg-agg stream must actually produce MULTIPLE per-batch partial
+    sets (else the merge is vacuous) and their fold must equal the batch
+    aggregate_edges rollup."""
+    import pyspark.sql.functions as F
+
+    from dygiepp_spark import tables as TT
+    from dygiepp_spark.operators import graph as GR
+    from dygiepp_spark.streaming import stream as ST
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    turns = TT.turns_from_documents(spark, sf_dir, with_ts=False)
+    turns.repartition(8, "conv_id").write.parquet(in_dir)
+    ST.run_kg_agg_stream(
+        spark, in_dir, out_dir, ckpt, TT.entity_dict(spark),
+        max_files_per_trigger=2,
+    )
+    sink = spark.read.parquet(out_dir)
+    assert sink.select("batch_id").distinct().count() >= 2
+    merged = ST.merge_kg_partials(
+        sink.select("subj_id", "pred", "obj_id", "support", "max_conf",
+                    "n_convs")
+    )
+    batch = GR.aggregate_edges(
+        GR.build_edges(turns, TT.entity_dict(spark))
+    )
+    assert merged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(merged).count() == 0
