@@ -1336,6 +1336,19 @@ def q_kg_components(spark, sf_dir):
     return GR.kg_components(edges, rounds=6)
 
 
+def q_pmi_pairs(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by integer-quantized PMI
+    (rank-faithful probability ratio, min-count floor)."""
+    return TX.pmi_pairs(_docs(spark, sf_dir), k=50, min_count=5)
+
+
+def q_degree_hist(spark, sf_dir):
+    """Degree distribution of the linked KG with power-of-two bins —
+    the pre-flight skew report every graph job starts from."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.degree_hist(edges)
+
+
 def q_streaming_kg_agg(spark, sf_dir):
     """Streaming KG materialization: micro-batch extract->link->rollup
     into per-batch partials (the Iceberg streaming-upsert shape), folded
@@ -1371,13 +1384,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies the FIRST 50 entries. The round-5 window (the rotation plan
     VERDICT r4 #1 prescribed): (a) the 16 queries added at the round-4
     tail, which have local parity evidence but no driver row yet —
-    front-loaded so they finally earn one; (b) the 15 queries NEW this
+    front-loaded so they finally earn one; (b) the 17 queries NEW this
     round (incl. the late-round lm_score / bpe_pairs / source_mix /
     lpa_communities / intra_dedup / pack_sequences / dsir_weights /
-    kg_components / streaming_kg_agg, which displace the newest nine (d)
-    rows — event_f1_4way, baseline_srl, csv_ingest, json_ingest,
-    conv_stats, sessions, streaming_dedup, ie_errors, decontam — to the
-    top of the tail);
+    kg_components / streaming_kg_agg / pmi_pairs / degree_hist, which
+    displace the newest eleven (d) rows — event_f1_4way, baseline_srl,
+    csv_ingest, json_ingest, conv_stats, sessions, streaming_dedup,
+    ie_errors, decontam, repetition, stratified_sample — to the top of
+    the tail);
     (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
@@ -1426,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "kg_components": q_kg_components,
         "streaming_kg_agg": q_streaming_kg_agg,
+        "pmi_pairs": q_pmi_pairs,
+        "degree_hist": q_degree_hist,
         # (c) chains changed in round 5
         "eval_grid": q_eval_grid,
         "grid_best_cell": q_grid_best_cell,
@@ -1446,11 +1462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "frame_samples": q_frame_samples,
         "pii_scrub": q_pii_scrub,
+        # ---- tail: beyond the 50-query harness window ----
+        # displaced from (d) by the eleven late-round-5 queries above —
+        # their r3 rows stand, chains unchanged, full-parity green
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
-        # ---- tail: beyond the 50-query harness window ----
-        # displaced from (d) by the nine late-round-5 queries above —
-        # their r3 rows stand, chains unchanged, full-parity green
         "decontam": q_decontam,
         "conv_stats": q_conv_stats,
         "sessions": q_sessions,
@@ -1679,4 +1695,6 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": oracles_data.dsir_weights_oracle(),
         "kg_components": oracles_kg.kg_components_oracle(rounds=6),
         "streaming_kg_agg": oracles_kg.kg_edges_agg_oracle(),
+        "pmi_pairs": oracles_data.pmi_pairs_oracle(k=50, min_count=5),
+        "degree_hist": oracles_kg.degree_hist_oracle(),
     }

@@ -913,3 +913,79 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
             ),
         )
     )
+
+
+def pmi_pairs(df: DataFrame, k: int = 50, min_count: int = 5,
+              scale: int = 1_000_000,
+              text_col: str = "text") -> DataFrame:
+    """Collocation extraction: the top-``k`` adjacent word bigrams by
+    pointwise mutual information — the classic corpus statistic for
+    multiword predicates/entities feeding KG schema induction.
+
+    Ranking is by the INTEGER ratio ``r = (c_ab * scale) div (c_a * c_b)``
+    — log is monotone, so ordering by the probability ratio equals
+    ordering by PMI, with global constants (N, N_tok) dropped as they do
+    not reorder; the reported ``pmi_q`` is therefore a rank-faithful
+    quantized score, not log-PMI in nats (documented, same contract as
+    tfidf's integer idf). ``min_count`` removes the low-support pairs PMI
+    notoriously over-ranks. Overflow bound: c_ab * scale must stay under
+    2^63 — holds whenever the corpus has < ~9e12 bigram occurrences per
+    pair at the default scale; the floor-log2 form is the drop-in for
+    corpora beyond it.
+
+    Plan: bigram and unigram counts are two map-side-combinable aggs over
+    one corpus explosion each; the two joins key on the unigram dim (AQE
+    broadcasts vocabulary-sized sides); the global cut reuses the
+    distributed k-th-score threshold — no unpartitioned window over the
+    pair table.
+    """
+    from pyspark.sql import Window
+
+    from dygiepp_spark.operators.pruning import kth_score_threshold
+
+    toks = df.select(tokens_col(F.col(text_col)).alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1), i ->"
+                    " struct(element_at(arr, i) AS a,"
+                    " element_at(arr, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        bigrams.join(uni.withColumnRenamed("w", "a"), "a")
+        .withColumnRenamed("c", "c_a")
+        .join(uni.withColumnRenamed("w", "b"), "b")
+        .withColumnRenamed("c", "c_b")
+        .select(
+            "a", "b", "c_ab", "c_a", "c_b",
+            F.expr(f"CAST(c_ab * {scale}L div (c_a * c_b) AS BIGINT)").alias(
+                "pmi_q"
+            ),
+        )
+    )
+    thr = kth_score_threshold(scored, "pmi_q", k)
+    surv = scored.join(
+        F.broadcast(thr), on=F.col("pmi_q") >= F.col("_thr"), how="inner"
+    ).drop("_thr")
+    w = Window.orderBy(
+        F.col("pmi_q").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -633,3 +633,31 @@ def lpa_fixpoint(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def degree_hist(edges: DataFrame) -> DataFrame:
+    """Degree distribution report over the undirected KG: one row per
+    distinct degree with its node count and the power-of-two bin
+    ``log2_bin = floor(log2(deg))`` (length(bin(deg)) - 1 — the same
+    engine-portable integer log the LM scorers use). The first sanity
+    check any graph job runs before choosing a skew strategy.
+
+    Scale: degree is one map-side-combinable agg over the symmetrized
+    edges; the histogram is an agg over the (node, deg) frame; output is
+    bounded by the distinct-degree domain — tiny at any graph size.
+    """
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("lo").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            "deg",
+            "n_nodes",
+            (F.length(F.bin(F.col("deg"))) - 1).cast("bigint").alias(
+                "log2_bin"
+            ),
+        )
+    )

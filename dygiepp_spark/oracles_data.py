@@ -1535,3 +1535,38 @@ SELECT doc_id,
        CAST(sum(tf) AS BIGINT) AS n_tok,
        CAST(sum(tf * (bits_raw - bits_tgt)) AS BIGINT) AS dsir_bits
 FROM tf JOIN bits USING (bucket) GROUP BY 1"""
+
+
+def pmi_pairs_oracle(k: int = 50, min_count: int = 5,
+                     scale: int = 1_000_000) -> str:
+    """Twin of functions.text.pmi_pairs: adjacent-bigram and unigram
+    counts, integer ratio (c_ab * scale) // (c_a * c_b), k-th-threshold
+    cut with (pmi_q DESC, a ASC, b ASC) total order."""
+    return f"""
+WITH t AS (SELECT {_DTOKS} AS arr FROM documents WHERE len({_DTOKS}) >= 2),
+bg AS (
+    SELECT arr[CAST(i AS INT)] AS a, arr[CAST(i AS INT) + 1] AS b
+    FROM t, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+),
+bigrams AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+    FROM bg GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_DTOKS}) AS w FROM documents
+    ) GROUP BY 1
+),
+scored AS (
+    SELECT g.a, g.b, g.c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST(g.c_ab * {scale} // (ua.c * ub.c) AS BIGINT) AS pmi_q
+    FROM bigrams g
+    JOIN uni ua ON g.a = ua.w
+    JOIN uni ub ON g.b = ub.w
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        ORDER BY pmi_q DESC, a ASC, b ASC) AS rn
+    FROM scored
+)
+SELECT b, a, c_ab, c_a, c_b, pmi_q FROM ranked WHERE rn <= {k}"""

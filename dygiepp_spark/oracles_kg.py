@@ -2036,3 +2036,19 @@ c0 AS (SELECT DISTINCT lo AS node_id, lo AS label FROM sym)"""
 )""")
         prev = f"c{i}"
     return head + ",\n" + ",\n".join(levels) + f"\nSELECT node_id, label FROM {prev}"
+
+
+def degree_hist_oracle() -> str:
+    """Twin of graph.degree_hist: symmetrized distinct undirected edges,
+    degree agg, (deg, count) histogram with the floor-log2 bin."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+sym AS (SELECT lo, hi FROM und UNION ALL SELECT hi AS lo, lo AS hi FROM und),
+deg AS (SELECT lo AS node_id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bin
+FROM deg GROUP BY deg"""

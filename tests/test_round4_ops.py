@@ -300,7 +300,7 @@ def test_registry_invariants():
         "human_eval_sheet", "human_eval_scores", "semantic_dedup",
         "lm_score", "bpe_pairs", "source_mix", "lpa_communities",
         "intra_dedup", "pack_sequences", "dsir_weights", "kg_components",
-        "streaming_kg_agg",
+        "streaming_kg_agg", "pmi_pairs", "degree_hist",
         "eval_grid", "grid_best_cell",
     }
     out = must_be_in_window - set(window)

@@ -517,3 +517,27 @@ def test_bpe_apply_matches_python_applier(spark):
         assert got[i]["subwords"] == want
         assert got[i]["n_subwords"] == len(want)
         assert got[i]["n_tok"] == len(t.split())
+
+
+def test_pmi_ranks_collocations_over_chance_pairs(spark):
+    from dygiepp_spark.functions.text import pmi_pairs
+
+    # "new york" always adjacent; "the" ubiquitous, so ("the", x) pairs
+    # have high counts but low PMI
+    text = " ".join(["new york is the city the place the spot"] * 10)
+    df = spark.createDataFrame([(text,)], "text string")
+    out = pmi_pairs(df, k=3, min_count=2).collect()
+    assert (out[0]["a"], out[0]["b"]) == ("new", "york")
+    assert out[0]["pmi_q"] == max(r["pmi_q"] for r in out)
+
+
+def test_degree_hist_star_graph(spark):
+    from dygiepp_spark.operators.graph import degree_hist
+
+    # star: hub degree 5 (log2 bin 2), five leaves degree 1 (bin 0)
+    edges = spark.createDataFrame(
+        [("hub", "p", f"l{i}") for i in range(5)],
+        "subj_id string, pred string, obj_id string",
+    )
+    out = {r["deg"]: (r["n_nodes"], r["log2_bin"]) for r in degree_hist(edges).collect()}
+    assert out == {5: (1, 2), 1: (5, 0)}
