@@ -609,6 +609,26 @@ def bpe_pair_counts(df: DataFrame, k: int = 50,
     )
 
 
+def _rx_quote(s: str) -> str:
+    """Java-regex literal quoting (Pattern.quote semantics): wrap in
+    \\Q...\\E, with any embedded '\\E' closed, escaped, and reopened —
+    naive splicing would let a symbol containing '\\E' terminate the
+    quote and crash (or silently mis-merge) the pattern."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _merge_pattern(a: str, b: str) -> str:
+    """Non-consuming adjacent-pair pattern for one BPE merge: lookarounds
+    keep the surrounding spaces so overlapping runs merge left-to-right
+    exactly like subword-nmt's substitution."""
+    return "(?<= )" + _rx_quote(a) + " " + _rx_quote(b) + "(?= )"
+
+
+def _merge_replacement(ab: str) -> str:
+    """Java-regex replacement-string escaping for the joined symbol."""
+    return ab.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def bpe_train(df: DataFrame, n_merges: int = 8,
               text_col: str = "text") -> list[tuple[str, str]]:
     """Greedy BPE merge learning (subword-nmt semantics): repeatedly pick
@@ -664,15 +684,14 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
             break
         a, b = best[0]["pair"].split(" ", 1)
         merges.append((a, b))
-        pat = "(?<= )\\Q" + a + "\\E \\Q" + b + "\\E(?= )"
         wf = wf.select(
             F.trim(
                 F.regexp_replace(
                     F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                    pat,
+                    _merge_pattern(a, b),
                     # lookarounds leave the surrounding spaces in place —
                     # the replacement is the bare joined symbol
-                    (a + b).replace("\\", "\\\\").replace("$", "\\$"),
+                    _merge_replacement(a + b),
                 )
             ).alias("sym"),
             "f",
@@ -887,10 +906,10 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     )
     sym = F.col("sym")
     for a, b in merges:
-        pat = "(?<= )\\Q" + a + "\\E \\Q" + b + "\\E(?= )"
-        rep = (a + b).replace("\\", "\\\\").replace("$", "\\$")
         sym = F.regexp_replace(
-            F.concat(F.lit(" "), sym, F.lit(" ")), pat, rep
+            F.concat(F.lit(" "), sym, F.lit(" ")),
+            _merge_pattern(a, b),
+            _merge_replacement(a + b),
         )
         sym = F.trim(sym)
     typed = types.select("w", F.split(sym, " ").alias("pieces"))

@@ -363,18 +363,7 @@ def kcore_fixpoint(
     converge in tens): exceeding it raises instead of silently returning
     a non-core.
     """
-    und = (
-        edges.select(
-            F.least("subj_id", "obj_id").alias("lo"),
-            F.greatest("subj_id", "obj_id").alias("hi"),
-        )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sym = und.unionByName(
-        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
-    )
+    sym = _sym_edges(edges)
     alive = sym.select(F.col("lo").alias("node_id")).distinct()
     n_alive = alive.count()
     for _ in range(max_rounds):
@@ -495,6 +484,33 @@ def _self_labels(sym: DataFrame) -> DataFrame:
     )
 
 
+def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA update: every node adopts its neighbors'
+    majority label, ties toward the smallest label (total order — the
+    determinism the DuckDB twin depends on). Shared by the bounded-round
+    parity twin and the fixpoint production form so the recurrence can
+    never diverge between them."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    msgs = sym.join(
+        labels.withColumnRenamed("node_id", "lo"), "lo"
+    ).select(F.col("hi").alias("node_id"), "label")
+    votes = msgs.groupBy("node_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    new = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node_id", F.col("label").alias("new_label"))
+    )
+    return labels.join(new, "node_id", "left").select(
+        "node_id", F.coalesce("new_label", "label").alias("label")
+    )
+
+
 def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
     """Community detection by synchronous label propagation over the
     undirected KG: every node starts labeled with its own id; each round
@@ -519,33 +535,10 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
     row_number cut. The label frame is localCheckpoint'd per round —
     the linear-plan lesson the k-core property test taught.
     """
-    from pyspark.sql import Window
-
     sym = _sym_edges(edges)
     labels = _self_labels(sym)
-    w = Window.partitionBy("node_id").orderBy(
-        F.col("n").desc(), F.col("label").asc()
-    )
     for _ in range(rounds):
-        labels = labels.localCheckpoint(eager=False)
-        msgs = sym.join(
-            labels.withColumnRenamed("node_id", "lo"), "lo"
-        ).select(F.col("hi").alias("node_id"), "label")
-        votes = msgs.groupBy("node_id", "label").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        new = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node_id", F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(new, "node_id", "left")
-            .select(
-                "node_id",
-                F.coalesce("new_label", "label").alias("label"),
-            )
-        )
+        labels = _lpa_round(sym, labels.localCheckpoint(eager=False))
     return labels
 
 
@@ -594,34 +587,11 @@ def lpa_fixpoint(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     absorbs by returning the current frame. :func:`lpa_communities` is
     the bounded-round parity twin; this is what --with-analytics runs.
     """
-    from pyspark.sql import Window
-
     sym = _sym_edges(edges)
     labels = _self_labels(sym)
-    w = Window.partitionBy("node_id").orderBy(
-        F.col("n").desc(), F.col("label").asc()
-    )
     for _ in range(max_rounds):
         labels = labels.localCheckpoint(eager=False)
-        msgs = sym.join(
-            labels.withColumnRenamed("node_id", "lo"), "lo"
-        ).select(F.col("hi").alias("node_id"), "label")
-        votes = msgs.groupBy("node_id", "label").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        new_labels = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node_id", F.col("label").alias("new_label"))
-        )
-        nxt = (
-            labels.join(new_labels, "node_id", "left")
-            .select(
-                "node_id",
-                F.coalesce("new_label", "label").alias("label"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        nxt = _lpa_round(sym, labels).localCheckpoint(eager=False)
         changed = (
             nxt.join(
                 labels.withColumnRenamed("label", "old"), "node_id"

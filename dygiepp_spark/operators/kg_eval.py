@@ -1363,7 +1363,14 @@ def method_accept_rate_filtered(
         )
     )
     # span_matching's comparator is STRICTLY greater (eval_utils.py:218)
-    # — the accept path reproduces it, unlike K1's documented >= cells
+    # — the accept path reproduces it, unlike K1's documented >= cells.
+    # All-stopword arguments filter to '' and '' vs '' would jaccard to
+    # 1.0 (split('') is ['']) — the reference's empty token lists can
+    # never match, so an empty side disqualifies the pair outright.
+    nonempty = (
+        (F.col("fa0") != "") & (F.col("fa1") != "")
+        & (F.col("ga0") != "") & (F.col("ga1") != "")
+    )
     fwd = (jaccard_ratio(F.col("fa0"), F.col("ga0")) > thresh) & (
         jaccard_ratio(F.col("fa1"), F.col("ga1")) > thresh
     )
@@ -1373,6 +1380,7 @@ def method_accept_rate_filtered(
             jaccard_ratio(F.col("fa1"), F.col("ga0")) > thresh
         )
         cond = fwd | rev
+    cond = nonempty & cond
     matched = (
         u.join(g, "conv_id")
         .filter(cond)
@@ -1500,11 +1508,13 @@ def _raw_toks(c: Column) -> Column:
 
 def _raw_jaccard(a: Column, b: Column) -> Column:
     """``jaccard_similarity`` (eval_utils.py:174-178): token-SET overlap
-    of the raw splits, one IEEE double division."""
+    of the raw splits, one IEEE double division. Union is floored at 1
+    (module convention, see jaccard_ratio) so two whitespace-only spans
+    score 0.0, not NULL from a 0/0."""
     ta, tb = F.array_distinct(_raw_toks(a)), F.array_distinct(_raw_toks(b))
-    return F.size(F.array_intersect(ta, tb)).cast("double") / F.size(
-        F.array_union(ta, tb)
-    ).cast("double")
+    return F.size(F.array_intersect(ta, tb)).cast("double") / F.greatest(
+        F.size(F.array_union(ta, tb)).cast("double"), F.lit(1.0)
+    )
 
 
 def human_eval_scores(

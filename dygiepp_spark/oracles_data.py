@@ -1569,4 +1569,4 @@ ranked AS (
         ORDER BY pmi_q DESC, a ASC, b ASC) AS rn
     FROM scored
 )
-SELECT b, a, c_ab, c_a, c_b, pmi_q FROM ranked WHERE rn <= {k}"""
+SELECT a, b, c_ab, c_a, c_b, pmi_q FROM ranked WHERE rn <= {k}"""

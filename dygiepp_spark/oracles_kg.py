@@ -1435,6 +1435,12 @@ def accept_rate_filtered_oracle(
             f"AND ({_jac_sql('p.fa1', 'g.ga0')}) > {thresh}"
         )
         cond = f"(({fwd}) OR ({rev}))"
+    # all-stopword args filter to '' — an empty side can never match
+    # (the reference's empty token lists), mirroring the Spark guard
+    cond = (
+        "p.fa0 <> '' AND p.fa1 <> '' AND g.ga0 <> '' AND g.ga1 <> '' "
+        f"AND {cond}"
+    )
     return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
 {_method_preds_ctes()},
 predf AS (
@@ -1526,7 +1532,8 @@ def _raw_jac_sql(a: str, b: str) -> str:
     tb = f"list_distinct(list_filter(regexp_split_to_array({b}, '\\s+'), t -> t <> ''))"
     return (
         f"(CAST(len(list_intersect({ta}, {tb})) AS DOUBLE) / "
-        f"CAST(len(list_distinct(list_concat({ta}, {tb}))) AS DOUBLE))"
+        f"greatest(CAST(len(list_distinct(list_concat({ta}, {tb}))) "
+        f"AS DOUBLE), 1.0))"
     )
 
 

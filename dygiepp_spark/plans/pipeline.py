@@ -176,6 +176,22 @@ def build_kg_pipeline(
         )
         return exact_dedup_groups(docs)
 
+    if curation_lm_buckets is not None:
+        # fail loudly on a typo: a bucket name that matches nothing would
+        # otherwise silently empty the entire curated corpus
+        curation_lm_buckets = tuple(
+            b.strip() for b in curation_lm_buckets if b.strip()
+        )
+        bad = set(curation_lm_buckets) - {"head", "middle", "tail"}
+        if bad or not curation_lm_buckets:
+            raise ValueError(
+                f"curation_lm_buckets must be drawn from head/middle/tail, "
+                f"got {sorted(bad) or '(empty)'}"
+            )
+        if not with_curation:
+            raise ValueError(
+                "curation_lm_buckets requires with_curation=True"
+            )
     lm_gate = bool(with_curation and curation_lm_buckets)
 
     @p.stage("doc_lm", enabled=lm_gate)

@@ -541,3 +541,55 @@ def test_degree_hist_star_graph(spark):
     )
     out = {r["deg"]: (r["n_nodes"], r["log2_bin"]) for r in degree_hist(edges).collect()}
     assert out == {5: (1, 2), 1: (5, 0)}
+
+
+def test_bpe_handles_regex_quote_terminator_symbols(spark):
+    """Symbols containing the literal '\\E' must not terminate the
+    \\Q...\\E quoting (Pattern.quote semantics) — previously a crash."""
+    from dygiepp_spark.functions.text import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "\\Ea \\Eb \\Ec \\Ea \\Eb \\Ea")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(df, n_merges=3)
+    assert ("\\", "E") in merges
+    out = bpe_apply(df, merges).collect()[0]
+    assert out["subwords"][0] == "\\Ea"
+
+
+def test_accept_rate_filtered_all_stopword_args_never_match(spark):
+    """All-stopword arguments filter to '' — they must NOT vacuously
+    jaccard-match another all-stopword argument (the reference's empty
+    token lists can never match)."""
+    from dygiepp_spark.operators.kg_eval import method_accept_rate_filtered
+
+    preds = {"m": spark.createDataFrame(
+        [("c1", "it", "totally unrelated words")],
+        "conv_id string, arg0 string, arg1 string",
+    )}
+    gold = spark.createDataFrame(
+        [("c1", "the", "totally unrelated words")],
+        "conv_id string, arg0 string, arg1 string",
+    )
+    r = method_accept_rate_filtered(preds, gold, thresh=0.4).collect()[0]
+    assert r["n_accept"] == 0 and r["n_false_accept"] == 0
+
+
+def test_curation_lm_buckets_validated(spark, sf_dir, tmp_path):
+    from dygiepp_spark.plans.pipeline import build_kg_pipeline
+
+    with pytest.raises(ValueError, match="head/middle/tail"):
+        build_kg_pipeline(
+            spark, str(tmp_path), sf_dir, with_curation=True,
+            curation_lm_buckets=("haed",),
+        )
+    with pytest.raises(ValueError, match="with_curation"):
+        build_kg_pipeline(
+            spark, str(tmp_path), sf_dir, with_curation=False,
+            curation_lm_buckets=("head",),
+        )
+    # whitespace from a CLI 'head, middle' split is tolerated
+    build_kg_pipeline(
+        spark, str(tmp_path), sf_dir, with_curation=True,
+        curation_lm_buckets=("head", " middle"),
+    )
