@@ -1336,6 +1336,22 @@ def q_kg_components(spark, sf_dir):
     return GR.kg_components(edges, rounds=6)
 
 
+def q_tool_usage(spark, sf_dir):
+    """Per-tool usage rollup over the synthetically tool-augmented
+    transcript corpus (agent analytics)."""
+    from dygiepp_spark.operators import transcript as TR
+
+    return TR.tool_usage(TR.with_synthetic_tools(_turns(spark, sf_dir)))
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call transition matrix (which tool follows which within a
+    conversation) — the agent-behavior signature rollup."""
+    from dygiepp_spark.operators import transcript as TR
+
+    return TR.tool_transitions(TR.with_synthetic_tools(_turns(spark, sf_dir)))
+
+
 def q_pmi_pairs(spark, sf_dir):
     """Top-50 adjacent-bigram collocations by integer-quantized PMI
     (rank-faithful probability ratio, min-count floor)."""
@@ -1384,14 +1400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies the FIRST 50 entries. The round-5 window (the rotation plan
     VERDICT r4 #1 prescribed): (a) the 16 queries added at the round-4
     tail, which have local parity evidence but no driver row yet —
-    front-loaded so they finally earn one; (b) the 17 queries NEW this
+    front-loaded so they finally earn one; (b) the 19 queries NEW this
     round (incl. the late-round lm_score / bpe_pairs / source_mix /
     lpa_communities / intra_dedup / pack_sequences / dsir_weights /
-    kg_components / streaming_kg_agg / pmi_pairs / degree_hist, which
-    displace the newest eleven (d) rows — event_f1_4way, baseline_srl,
-    csv_ingest, json_ingest, conv_stats, sessions, streaming_dedup,
-    ie_errors, decontam, repetition, stratified_sample — to the top of
-    the tail);
+    kg_components / streaming_kg_agg / pmi_pairs / degree_hist /
+    tool_usage / tool_transitions, which displace the newest thirteen
+    (d) rows — event_f1_4way, baseline_srl, csv_ingest, json_ingest,
+    conv_stats, sessions, streaming_dedup, ie_errors, decontam,
+    repetition, stratified_sample, frame_samples, pii_scrub — to the
+    top of the tail);
     (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
@@ -1442,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kg_agg": q_streaming_kg_agg,
         "pmi_pairs": q_pmi_pairs,
         "degree_hist": q_degree_hist,
+        "tool_usage": q_tool_usage,
+        "tool_transitions": q_tool_transitions,
         # (c) chains changed in round 5
         "eval_grid": q_eval_grid,
         "grid_best_cell": q_grid_best_cell,
@@ -1460,11 +1479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality": q_quality,
         "image_meta": q_image_meta,
+        # ---- tail: beyond the 50-query harness window ----
+        # displaced from (d) by the thirteen late-round-5 queries above —
+        # their r3 rows stand, chains unchanged, full-parity green
         "frame_samples": q_frame_samples,
         "pii_scrub": q_pii_scrub,
-        # ---- tail: beyond the 50-query harness window ----
-        # displaced from (d) by the eleven late-round-5 queries above —
-        # their r3 rows stand, chains unchanged, full-parity green
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
         "decontam": q_decontam,
@@ -1697,4 +1716,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_kg_agg": oracles_kg.kg_edges_agg_oracle(),
         "pmi_pairs": oracles_data.pmi_pairs_oracle(k=50, min_count=5),
         "degree_hist": oracles_kg.degree_hist_oracle(),
+        "tool_usage": oracles.tool_usage_oracle(),
+        "tool_transitions": oracles.tool_transitions_oracle(),
     }

@@ -180,3 +180,65 @@ def response_latency(turns: DataFrame, ts_col: str = "ts_sec") -> DataFrame:
         "max_latency",
         "min_latency",
     )
+
+
+#: synthetic tool vocabulary for the tool-analytics queries (the parquet
+#: turn derivation carries tool=NULL; real agent transcripts populate it)
+TOOL_VOCAB = ("search", "code", "browse", "calc")
+
+
+def with_synthetic_tools(turns: DataFrame) -> DataFrame:
+    """Deterministically populate the ``tool`` column on assistant turns
+    (every third assistant turn by portable hash, tool picked from
+    TOOL_VOCAB by a second hash) — the same byte-identical augmentation
+    contract as web.with_synthetic_urls, so tool analytics are
+    oracle-checkable on a corpus whose derivation carries tool=NULL."""
+    from dygiepp_spark.functions.hashing import hash60
+
+    key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    pick = hash60(key)
+    vocab = F.array(*[F.lit(t) for t in TOOL_VOCAB])
+    return turns.withColumn(
+        "tool",
+        F.when(
+            (F.col("role") == "assistant") & (pick % 3 == 0),
+            F.element_at(vocab, (pick % len(TOOL_VOCAB) + 1).cast("int")),
+        ).otherwise(F.lit(None).cast("string")),
+    )
+
+
+def tool_usage(turns: DataFrame) -> DataFrame:
+    """Per-tool usage rollup over an agent-transcript corpus: call count,
+    conversations touched, and mean call position (exact BIGINT-sum /
+    count double — IEEE-identical across engines). One map-side-
+    combinable agg keyed by tool; NULL (no tool) rows drop first, so the
+    shuffle carries only actual tool calls."""
+    calls = turns.filter(F.col("tool").isNotNull())
+    return calls.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.count_distinct("conv_id").alias("n_convs"),
+        (
+            F.sum(F.col("turn_idx").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_turn_idx"),
+    )
+
+
+def tool_transitions(turns: DataFrame) -> DataFrame:
+    """Tool-call transition matrix: for consecutive tool calls WITHIN a
+    conversation, count (tool_from, tool_to) pairs — the agent-behavior
+    signature (which tool follows which). The lag window is partitioned
+    by conv_id (zero extra shuffle on a conv-bucketed layout, same as
+    sessionize); the final count is map-side combinable."""
+    from pyspark.sql import Window
+
+    calls = turns.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        calls.withColumn("tool_from", F.lag("tool").over(w))
+        .filter(F.col("tool_from").isNotNull())
+        .groupBy("tool_from", F.col("tool").alias("tool_to"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -647,3 +647,46 @@ SELECT conv_id, n_responses,
        CAST(_total AS DOUBLE) / CAST(n_responses AS DOUBLE) AS mean_latency,
        max_latency, min_latency
 FROM agg"""
+
+
+_TOOLS_CTE = """
+tcalls AS (
+    SELECT conv_id, turn_idx,
+           ['search', 'code', 'browse', 'calc']
+               [CAST(pick % 4 + 1 AS INT)] AS tool
+    FROM (
+        SELECT conv_id, turn_idx, role,
+               ('0x' || substr(md5(conv_id || ':' ||
+                   CAST(turn_idx AS VARCHAR)), 1, 15))::BIGINT AS pick
+        FROM turns
+    )
+    WHERE role = 'assistant' AND pick % 3 = 0
+)
+"""
+
+
+def tool_usage_oracle() -> str:
+    """Twin of transcript.tool_usage over the with_synthetic_tools
+    augmentation (hash60-picked tool on every third assistant turn)."""
+    return f"""WITH {TURNS_SQL.strip()} , {_TOOLS_CTE.strip()}
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(turn_idx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_turn_idx
+FROM tcalls GROUP BY tool"""
+
+
+def tool_transitions_oracle() -> str:
+    """Twin of transcript.tool_transitions: conv-partitioned lag over the
+    synthetic tool calls, (tool_from, tool_to) counts."""
+    return f"""WITH {TURNS_SQL.strip()} , {_TOOLS_CTE.strip()},
+lagged AS (
+    SELECT conv_id, tool,
+           lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS tool_from
+    FROM tcalls
+)
+SELECT tool_from, tool AS tool_to, CAST(count(*) AS BIGINT) AS n
+FROM lagged WHERE tool_from IS NOT NULL
+GROUP BY tool_from, tool"""

@@ -301,6 +301,7 @@ def test_registry_invariants():
         "lm_score", "bpe_pairs", "source_mix", "lpa_communities",
         "intra_dedup", "pack_sequences", "dsir_weights", "kg_components",
         "streaming_kg_agg", "pmi_pairs", "degree_hist",
+        "tool_usage", "tool_transitions",
         "eval_grid", "grid_best_cell",
     }
     out = must_be_in_window - set(window)

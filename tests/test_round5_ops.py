@@ -593,3 +593,21 @@ def test_curation_lm_buckets_validated(spark, sf_dir, tmp_path):
         spark, str(tmp_path), sf_dir, with_curation=True,
         curation_lm_buckets=("head", " middle"),
     )
+
+
+def test_tool_transitions_counts_consecutive_calls(spark):
+    from dygiepp_spark.operators.transcript import tool_transitions
+
+    rows = [
+        ("c1", 0, "search"), ("c1", 2, "code"), ("c1", 5, "code"),
+        ("c2", 1, "search"),  # single call: no transition
+        ("c2", 3, "calc"),
+    ]
+    turns = spark.createDataFrame(
+        [(c, i, "assistant", "x", t) for c, i, t in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    out = {(r["tool_from"], r["tool_to"]): r["n"]
+           for r in tool_transitions(turns).collect()}
+    assert out == {("search", "code"): 1, ("code", "code"): 1,
+                   ("search", "calc"): 1}
