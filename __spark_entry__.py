@@ -1365,6 +1365,27 @@ def q_degree_hist(spark, sf_dir):
     return GR.degree_hist(edges)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor link-prediction features (cn / pref-attach /
+    Jaccard numerator+denominator as integers) over the part-supplier
+    bipartite graph: supplier pairs ranked by shared-catalog evidence
+    through low-degree part centers. The mention-derived KG is a
+    complete graph at test scale (every entity pair co-occurs), which
+    makes link prediction vacuous there — the bipartite co-catalog
+    domain is the non-degenerate testbed, and the operator is generic
+    over any (subj_id, obj_id) frame."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias(
+            "subj_id"
+        ),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias(
+            "obj_id"
+        ),
+    )
+    return GR.link_prediction(edges, max_center_degree=64, min_common=2)
+
+
 def q_streaming_kg_agg(spark, sf_dir):
     """Streaming KG materialization: micro-batch extract->link->rollup
     into per-batch partials (the Iceberg streaming-upsert shape), folded
@@ -1570,6 +1591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ie_eval_event_golden": q_ie_eval_event_golden,
         "kmeans": q_kmeans,
         "url_filter": q_url_filter,
+        # (e) post-window round-5 additions (tail — parity-gated at both
+        # SFs; rotate into the window next cycle)
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -1718,4 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_hist": oracles_kg.degree_hist_oracle(),
         "tool_usage": oracles.tool_usage_oracle(),
         "tool_transitions": oracles.tool_transitions_oracle(),
+        "link_prediction": oracles_kg.link_prediction_oracle(
+            max_center_degree=64, min_common=2
+        ),
     }

@@ -631,3 +631,77 @@ def degree_hist(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame, max_center_degree: int = 64, min_common: int = 2
+) -> DataFrame:
+    """Common-neighbor link-prediction features over the undirected KG —
+    the classic missing-edge candidate generator (Liben-Nowell & Kleinberg
+    2003): for every NON-adjacent node pair sharing >= ``min_common``
+    common neighbors, emit
+
+    * ``cn`` — common-neighbor count (through non-hub centers, see below),
+    * ``deg_a`` / ``deg_b`` — endpoint degrees,
+    * ``pref_attach`` — preferential attachment ``deg_a * deg_b``,
+    * ``jaccard_den`` — ``deg_a + deg_b - cn`` (the neighbor-union size,
+      so downstream ranks by the exact fraction cn/jaccard_den without
+      this frame carrying a float).
+
+    All columns are BIGINT — bit-portable across engines, no float
+    summation anywhere.
+
+    Scale: the wedge self-join fans out quadratically in the CENTER
+    node's degree, so hub centers (degree > ``max_center_degree``) are
+    excluded from wedge generation — the same capped-expansion discipline
+    as the LSH hot-bucket cap in dedup.py. A hub is the weakest CN
+    evidence anyway (everyone shares the celebrity neighbor); production
+    CN pipelines routinely drop or downweight them. Documented recall
+    tradeoff: ``cn`` counts common neighbors whose OWN degree <= cap, and
+    a pair connected only through hubs is not emitted. Everything else is
+    two map-side-combinable aggs plus one anti-join against the edge
+    list; wedge work is bounded by cap * m.
+    """
+    if max_center_degree < 1:
+        raise ValueError("max_center_degree must be >= 1")
+    sym = _sym_edges(edges)
+    und = sym.filter(F.col("lo") < F.col("hi"))
+    deg = sym.groupBy(F.col("lo").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    centers = deg.filter(F.col("deg") <= max_center_degree).select("v")
+    # wedges through non-hub centers; n_a < n_b so each pair counts once
+    a = sym.select(F.col("lo").alias("v"), F.col("hi").alias("na"))
+    b = sym.select(F.col("lo").alias("v"), F.col("hi").alias("nb"))
+    wedges = (
+        a.join(centers, "v", "left_semi")
+        .join(b, "v")
+        .filter(F.col("na") < F.col("nb"))
+    )
+    cn = (
+        wedges.groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    nonadj = cn.join(
+        und.select(F.col("lo").alias("na"), F.col("hi").alias("nb")),
+        ["na", "nb"],
+        "left_anti",
+    )
+    d_a = deg.select(F.col("v").alias("na"), F.col("deg").alias("deg_a"))
+    d_b = deg.select(F.col("v").alias("nb"), F.col("deg").alias("deg_b"))
+    return (
+        nonadj.join(d_a, "na")
+        .join(d_b, "nb")
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            (F.col("deg_a") * F.col("deg_b")).alias("pref_attach"),
+            (F.col("deg_a") + F.col("deg_b") - F.col("cn")).alias(
+                "jaccard_den"
+            ),
+        )
+    )

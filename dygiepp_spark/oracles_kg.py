@@ -2059,3 +2059,47 @@ deg AS (SELECT lo AS node_id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 
 SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bin
 FROM deg GROUP BY deg"""
+
+
+def link_prediction_oracle(
+    max_center_degree: int = 64, min_common: int = 2
+) -> str:
+    """Twin of graph.link_prediction over the part-supplier bipartite
+    graph (the query's registered domain — the mention KG is complete
+    at test scale): wedges through non-hub centers (degree <= cap),
+    pair rollup, anti-join vs the edge list, integer CN /
+    preferential-attachment / Jaccard-denominator features."""
+    return f"""WITH edges AS (
+    SELECT 'P:' || CAST(l_partkey AS VARCHAR) AS subj_id,
+           'S:' || CAST(l_suppkey AS VARCHAR) AS obj_id
+    FROM lineitem
+),
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+sym AS (SELECT lo, hi FROM und UNION ALL SELECT hi AS lo, lo AS hi FROM und),
+deg AS (SELECT lo AS v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+ctr AS (SELECT v FROM deg WHERE deg <= {max_center_degree}),
+cn AS (
+    SELECT a.hi AS na, b.hi AS nb, CAST(count(*) AS BIGINT) AS cn
+    FROM sym a
+    JOIN ctr c ON a.lo = c.v
+    JOIN sym b ON a.lo = b.lo AND a.hi < b.hi
+    GROUP BY a.hi, b.hi
+    HAVING count(*) >= {min_common}
+),
+nonadj AS (
+    SELECT * FROM cn
+    WHERE NOT EXISTS (
+        SELECT 1 FROM und WHERE und.lo = cn.na AND und.hi = cn.nb
+    )
+)
+SELECT p.na AS node_a, p.nb AS node_b, p.cn,
+       da.deg AS deg_a, db.deg AS deg_b,
+       da.deg * db.deg AS pref_attach,
+       da.deg + db.deg - p.cn AS jaccard_den
+FROM nonadj p
+JOIN deg da ON p.na = da.v
+JOIN deg db ON p.nb = db.v"""

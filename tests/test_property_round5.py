@@ -241,3 +241,61 @@ def test_kg_components_converged_matches_union_find(spark, raw):
     got = {r["node_id"]: r["label"]
            for r in kg_components(df, rounds=len(nodes)).collect()}
     assert got == want
+
+
+# ------------------------------------------------- link-prediction model
+
+
+def _linkpred_py(raw, cap, min_common):
+    """Brute-force CN features: undirected simple graph, wedges through
+    centers with degree <= cap, non-adjacent pairs only."""
+    adj = {}
+    for u, v in raw:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    from collections import Counter
+
+    cn = Counter()
+    for c, ns in adj.items():
+        if deg[c] > cap:
+            continue
+        for na in ns:
+            for nb in ns:
+                if na < nb:
+                    cn[(na, nb)] += 1
+    out = {}
+    for (na, nb), k in cn.items():
+        if k < min_common or nb in adj.get(na, ()):
+            continue
+        out[(na, nb)] = (
+            k, deg[na], deg[nb], deg[na] * deg[nb], deg[na] + deg[nb] - k
+        )
+    return out
+
+
+@given(
+    raw=st.lists(st.tuples(nodes, nodes), min_size=1, max_size=24),
+    cap=st.integers(min_value=1, max_value=6),
+    min_common=st.integers(min_value=1, max_value=2),
+)
+@settings(**SETTINGS)
+def test_link_prediction_matches_bruteforce_model(spark, raw, cap, min_common):
+    from dygiepp_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(u, "p", v) for u, v in raw],
+        "subj_id string, pred string, obj_id string",
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["cn"], r["deg_a"], r["deg_b"], r["pref_attach"],
+            r["jaccard_den"],
+        )
+        for r in link_prediction(
+            edges, max_center_degree=cap, min_common=min_common
+        ).collect()
+    }
+    assert got == _linkpred_py(raw, cap, min_common)
