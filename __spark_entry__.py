@@ -1386,6 +1386,14 @@ def q_link_prediction(spark, sf_dir):
     return GR.link_prediction(edges, max_center_degree=64, min_common=2)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the linked KG: hash-argmin
+    next hops, so the walk set is a pure function of the graph —
+    reproducible graph-embedding training data, one shuffle per step."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.random_walks(edges, length=4, walks_per_node=2)
+
+
 def q_streaming_kg_agg(spark, sf_dir):
     """Streaming KG materialization: micro-batch extract->link->rollup
     into per-batch partials (the Iceberg streaming-upsert shape), folded
@@ -1594,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (e) post-window round-5 additions (tail — parity-gated at both
         # SFs; rotate into the window next cycle)
         "link_prediction": q_link_prediction,
+        "random_walks": q_random_walks,
     }
 
 
@@ -1744,5 +1753,8 @@ def oracle_sql() -> dict[str, str]:
         "tool_transitions": oracles.tool_transitions_oracle(),
         "link_prediction": oracles_kg.link_prediction_oracle(
             max_center_degree=64, min_common=2
+        ),
+        "random_walks": oracles_kg.random_walks_oracle(
+            length=4, walks_per_node=2
         ),
     }

@@ -705,3 +705,67 @@ def link_prediction(
             ),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame, length: int = 4, walks_per_node: int = 2
+) -> DataFrame:
+    """DeepWalk-style walk corpus over the undirected KG — the training
+    data for graph embeddings (Perozzi et al. 2014), emitted in long
+    format ``(node_id, walk_id, step, visit)`` with ``walks_per_node``
+    walks of ``length`` hops from every node.
+
+    Determinism (the property a reproducible data pipeline needs and
+    sampled walks lack): the next hop from ``cur`` at step ``t`` of walk
+    ``w`` is the neighbor minimizing ``md5(cur:t:w:neighbor)`` — a
+    keyed-hash argmin, so the walk corpus is a pure function of the
+    graph, bit-identical across engines, partitionings, and reruns.
+    Md5 spreads mass like a uniform pick; re-keying by (t, w) decorrelates
+    steps and walks. The symmetrized simple graph has no dead ends (every
+    node in it has >= 1 neighbor), so walks are always full length.
+
+    Scale: each step is ONE shuffle join of the frontier onto the edge
+    list plus a map-side-combinable ``min_by`` agg, so a celebrity
+    node's fan-out collapses map-side — O(length) shuffles total, the
+    same loop shape as pagerank. Frontier is localCheckpoint-truncated
+    per step (the iterative-plan-growth lesson).
+    """
+    if length < 0 or walks_per_node < 1:
+        raise ValueError("length must be >= 0, walks_per_node >= 1")
+    sym = _sym_edges(edges)
+    start = (
+        sym.select(F.col("lo").alias("node_id"))
+        .distinct()
+        .select(
+            "node_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_id"),
+        )
+    )
+    frontier = start.select(
+        "node_id", "walk_id", F.col("node_id").alias("visit")
+    )
+    out = frontier.select(
+        "node_id", "walk_id", F.lit(0).cast("bigint").alias("step"), "visit"
+    )
+    for t in range(1, length + 1):
+        nxt = (
+            frontier.join(sym, frontier.visit == sym.lo)
+            .groupBy("node_id", "walk_id")
+            .agg(
+                F.expr(
+                    f"min_by(hi, md5(concat(visit, ':', '{t}', ':', "
+                    "cast(walk_id as string), ':', hi)))"
+                ).alias("visit")
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            nxt.select(
+                "node_id", "walk_id",
+                F.lit(t).cast("bigint").alias("step"), "visit",
+            )
+        )
+        frontier = nxt
+    return out

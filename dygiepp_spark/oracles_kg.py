@@ -2103,3 +2103,39 @@ SELECT p.na AS node_a, p.nb AS node_b, p.cn,
 FROM nonadj p
 JOIN deg da ON p.na = da.v
 JOIN deg db ON p.nb = db.v"""
+
+
+def random_walks_oracle(length: int = 4, walks_per_node: int = 2) -> str:
+    """Twin of graph.random_walks over the linked KG: unrolled per-step
+    CTEs, next hop = min_by(neighbor, md5(visit:t:walk:neighbor)) — the
+    same keyed-hash argmin, bit-identical across engines."""
+    head = f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+sym AS (SELECT lo, hi FROM und UNION ALL SELECT hi AS lo, lo AS hi FROM und),
+w0 AS (
+    SELECT n.lo AS node_id, CAST(t.w AS INT) AS walk_id, n.lo AS visit
+    FROM (SELECT DISTINCT lo FROM sym) n,
+         unnest(generate_series(0, {walks_per_node - 1})) AS t(w)
+)"""
+    steps = []
+    prev = "w0"
+    for t in range(1, length + 1):
+        steps.append(f"""w{t} AS (
+    SELECT f.node_id, f.walk_id,
+           min_by(s.hi, md5(f.visit || ':' || '{t}' || ':' ||
+                  CAST(f.walk_id AS VARCHAR) || ':' || s.hi)) AS visit
+    FROM {prev} f JOIN sym s ON f.visit = s.lo
+    GROUP BY f.node_id, f.walk_id
+)""")
+        prev = f"w{t}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT node_id, walk_id, CAST({t} AS BIGINT) AS step, visit FROM w{t}"
+        for t in range(length + 1)
+    )
+    if steps:
+        return head + ",\n" + ",\n".join(steps) + "\n" + selects
+    return head + "\n" + selects

@@ -299,3 +299,52 @@ def test_link_prediction_matches_bruteforce_model(spark, raw, cap, min_common):
         ).collect()
     }
     assert got == _linkpred_py(raw, cap, min_common)
+
+
+# ------------------------------------------------- random-walk model
+
+
+def _walks_py(raw, length, wpn):
+    import hashlib
+
+    adj = {}
+    for u, v in raw:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for n in adj:
+        for w in range(wpn):
+            cur = n
+            out[(n, w, 0)] = cur
+            for t in range(1, length + 1):
+                cur = min(
+                    adj[cur],
+                    key=lambda nb: hashlib.md5(
+                        f"{cur}:{t}:{w}:{nb}".encode()
+                    ).hexdigest(),
+                )
+                out[(n, w, t)] = cur
+    return out
+
+
+@given(
+    raw=st.lists(st.tuples(nodes, nodes), min_size=1, max_size=20),
+    length=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_random_walks_matches_hash_argmin_model(spark, raw, length):
+    from dygiepp_spark.operators.graph import random_walks
+
+    if all(u == v for u, v in raw):
+        return  # empty simple graph — no walks either way
+    edges = spark.createDataFrame(
+        [(u, "p", v) for u, v in raw],
+        "subj_id string, pred string, obj_id string",
+    )
+    got = {
+        (r["node_id"], r["walk_id"], r["step"]): r["visit"]
+        for r in random_walks(edges, length=length, walks_per_node=2).collect()
+    }
+    assert got == _walks_py(raw, length, 2)
