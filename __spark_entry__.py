@@ -1394,6 +1394,14 @@ def q_random_walks(spark, sf_dir):
     return GR.random_walks(edges, length=4, walks_per_node=2)
 
 
+def q_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context, n) counts over the deterministic
+    walk corpus — the embedding-training input; pair fan-out bounded
+    per (node, walk) key regardless of graph skew."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
+
+
 def q_streaming_kg_agg(spark, sf_dir):
     """Streaming KG materialization: micro-batch extract->link->rollup
     into per-batch partials (the Iceberg streaming-upsert shape), folded
@@ -1603,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SFs; rotate into the window next cycle)
         "link_prediction": q_link_prediction,
         "random_walks": q_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
     }
 
 
@@ -1756,5 +1765,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "random_walks": oracles_kg.random_walks_oracle(
             length=4, walks_per_node=2
+        ),
+        "walk_skipgrams": oracles_kg.walk_skipgrams_oracle(
+            length=4, walks_per_node=2, window=2
         ),
     }

@@ -769,3 +769,43 @@ def random_walks(
         )
         frontier = nxt
     return out
+
+
+def walk_skipgrams(
+    edges: DataFrame,
+    length: int = 4,
+    walks_per_node: int = 2,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts over the :func:`random_walks`
+    corpus — the actual training input a DeepWalk/node2vec embedding
+    fit consumes: ``(center, context, n)`` for every ordered pair of
+    walk positions within ``window`` steps of each other (both
+    directions, center != position pairs with step distance 0 excluded
+    by construction since a walk visits one node per step).
+
+    Scale: the pair join is keyed on (node_id, walk_id) — each side of
+    a walk is ``length + 1`` rows, so per-key fan-out is bounded by
+    ``(length+1) * (2*window)`` regardless of graph size or skew, and
+    the count rollup is map-side combinable on the (center, context)
+    key. The walk corpus itself is O(length) shuffles (see
+    random_walks); everything after is one bounded self-join + one agg.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    walks = random_walks(edges, length=length, walks_per_node=walks_per_node)
+    a = walks.select(
+        "node_id", "walk_id",
+        F.col("step").alias("s1"), F.col("visit").alias("center"),
+    )
+    b = walks.select(
+        "node_id", "walk_id",
+        F.col("step").alias("s2"), F.col("visit").alias("context"),
+    )
+    pairs = a.join(b, ["node_id", "walk_id"]).filter(
+        (F.col("s1") != F.col("s2"))
+        & (F.abs(F.col("s1") - F.col("s2")) <= window)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n")
+    )

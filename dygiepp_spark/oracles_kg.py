@@ -2139,3 +2139,20 @@ w0 AS (
     if steps:
         return head + ",\n" + ",\n".join(steps) + "\n" + selects
     return head + "\n" + selects
+
+
+def walk_skipgrams_oracle(
+    length: int = 4, walks_per_node: int = 2, window: int = 2
+) -> str:
+    """Twin of graph.walk_skipgrams: the random_walks CTE chain, then a
+    (node_id, walk_id)-keyed self-join bounded by the step window."""
+    base = random_walks_oracle(length=length, walks_per_node=walks_per_node)
+    return f"""WITH walks AS (
+{base.replace("WITH ", "WITH ", 1)}
+)
+SELECT a.visit AS center, b.visit AS context,
+       CAST(count(*) AS BIGINT) AS n
+FROM walks a
+JOIN walks b ON a.node_id = b.node_id AND a.walk_id = b.walk_id
+ AND a.step <> b.step AND abs(a.step - b.step) <= {window}
+GROUP BY 1, 2"""

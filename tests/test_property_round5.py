@@ -348,3 +348,35 @@ def test_random_walks_matches_hash_argmin_model(spark, raw, length):
         for r in random_walks(edges, length=length, walks_per_node=2).collect()
     }
     assert got == _walks_py(raw, length, 2)
+
+
+@given(
+    raw=st.lists(st.tuples(nodes, nodes), min_size=1, max_size=16),
+    window=st.integers(min_value=1, max_value=3),
+)
+@settings(**SETTINGS)
+def test_walk_skipgrams_matches_pair_count_model(spark, raw, window):
+    from collections import Counter
+
+    from dygiepp_spark.operators.graph import walk_skipgrams
+
+    if all(u == v for u, v in raw):
+        return
+    edges = spark.createDataFrame(
+        [(u, "p", v) for u, v in raw],
+        "subj_id string, pred string, obj_id string",
+    )
+    length, wpn = 3, 2
+    walks = _walks_py(raw, length, wpn)
+    want = Counter()
+    for (n, w, s1), center in walks.items():
+        for s2 in range(max(0, s1 - window), min(length, s1 + window) + 1):
+            if s2 != s1:
+                want[(center, walks[(n, w, s2)])] += 1
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in walk_skipgrams(
+            edges, length=length, walks_per_node=wpn, window=window
+        ).collect()
+    }
+    assert got == dict(want)
