@@ -1402,6 +1402,15 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram table for extractor confidence: per conf
+    decile, how many predicted triples and how many hit gold exactly."""
+    turns = _turns(spark, sf_dir)
+    return KE.calibration_bins(
+        EX.emit_triples(turns), KE.gold_triples(turns), bins=10
+    )
+
+
 def q_streaming_kg_agg(spark, sf_dir):
     """Streaming KG materialization: micro-batch extract->link->rollup
     into per-batch partials (the Iceberg streaming-upsert shape), folded
@@ -1612,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -1769,4 +1779,5 @@ def oracle_sql() -> dict[str, str]:
         "walk_skipgrams": oracles_kg.walk_skipgrams_oracle(
             length=4, walks_per_node=2, window=2
         ),
+        "calibration_bins": oracles_kg.calibration_bins_oracle(bins=10),
     }

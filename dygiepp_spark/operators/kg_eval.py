@@ -1812,3 +1812,49 @@ def agreement_report(
             F.when(F.col("n_common") > 0, acc).otherwise(F.lit(0.0)),
         )
     )
+
+
+def calibration_bins(pred: DataFrame, gold: DataFrame, bins: int = 10) -> DataFrame:
+    """Confidence-calibration table for extracted triples — the
+    reliability-diagram input behind threshold selection (the same
+    question the reference's accept-rate-by-threshold analyses answer,
+    eval_predictions_quality.py:103-178, asked of the extractor's own
+    confidence): bin predictions by ``floor(conf * bins)`` (top edge
+    folded into the last bin) and report per bin how many there are and
+    how many hit gold exactly.
+
+    Output: ``(bin, n_pred, n_correct, accuracy)``. Counts are BIGINT;
+    the bin index is one IEEE double multiply + floor (identical in any
+    engine); accuracy is a single exact-integer division — no float
+    summation anywhere.
+
+    Scale: one key-grouped max-conf dedup, one left join against the
+    gold keys, one map-side-combinable rollup over at most ``bins``
+    groups.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    keys = ["conv_id", "arg0", "arg1", "label"]
+    p = pred.groupBy(*keys).agg(F.max("conf").alias("conf"))
+    g = gold.select(*keys).distinct().withColumn("_hit", F.lit(1))
+    j = p.join(g, keys, "left")
+    b = F.least(
+        F.floor(F.col("conf") * bins).cast("bigint"),
+        F.lit(bins - 1).cast("bigint"),
+    )
+    return (
+        j.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "bin", "n_pred", "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_pred").cast("double")
+            ).alias("accuracy"),
+        )
+    )

@@ -2156,3 +2156,24 @@ FROM walks a
 JOIN walks b ON a.node_id = b.node_id AND a.walk_id = b.walk_id
  AND a.step <> b.step AND abs(a.step - b.step) <= {window}
 GROUP BY 1, 2"""
+
+
+def calibration_bins_oracle(bins: int = 10) -> str:
+    """Twin of kg_eval.calibration_bins: max-conf dedup per triple key,
+    left join vs gold keys, floor-binned rollup."""
+    return f"""{_EVAL_BASE} , {_TRIPLES_CTE.strip()} , {_GOLD_CTE.strip()},
+p AS (
+    SELECT conv_id, arg0, arg1, label, max(conf) AS conf
+    FROM triples GROUP BY 1, 2, 3, 4
+),
+g AS (SELECT DISTINCT conv_id, arg0, arg1, label FROM gold),
+j AS (
+    SELECT p.conf, CASE WHEN g.conv_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM p LEFT JOIN g USING (conv_id, arg0, arg1, label)
+)
+SELECT least(CAST(floor(conf * {bins}) AS BIGINT),
+             CAST({bins - 1} AS BIGINT)) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pred,
+       CAST(sum(hit) AS BIGINT) AS n_correct,
+       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+FROM j GROUP BY 1"""

@@ -611,3 +611,30 @@ def test_tool_transitions_counts_consecutive_calls(spark):
            for r in tool_transitions(turns).collect()}
     assert out == {("search", "code"): 1, ("code", "code"): 1,
                    ("search", "calc"): 1}
+
+
+def test_calibration_bins_counts_and_top_edge_fold(spark):
+    from dygiepp_spark.operators.kg_eval import calibration_bins
+
+    pred = spark.createDataFrame(
+        [
+            # two occurrences of the same triple: max-conf dedup -> 0.45
+            ("c1", "a", "b", "r", 0.45), ("c1", "a", "b", "r", 0.10),
+            ("c1", "a", "c", "r", 0.44),   # same bin 4, misses gold
+            ("c2", "x", "y", "s", 1.0),    # top edge folds into bin 9
+            ("c2", "x", "z", "s", 0.05),   # bin 0, hits gold
+        ],
+        "conv_id string, arg0 string, arg1 string, label string, conf double",
+    )
+    gold = spark.createDataFrame(
+        [("c1", "a", "b", "r", 1.0), ("c2", "x", "z", "s", 1.0),
+         ("c3", "q", "q", "r", 1.0)],  # gold-only rows never counted
+        "conv_id string, arg0 string, arg1 string, label string, conf double",
+    )
+    out = {r["bin"]: (r["n_pred"], r["n_correct"], r["accuracy"])
+           for r in calibration_bins(pred, gold, bins=10).collect()}
+    assert out == {
+        4: (2, 1, 0.5),
+        9: (1, 0, 0.0),
+        0: (1, 1, 1.0),
+    }
