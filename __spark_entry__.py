@@ -1402,6 +1402,16 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_schema_profile(spark, sf_dir):
+    """Ontology co-occurrence report: (subj_type, pred, obj_type) edge
+    and conversation counts — the schema-induction / drift-audit table."""
+    turns = _turns(spark, sf_dir)
+    dic = TT.entity_dict(spark)
+    return GR.schema_profile(
+        GR.build_edges(turns, dic), GR.build_nodes(turns, dic)
+    )
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability-diagram table for extractor confidence: per conf
     decile, how many predicted triples and how many hit gold exactly."""
@@ -1622,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "calibration_bins": q_calibration_bins,
+        "schema_profile": q_schema_profile,
     }
 
 
@@ -1780,4 +1791,5 @@ def oracle_sql() -> dict[str, str]:
             length=4, walks_per_node=2, window=2
         ),
         "calibration_bins": oracles_kg.calibration_bins_oracle(bins=10),
+        "schema_profile": oracles_kg.schema_profile_oracle(),
     }

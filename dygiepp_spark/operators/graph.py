@@ -809,3 +809,35 @@ def walk_skipgrams(
     return pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def schema_profile(
+    edges: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Ontology co-occurrence profile of the KG — the schema-induction
+    report: one row per ``(subj_type, pred, obj_type)`` signature with
+    its edge count and distinct-conversation support. This is the table
+    a KG curator reads to find type-inconsistent predicates (a
+    ``works_for(TOOL, PERSON)`` cell flags linker or extractor drift)
+    and to seed predicate domain/range constraints.
+
+    Scale: two joins of the node dim (entity_id -> type; vocabulary-
+    sized, AQE broadcasts it) onto the edge stream plus one map-side-
+    combinable rollup over the tiny type x pred x type domain.
+    """
+    t = nodes.select("entity_id", "type")
+    s = t.select(
+        F.col("entity_id").alias("subj_id"), F.col("type").alias("subj_type")
+    )
+    o = t.select(
+        F.col("entity_id").alias("obj_id"), F.col("type").alias("obj_type")
+    )
+    return (
+        edges.join(F.broadcast(s), "subj_id")
+        .join(F.broadcast(o), "obj_id")
+        .groupBy("subj_type", "pred", "obj_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        )
+    )

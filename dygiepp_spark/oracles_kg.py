@@ -2177,3 +2177,19 @@ SELECT least(CAST(floor(conf * {bins}) AS BIGINT),
        CAST(sum(hit) AS BIGINT) AS n_correct,
        CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
 FROM j GROUP BY 1"""
+
+
+def schema_profile_oracle() -> str:
+    """Twin of graph.schema_profile: node types joined onto both edge
+    endpoints, rolled up per (subj_type, pred, obj_type) signature."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+nodes AS (
+    SELECT entity_id, min(type) AS type FROM linked GROUP BY entity_id
+)
+SELECT s.type AS subj_type, e.pred, o.type AS obj_type,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT e.conv_id) AS BIGINT) AS n_convs
+FROM edges e
+JOIN nodes s ON e.subj_id = s.entity_id
+JOIN nodes o ON e.obj_id = o.entity_id
+GROUP BY 1, 2, 3"""

@@ -638,3 +638,27 @@ def test_calibration_bins_counts_and_top_edge_fold(spark):
         9: (1, 0, 0.0),
         0: (1, 1, 1.0),
     }
+
+
+def test_schema_profile_rolls_up_type_signatures(spark):
+    from dygiepp_spark.operators.graph import schema_profile
+
+    edges = spark.createDataFrame(
+        [
+            ("e1", "uses", "e2", "c1"), ("e1", "uses", "e2", "c1"),
+            ("e1", "uses", "e3", "c2"), ("e3", "made_by", "e1", "c2"),
+        ],
+        "subj_id string, pred string, obj_id string, conv_id string",
+    )
+    nodes = spark.createDataFrame(
+        [("e1", "PERSON"), ("e2", "TOOL"), ("e3", "TOOL")],
+        "entity_id string, type string",
+    )
+    out = {
+        (r["subj_type"], r["pred"], r["obj_type"]): (r["n_edges"], r["n_convs"])
+        for r in schema_profile(edges, nodes).collect()
+    }
+    assert out == {
+        ("PERSON", "uses", "TOOL"): (3, 2),
+        ("TOOL", "made_by", "PERSON"): (1, 1),
+    }
