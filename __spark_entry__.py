@@ -1402,6 +1402,14 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_tool_chains(spark, sf_dir):
+    """Longest consecutive same-tool run per conversation (gaps-and-
+    islands over the tool-call subsequence) — agent loop detection."""
+    from dygiepp_spark.operators import transcript as TR
+
+    return TR.tool_chains(TR.with_synthetic_tools(_turns(spark, sf_dir)))
+
+
 def q_schema_profile(spark, sf_dir):
     """Ontology co-occurrence report: (subj_type, pred, obj_type) edge
     and conversation counts — the schema-induction / drift-audit table."""
@@ -1633,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "calibration_bins": q_calibration_bins,
         "schema_profile": q_schema_profile,
+        "tool_chains": q_tool_chains,
     }
 
 
@@ -1792,4 +1801,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "calibration_bins": oracles_kg.calibration_bins_oracle(bins=10),
         "schema_profile": oracles_kg.schema_profile_oracle(),
+        "tool_chains": oracles.tool_chains_oracle(),
     }

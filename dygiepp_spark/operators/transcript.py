@@ -242,3 +242,46 @@ def tool_transitions(turns: DataFrame) -> DataFrame:
         .groupBy("tool_from", F.col("tool").alias("tool_to"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def tool_chains(turns: DataFrame) -> DataFrame:
+    """Longest consecutive same-tool run per conversation — the
+    agent-behavior 'stuck in a loop' report: over the conversation's
+    tool-CALL subsequence (non-tool turns skipped, same adjacency as
+    tool_transitions), find each maximal same-tool island via the
+    gaps-and-islands double row_number, and keep the conversation's
+    longest one. Ties break (run_len DESC, tool ASC, start_turn ASC) so
+    the winner is total-ordered on both engines.
+
+    Output: ``(conv_id, tool, run_len, start_turn)``.
+
+    Scale: every window is conv_id-partitioned (zero extra shuffle on a
+    conv-bucketed layout); the island rollup is map-side combinable and
+    the final pick ranks at most a conversation's island count.
+    """
+    from pyspark.sql import Window
+
+    calls = turns.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    runs = (
+        calls.withColumn(
+            "isl",
+            F.row_number().over(w_all) - F.row_number().over(w_tool),
+        )
+        .groupBy("conv_id", "tool", "isl")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("turn_idx").alias("start_turn"),
+        )
+    )
+    w_pick = Window.partitionBy("conv_id").orderBy(
+        F.col("run_len").desc(), F.col("tool").asc(), F.col("start_turn").asc()
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "tool", "run_len", "start_turn")
+    )

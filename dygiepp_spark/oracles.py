@@ -690,3 +690,30 @@ lagged AS (
 SELECT tool_from, tool AS tool_to, CAST(count(*) AS BIGINT) AS n
 FROM lagged WHERE tool_from IS NOT NULL
 GROUP BY tool_from, tool"""
+
+
+def tool_chains_oracle() -> str:
+    """Twin of transcript.tool_chains: gaps-and-islands double
+    row_number over the synthetic tool-call subsequence, per-conv
+    longest run with the (len DESC, tool ASC, start ASC) tie order."""
+    return f"""WITH {TURNS_SQL.strip()} , {_TOOLS_CTE.strip()},
+isl AS (
+    SELECT conv_id, turn_idx, tool,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+               AS isl
+    FROM tcalls
+),
+runs AS (
+    SELECT conv_id, tool, isl,
+           CAST(count(*) AS BIGINT) AS run_len,
+           CAST(min(turn_idx) AS INT) AS start_turn
+    FROM isl GROUP BY 1, 2, 3
+),
+picked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id
+        ORDER BY run_len DESC, tool ASC, start_turn ASC) AS rn
+    FROM runs
+)
+SELECT conv_id, tool, run_len, start_turn FROM picked WHERE rn = 1"""

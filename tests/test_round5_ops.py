@@ -662,3 +662,31 @@ def test_schema_profile_rolls_up_type_signatures(spark):
         ("PERSON", "uses", "TOOL"): (3, 2),
         ("TOOL", "made_by", "PERSON"): (1, 1),
     }
+
+
+def test_tool_chains_finds_longest_run_with_tie_order(spark):
+    from dygiepp_spark.operators.transcript import tool_chains
+
+    rows = [
+        # c1: code,code,search,code -> longest run = code x2 at turn 0
+        ("c1", 0, "code"), ("c1", 1, "code"), ("c1", 4, "search"),
+        ("c1", 6, "code"),
+        # c2: two length-2 runs -> tie breaks to lexicographically
+        # smaller tool ('browse' over 'calc')
+        ("c2", 0, "calc"), ("c2", 1, "calc"), ("c2", 2, "browse"),
+        ("c2", 3, "browse"),
+        # c3: gap in turn_idx does NOT split a run (call-subsequence
+        # adjacency, non-tool turns skipped)
+        ("c3", 0, "calc"), ("c3", 7, "calc"), ("c3", 9, "search"),
+    ]
+    turns = spark.createDataFrame(
+        [(c, i, "assistant", "x", t) for c, i, t in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    out = {r["conv_id"]: (r["tool"], r["run_len"], r["start_turn"])
+           for r in tool_chains(turns).collect()}
+    assert out == {
+        "c1": ("code", 2, 0),
+        "c2": ("browse", 2, 2),
+        "c3": ("calc", 2, 0),
+    }
