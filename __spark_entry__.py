@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_hot_entities(spark, sf_dir):
+    """Entity-skew pre-flight: per entity, mention totals, conv spread,
+    and the hottest conversation's share — the salting-decision table."""
+    return GR.hot_entities(_turns(spark, sf_dir), TT.entity_dict(spark))
+
+
 def q_tool_chains(spark, sf_dir):
     """Longest consecutive same-tool run per conversation (gaps-and-
     islands over the tool-call subsequence) — agent loop detection."""
@@ -1642,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "schema_profile": q_schema_profile,
         "tool_chains": q_tool_chains,
+        "hot_entities": q_hot_entities,
     }
 
 
@@ -1802,4 +1809,5 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": oracles_kg.calibration_bins_oracle(bins=10),
         "schema_profile": oracles_kg.schema_profile_oracle(),
         "tool_chains": oracles.tool_chains_oracle(),
+        "hot_entities": oracles_kg.hot_entities_oracle(),
     }

@@ -841,3 +841,37 @@ def schema_profile(
             F.count_distinct("conv_id").alias("n_convs"),
         )
     )
+
+
+def hot_entities(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Entity-skew pre-flight report: per canonical entity, total
+    mentions, distinct conversations, the hottest single conversation's
+    mention count, and its share of the total — the table that decides
+    whether an entity-keyed join downstream needs salting or an AQE
+    skew hint (a 'celebrity' entity shows a huge ``n_mentions`` spread
+    over many convs; a 'burst' entity concentrates in one).
+
+    Scale: one (entity, conv)-keyed count then one entity-keyed rollup,
+    both map-side combinable; ``top_share`` is a single exact-integer
+    division (IEEE-identical everywhere).
+    """
+    mentions = detect_mentions(turns)
+    linked = link_mentions(mentions, entity_dict)
+    per_conv = linked.groupBy("entity_id", "conv_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_conv.groupBy("entity_id")
+        .agg(
+            F.sum("n").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_convs"),
+            F.max("n").alias("top_conv_n"),
+        )
+        .select(
+            "entity_id", "n_mentions", "n_convs", "top_conv_n",
+            (
+                F.col("top_conv_n").cast("double")
+                / F.col("n_mentions").cast("double")
+            ).alias("top_share"),
+        )
+    )

@@ -2193,3 +2193,23 @@ FROM edges e
 JOIN nodes s ON e.subj_id = s.entity_id
 JOIN nodes o ON e.obj_id = o.entity_id
 GROUP BY 1, 2, 3"""
+
+
+def hot_entities_oracle() -> str:
+    """Twin of graph.hot_entities: (entity, conv) counts rolled up to
+    the per-entity concentration report."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()},
+per_conv AS (
+    SELECT entity_id, conv_id, CAST(count(*) AS BIGINT) AS n
+    FROM linked GROUP BY 1, 2
+),
+agg AS (
+    SELECT entity_id,
+           CAST(sum(n) AS BIGINT) AS n_mentions,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(max(n) AS BIGINT) AS top_conv_n
+    FROM per_conv GROUP BY 1
+)
+SELECT entity_id, n_mentions, n_convs, top_conv_n,
+       CAST(top_conv_n AS DOUBLE) / CAST(n_mentions AS DOUBLE) AS top_share
+FROM agg"""

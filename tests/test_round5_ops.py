@@ -690,3 +690,23 @@ def test_tool_chains_finds_longest_run_with_tie_order(spark):
         "c2": ("browse", 2, 2),
         "c3": ("calc", 2, 0),
     }
+
+
+def test_hot_entities_concentration_report(spark):
+    from dygiepp_spark.operators.graph import hot_entities
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 1, "assistant", "spark spark spark", None),
+            ("c2", 1, "assistant", "spark stream", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    dic = spark.createDataFrame(
+        [("spark", "E1", "Spark", "TOOL"), ("stream", "E2", "Stream", "TOOL")],
+        "surface string, entity_id string, canonical_text string, type string",
+    )
+    out = {r["entity_id"]: (r["n_mentions"], r["n_convs"], r["top_conv_n"],
+                            r["top_share"])
+           for r in hot_entities(turns, dic).collect()}
+    assert out == {"E1": (4, 2, 3, 0.75), "E2": (1, 1, 1, 1.0)}
