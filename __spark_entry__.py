@@ -1458,6 +1458,26 @@ def q_streaming_kg_agg(spark, sf_dir):
     return _consume_and_remove(ST.merge_kg_partials(partials), base)
 
 
+def q_streaming_tool_usage(spark, sf_dir):
+    """Streaming tool-usage analytics: micro-batch partial (count,
+    conv-count, turn-sum) rollups per tool in the idempotent partial-
+    sink contract, folded on read — same SQL oracle as `tool_usage`
+    (the conv-partitioned feed makes the fold equal the batch op)."""
+    base = f"/root/repo/.tmp/stream_tools_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    _turns(spark, sf_dir).repartition(8, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    ST.run_tool_usage_stream(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=2
+    )
+    partials = spark.read.parquet(out_dir).select(
+        "tool", "n_calls", "n_convs", "sum_turn"
+    )
+    return _consume_and_remove(ST.merge_tool_usage_partials(partials), base)
+
+
 def q_lpa_communities(spark, sf_dir):
     """Synchronous min-tie label-propagation communities over the linked
     KG (bounded rounds — the deterministic, oracle-checkable LPA)."""
@@ -1649,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_profile": q_schema_profile,
         "tool_chains": q_tool_chains,
         "hot_entities": q_hot_entities,
+        "streaming_tool_usage": q_streaming_tool_usage,
     }
 
 
@@ -1810,4 +1831,5 @@ def oracle_sql() -> dict[str, str]:
         "schema_profile": oracles_kg.schema_profile_oracle(),
         "tool_chains": oracles.tool_chains_oracle(),
         "hot_entities": oracles_kg.hot_entities_oracle(),
+        "streaming_tool_usage": oracles.tool_usage_oracle(),
     }

@@ -690,3 +690,67 @@ def merge_kg_partials(partials: DataFrame) -> DataFrame:
         F.max("max_conf").alias("max_conf"),
         F.sum("n_convs").alias("n_convs"),
     )
+
+
+def run_tool_usage_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Streaming agent-analytics rollup: each micro-batch lands PER-BATCH
+    PARTIAL tool-usage aggregates (n_calls / n_convs / turn-index sum per
+    tool) in the same idempotent batch_id-partitioned sink contract as
+    run_kg_agg_stream; ``merge_tool_usage_partials`` is the read-side
+    fold. Partials merge exactly when no conversation straddles a
+    micro-batch (conv-partitioned feed): counts and sums ADD. The mean
+    is NOT carried in the partials — only the (sum, count) pair, the
+    standard mergeable form — so the fold's single division is exact-
+    integer and bit-portable.
+    """
+    from dygiepp_spark.operators import transcript as TR
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        calls = TR.with_synthetic_tools(batch_df).filter(
+            F.col("tool").isNotNull()
+        )
+        (
+            calls.groupBy("tool")
+            .agg(
+                F.count(F.lit(1)).alias("n_calls"),
+                F.count_distinct("conv_id").alias("n_convs"),
+                F.sum(F.col("turn_idx").cast("bigint")).alias("sum_turn"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_turns(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merge_tool_usage_partials(partials: DataFrame) -> DataFrame:
+    """Fold per-batch tool-usage partials into the final report — equals
+    batch ``tool_usage`` when the feed was conv-partitioned."""
+    return (
+        partials.groupBy("tool")
+        .agg(
+            F.sum("n_calls").alias("n_calls"),
+            F.sum("n_convs").alias("n_convs"),
+            F.sum("sum_turn").alias("sum_turn"),
+        )
+        .select(
+            "tool", "n_calls", "n_convs",
+            (
+                F.col("sum_turn").cast("double")
+                / F.col("n_calls").cast("double")
+            ).alias("mean_turn_idx"),
+        )
+    )

@@ -263,3 +263,30 @@ def test_streaming_kg_agg_merges_partials_across_batches(spark, sf_dir, tmp_path
     )
     assert merged.exceptAll(batch).count() == 0
     assert batch.exceptAll(merged).count() == 0
+
+
+def test_streaming_tool_usage_merges_partials_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Multiple per-batch tool-usage partial sets must fold to exactly
+    the batch tool_usage rollup on a conv-partitioned feed."""
+    from dygiepp_spark import tables as TT
+    from dygiepp_spark.operators import transcript as TR
+    from dygiepp_spark.streaming import stream as ST
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    turns = TT.turns_from_documents(spark, sf_dir, with_ts=False)
+    turns.repartition(8, "conv_id").write.parquet(in_dir)
+    ST.run_tool_usage_stream(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=2
+    )
+    sink = spark.read.parquet(out_dir)
+    assert sink.select("batch_id").distinct().count() >= 2
+    merged = ST.merge_tool_usage_partials(
+        sink.select("tool", "n_calls", "n_convs", "sum_turn")
+    )
+    batch = TR.tool_usage(TR.with_synthetic_tools(turns))
+    assert merged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(merged).count() == 0
