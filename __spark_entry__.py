@@ -1402,6 +1402,16 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_entity_pmi(spark, sf_dir):
+    """PMI-weighted entity co-occurrence edges (presence-based counts,
+    capped conversations, rank-faithful integer PMI) — the association
+    half of KG construction alongside extraction-based edges."""
+    return GR.entity_pmi(
+        _turns(spark, sf_dir), TT.entity_dict(spark),
+        min_count=2, max_conv_entities=256,
+    )
+
+
 def q_hot_entities(spark, sf_dir):
     """Entity-skew pre-flight: per entity, mention totals, conv spread,
     and the hottest conversation's share — the salting-decision table."""
@@ -1498,7 +1508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (d) rows — event_f1_4way, baseline_srl, csv_ingest, json_ingest,
     conv_stats, sessions, streaming_dedup, ie_errors, decontam,
     repetition, stratified_sample, frame_samples, pii_scrub — to the
-    top of the tail);
+    top of the tail); (e) eight operators added in the closing session
+    (link_prediction, random_walks, walk_skipgrams, calibration_bins,
+    schema_profile, tool_chains, hot_entities, streaming_tool_usage)
+    sit at the VERY END of the tail — each parity-gated at sf0.001 AND
+    sf0.01 individually at commit time, plus unit/property tests;
     (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
@@ -1670,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_chains": q_tool_chains,
         "hot_entities": q_hot_entities,
         "streaming_tool_usage": q_streaming_tool_usage,
+        "entity_pmi": q_entity_pmi,
     }
 
 
@@ -1832,4 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_chains": oracles.tool_chains_oracle(),
         "hot_entities": oracles_kg.hot_entities_oracle(),
         "streaming_tool_usage": oracles.tool_usage_oracle(),
+        "entity_pmi": oracles_kg.entity_pmi_oracle(
+            min_count=2, max_conv_entities=256
+        ),
     }

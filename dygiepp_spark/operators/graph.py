@@ -875,3 +875,67 @@ def hot_entities(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+def entity_pmi(
+    turns: DataFrame,
+    entity_dict: DataFrame,
+    min_count: int = 2,
+    scale: int = 1_000_000,
+    max_conv_entities: int = 256,
+) -> DataFrame:
+    """PMI-weighted entity co-occurrence edges — the OTHER standard KG
+    construction path besides relation extraction: entities that appear
+    in the same conversation far more often than chance get an edge,
+    weighted by the quantized probability ratio
+    ``pmi_q = (c_ab * scale) div (c_a * c_b)`` (log is monotone, global
+    constants dropped — the same rank-faithful integer-PMI contract as
+    functions.text.pmi_pairs).
+
+    Counts are presence-based (distinct (conv, entity)), so a mention
+    burst inside one conversation doesn't inflate the pair. Conversations
+    mentioning more than ``max_conv_entities`` distinct entities are
+    excluded from pair generation — the per-conv pair fan-out is
+    quadratic in that count, and such conversations (index pages, logs)
+    are association noise anyway; the cap is the same bounded-expansion
+    discipline as the LSH hot-bucket and wedge-center caps. ``c_a``
+    stays computed over ALL conversations (documented asymmetry: the
+    denominator is the entity's true reach).
+
+    Scale: presence dedup and both count aggs are map-side combinable;
+    the pair self-join keys on conv_id with fan-out bounded by the cap;
+    the two dim joins broadcast under AQE.
+    """
+    if min_count < 1 or max_conv_entities < 2:
+        raise ValueError("min_count >= 1 and max_conv_entities >= 2 required")
+    mentions = detect_mentions(turns)
+    linked = link_mentions(mentions, entity_dict)
+    presence = linked.select("conv_id", "entity_id").distinct()
+    singles = presence.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    small = presence.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_ne")
+    ).filter(F.col("_ne") <= max_conv_entities).select("conv_id")
+    capped = presence.join(small, "conv_id", "left_semi")
+    a = capped.select("conv_id", F.col("entity_id").alias("e1"))
+    b = capped.select("conv_id", F.col("entity_id").alias("e2"))
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    s1 = singles.select(F.col("entity_id").alias("e1"), F.col("c").alias("c_a"))
+    s2 = singles.select(F.col("entity_id").alias("e2"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(s1, "e1")
+        .join(s2, "e2")
+        .select(
+            "e1", "e2", "c_ab", "c_a", "c_b",
+            F.expr(f"CAST(c_ab * {scale}L div (c_a * c_b) AS BIGINT)").alias(
+                "pmi_q"
+            ),
+        )
+    )

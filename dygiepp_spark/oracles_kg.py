@@ -2213,3 +2213,37 @@ agg AS (
 SELECT entity_id, n_mentions, n_convs, top_conv_n,
        CAST(top_conv_n AS DOUBLE) / CAST(n_mentions AS DOUBLE) AS top_share
 FROM agg"""
+
+
+def entity_pmi_oracle(
+    min_count: int = 2, scale: int = 1_000_000,
+    max_conv_entities: int = 256,
+) -> str:
+    """Twin of graph.entity_pmi: presence-based co-occurrence counts,
+    capped conversations excluded from pair generation, integer PMI."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()},
+presence AS (SELECT DISTINCT conv_id, entity_id FROM linked),
+singles AS (
+    SELECT entity_id, CAST(count(*) AS BIGINT) AS c
+    FROM presence GROUP BY 1
+),
+small AS (
+    SELECT conv_id FROM presence
+    GROUP BY conv_id HAVING count(*) <= {max_conv_entities}
+),
+capped AS (
+    SELECT p.conv_id, p.entity_id FROM presence p
+    JOIN small s ON p.conv_id = s.conv_id
+),
+pairs AS (
+    SELECT a.entity_id AS e1, b.entity_id AS e2,
+           CAST(count(*) AS BIGINT) AS c_ab
+    FROM capped a
+    JOIN capped b ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+    GROUP BY 1, 2 HAVING count(*) >= {min_count}
+)
+SELECT p.e1, p.e2, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+       CAST(p.c_ab * {scale} // (sa.c * sb.c) AS BIGINT) AS pmi_q
+FROM pairs p
+JOIN singles sa ON p.e1 = sa.entity_id
+JOIN singles sb ON p.e2 = sb.entity_id"""

@@ -710,3 +710,29 @@ def test_hot_entities_concentration_report(spark):
                             r["top_share"])
            for r in hot_entities(turns, dic).collect()}
     assert out == {"E1": (4, 2, 3, 0.75), "E2": (1, 1, 1, 1.0)}
+
+
+def test_entity_pmi_presence_counts_and_conv_cap(spark):
+    from dygiepp_spark.operators.graph import entity_pmi
+
+    turns = spark.createDataFrame(
+        [
+            # c1 and c2: spark+table co-occur (presence, despite bursts)
+            ("c1", 1, "assistant", "spark spark table", None),
+            ("c2", 1, "assistant", "spark table", None),
+            # c3: three entities -> excluded by max_conv_entities=2,
+            # but still counts toward the singles denominators
+            ("c3", 1, "assistant", "spark table row", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    dic = spark.createDataFrame(
+        [("spark", "E1", "Spark", "TOOL"), ("table", "E2", "Table", "TOOL"),
+         ("row", "E3", "Row", "TOOL")],
+        "surface string, entity_id string, canonical_text string, type string",
+    )
+    out = {(r["e1"], r["e2"]): (r["c_ab"], r["c_a"], r["c_b"], r["pmi_q"])
+           for r in entity_pmi(turns, dic, min_count=2,
+                               max_conv_entities=2).collect()}
+    # c_ab=2 (c1, c2 only), c_a=c_b=3 (all three convs), 2*1e6//9
+    assert out == {("E1", "E2"): (2, 3, 3, 222222)}
