@@ -1402,6 +1402,13 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the linked KG — exact integer sufficient
+    statistics, one final division; the hubs-to-hubs-or-leaves scalar."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.assortativity(edges)
+
+
 def q_entity_pmi(spark, sf_dir):
     """PMI-weighted entity co-occurrence edges (presence-based counts,
     capped conversations, rank-faithful integer PMI) — the association
@@ -1685,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_entities": q_hot_entities,
         "streaming_tool_usage": q_streaming_tool_usage,
         "entity_pmi": q_entity_pmi,
+        "assortativity": q_assortativity,
     }
 
 
@@ -1850,4 +1858,5 @@ def oracle_sql() -> dict[str, str]:
         "entity_pmi": oracles_kg.entity_pmi_oracle(
             min_count=2, max_conv_entities=256
         ),
+        "assortativity": oracles_kg.assortativity_oracle(),
     }

@@ -939,3 +939,62 @@ def entity_pmi(
             ),
         )
     )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity coefficient of the undirected KG (Newman
+    2002) — one row ``(n_ends, sum_x, sum_xy, sum_xx, r)``: do hubs
+    attach to hubs (r > 0, social-network-like) or to leaves (r < 0,
+    web/biology-like)? The single number that says which skew strategy
+    the join layer should expect.
+
+    Every undirected edge contributes BOTH orientations (x, y) =
+    (deg(u), deg(v)), the standard symmetric formulation, so
+    sum_x = sum_y and sum_xx = sum_yy and
+
+        r = (n * sum_xy - sum_x^2) / (n * sum_xx - sum_x^2)
+
+    The sufficient statistics are exact BIGINT sums (map-side
+    combinable, one pass over the degree-joined edge list); r is then
+    ONE division of two exactly-computed integers — IEEE-identical in
+    any engine. Overflow bound: n * sum_xx must stay under 2^63, which
+    holds for graphs with (ends x max-deg^2 products) below ~9e18 —
+    about 1e9 edges at degree ~1e3; past that, widen the two products
+    to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), same expressions.
+    Degenerate regular graphs (every degree equal) have a zero
+    denominator — r is NULL there, by construction, in both engines.
+    """
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("lo"),
+            F.greatest("subj_id", "obj_id").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionByName(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d_lo = deg.select(F.col("v").alias("lo"), F.col("deg").alias("dlo"))
+    d_hi = deg.select(F.col("v").alias("hi"), F.col("deg").alias("dhi"))
+    j = und.join(d_lo, "lo").join(d_hi, "hi")
+    ends = j.select(
+        F.col("dlo").alias("x"), F.col("dhi").alias("y")
+    ).unionByName(
+        j.select(F.col("dhi").alias("x"), F.col("dlo").alias("y"))
+    )
+    stats = ends.agg(
+        F.count(F.lit(1)).alias("n_ends"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+    )
+    num = F.col("n_ends") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_x")
+    den = F.col("n_ends") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    return stats.select(
+        "n_ends", "sum_x", "sum_xy", "sum_xx",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("r"),
+    )

@@ -2247,3 +2247,42 @@ SELECT p.e1, p.e2, p.c_ab, sa.c AS c_a, sb.c AS c_b,
 FROM pairs p
 JOIN singles sa ON p.e1 = sa.entity_id
 JOIN singles sb ON p.e2 = sb.entity_id"""
+
+
+def assortativity_oracle() -> str:
+    """Twin of graph.assortativity: symmetric edge-end degree pairs,
+    exact BIGINT sufficient statistics, one final division."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                    greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id <> obj_id
+),
+deg AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT lo AS v FROM und UNION ALL SELECT hi FROM und
+    ) GROUP BY v
+),
+j AS (
+    SELECT dl.deg AS dlo, dh.deg AS dhi
+    FROM und u
+    JOIN deg dl ON u.lo = dl.v
+    JOIN deg dh ON u.hi = dh.v
+),
+ends AS (
+    SELECT dlo AS x, dhi AS y FROM j
+    UNION ALL SELECT dhi AS x, dlo AS y FROM j
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_ends,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx
+    FROM ends
+)
+SELECT n_ends, sum_x, sum_xy, sum_xx,
+       CASE WHEN n_ends * sum_xx - sum_x * sum_x <> 0 THEN
+           CAST(n_ends * sum_xy - sum_x * sum_x AS DOUBLE)
+           / CAST(n_ends * sum_xx - sum_x * sum_x AS DOUBLE)
+       END AS r
+FROM stats"""

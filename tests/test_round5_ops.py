@@ -736,3 +736,23 @@ def test_entity_pmi_presence_counts_and_conv_cap(spark):
                                max_conv_entities=2).collect()}
     # c_ab=2 (c1, c2 only), c_a=c_b=3 (all three convs), 2*1e6//9
     assert out == {("E1", "E2"): (2, 3, 3, 222222)}
+
+
+def test_assortativity_star_is_minus_one_and_regular_is_null(spark):
+    from dygiepp_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame(
+        [("c", "p", "l1"), ("c", "p", "l2"), ("c", "p", "l3")],
+        "subj_id string, pred string, obj_id string",
+    )
+    row = assortativity(star).collect()[0]
+    assert (row["n_ends"], row["sum_x"], row["sum_xy"], row["sum_xx"]) == (
+        6, 12, 18, 30,
+    )
+    assert row["r"] == -1.0  # perfectly disassortative
+    # a triangle is 2-regular: zero variance -> NULL r, not a crash
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("a", "p", "c")],
+        "subj_id string, pred string, obj_id string",
+    )
+    assert assortativity(tri).collect()[0]["r"] is None
