@@ -1402,6 +1402,14 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_conv_funnel(spark, sf_dir):
+    """Pipeline yield funnel: total convs -> tooled -> mentioned ->
+    tripled, with exact-integer yield ratios."""
+    from dygiepp_spark.operators import transcript as TR
+
+    return TR.conv_funnel(_turns(spark, sf_dir))
+
+
 def q_assortativity(spark, sf_dir):
     """Degree assortativity of the linked KG — exact integer sufficient
     statistics, one final division; the hubs-to-hubs-or-leaves scalar."""
@@ -1693,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tool_usage": q_streaming_tool_usage,
         "entity_pmi": q_entity_pmi,
         "assortativity": q_assortativity,
+        "conv_funnel": q_conv_funnel,
     }
 
 
@@ -1859,4 +1868,5 @@ def oracle_sql() -> dict[str, str]:
             min_count=2, max_conv_entities=256
         ),
         "assortativity": oracles_kg.assortativity_oracle(),
+        "conv_funnel": oracles.conv_funnel_oracle(),
     }

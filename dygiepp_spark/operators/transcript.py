@@ -285,3 +285,41 @@ def tool_chains(turns: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("conv_id", "tool", "run_len", "start_turn")
     )
+
+
+def conv_funnel(turns: DataFrame) -> DataFrame:
+    """Per-stage conversation yield of the extraction pipeline — the
+    one-row funnel report (total convs, convs with >= 1 tool call,
+    >= 1 entity mention, >= 1 relation triple, plus the stage yields)
+    that says where the corpus thins out before KG construction.
+
+    Scale: four distinct-conv counts, each one map-side-combinable agg
+    over a frame the pipeline already computes; the yields are exact
+    integer divisions. The four counts are independent jobs on purpose
+    (shared-scan fusion would force one monolithic plan; at 100 TB each
+    stage frame is already materialized by the pipeline and the counts
+    read those).
+    """
+    from dygiepp_spark.operators.extraction import detect_mentions, emit_triples
+
+    n_convs = turns.select("conv_id").distinct().count()
+    n_tooled = (
+        with_synthetic_tools(turns)
+        .filter(F.col("tool").isNotNull())
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    n_mentioned = detect_mentions(turns).select("conv_id").distinct().count()
+    n_tripled = emit_triples(turns).select("conv_id").distinct().count()
+    spark = turns.sparkSession
+    row = spark.createDataFrame(
+        [(n_convs, n_tooled, n_mentioned, n_tripled)],
+        "n_convs bigint, n_tooled bigint, n_mentioned bigint, n_tripled bigint",
+    )
+    safe = F.greatest(F.col("n_convs"), F.lit(1)).cast("double")
+    return row.select(
+        "*",
+        (F.col("n_mentioned").cast("double") / safe).alias("mention_yield"),
+        (F.col("n_tripled").cast("double") / safe).alias("triple_yield"),
+    )

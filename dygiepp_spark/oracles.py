@@ -717,3 +717,25 @@ picked AS (
     FROM runs
 )
 SELECT conv_id, tool, run_len, start_turn FROM picked WHERE rn = 1"""
+
+
+def conv_funnel_oracle() -> str:
+    """Twin of transcript.conv_funnel: four scalar distinct-conv counts
+    over the shared turn/tool/mention/pair CTEs, exact-integer yields."""
+    return f"""{_PRELUDE} , {_TOOLS_CTE.strip()},
+counts AS (
+    SELECT
+      (SELECT count(DISTINCT conv_id) FROM turns) AS n_convs,
+      (SELECT count(DISTINCT conv_id) FROM tcalls) AS n_tooled,
+      (SELECT count(DISTINCT conv_id) FROM mentions) AS n_mentioned,
+      (SELECT count(DISTINCT conv_id) FROM pairs) AS n_tripled
+)
+SELECT CAST(n_convs AS BIGINT) AS n_convs,
+       CAST(n_tooled AS BIGINT) AS n_tooled,
+       CAST(n_mentioned AS BIGINT) AS n_mentioned,
+       CAST(n_tripled AS BIGINT) AS n_tripled,
+       CAST(n_mentioned AS DOUBLE)
+           / CAST(greatest(n_convs, 1) AS DOUBLE) AS mention_yield,
+       CAST(n_tripled AS DOUBLE)
+           / CAST(greatest(n_convs, 1) AS DOUBLE) AS triple_yield
+FROM counts"""
