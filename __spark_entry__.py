@@ -1402,6 +1402,14 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_mention_contexts(spark, sf_dir):
+    """Entity-linker training export: every linked mention with ±3-token
+    normalized context windows — (surface, context) -> entity_id."""
+    from dygiepp_spark.operators import linking as LK
+
+    return LK.mention_contexts(_turns(spark, sf_dir), TT.entity_dict(spark), k=3)
+
+
 def q_conv_funnel(spark, sf_dir):
     """Pipeline yield funnel: total convs -> tooled -> mentioned ->
     tripled, with exact-integer yield ratios."""
@@ -1702,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi": q_entity_pmi,
         "assortativity": q_assortativity,
         "conv_funnel": q_conv_funnel,
+        "mention_contexts": q_mention_contexts,
     }
 
 
@@ -1869,4 +1878,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "assortativity": oracles_kg.assortativity_oracle(),
         "conv_funnel": oracles.conv_funnel_oracle(),
+        "mention_contexts": oracles_kg.mention_contexts_oracle(k=3),
     }

@@ -2286,3 +2286,20 @@ SELECT n_ends, sum_x, sum_xy, sum_xx,
            / CAST(n_ends * sum_xx - sum_x * sum_x AS DOUBLE)
        END AS r
 FROM stats"""
+
+
+def mention_contexts_oracle(k: int = 3) -> str:
+    """Twin of linking.mention_contexts: raw-position list slices,
+    empties dropped, tokenizer normalization, space-joined."""
+    norm = ("list_transform(list_filter({sl}, t -> t <> ''), "
+            "t -> CASE WHEN t IN ('/.', '/?') THEN substr(t, 2) ELSE t END)")
+    left = norm.format(sl=f"(string_split(t.text, ' '))[greatest(1, l.start + 1 - {k}):l.start]")
+    right = norm.format(sl=f"(string_split(t.text, ' '))[l.start + 2:l.start + 1 + {k}]")
+    # array_to_string([]) is NULL in DuckDB but array_join([]) is '' in
+    # Spark — coalesce the empty-window case to the Spark value
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()}
+SELECT l.conv_id, l.turn_idx, l.start, l.surface, l.entity_id,
+       COALESCE(array_to_string({left}, ' '), '') AS left_ctx,
+       COALESCE(array_to_string({right}, ' '), '') AS right_ctx
+FROM linked l
+JOIN turns t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx"""

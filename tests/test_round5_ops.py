@@ -756,3 +756,25 @@ def test_assortativity_star_is_minus_one_and_regular_is_null(spark):
         "subj_id string, pred string, obj_id string",
     )
     assert assortativity(tri).collect()[0]["r"] is None
+
+
+def test_mention_contexts_windows_and_normalization(spark):
+    from dygiepp_spark.operators.linking import mention_contexts
+
+    turns = spark.createDataFrame(
+        # double space -> empty raw token inside the left window;
+        # '/.' normalizes inside the right window
+        [("c1", 1, "assistant", "alpha  spark /. beta gamma", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    dic = spark.createDataFrame(
+        [("spark", "E1", "Spark", "TOOL")],
+        "surface string, entity_id string, canonical_text string, type string",
+    )
+    rows = mention_contexts(turns, dic, k=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # raw positions: alpha(0) ''(1) spark(2) /.(3) beta(4) gamma(5)
+    assert r["start"] == 2 and r["entity_id"] == "E1"
+    assert r["left_ctx"] == "alpha"          # empty raw token dropped
+    assert r["right_ctx"] == ". beta gamma"  # '/.' normalized
