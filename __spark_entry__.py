@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic export-shard plan over documents: hash-mod
+    placement + per-shard doc/char/token manifest."""
+    return TX.shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
 def q_mention_contexts(spark, sf_dir):
     """Entity-linker training export: every linked mention with ±3-token
     normalized context windows — (surface, context) -> entity_id."""
@@ -1711,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "conv_funnel": q_conv_funnel,
         "mention_contexts": q_mention_contexts,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -1879,4 +1886,5 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": oracles_kg.assortativity_oracle(),
         "conv_funnel": oracles.conv_funnel_oracle(),
         "mention_contexts": oracles_kg.mention_contexts_oracle(k=3),
+        "shard_manifest": oracles_data.shard_manifest_oracle(n_shards=16),
     }

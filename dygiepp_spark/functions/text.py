@@ -1008,3 +1008,38 @@ def pmi_pairs(df: DataFrame, k: int = 50, min_count: int = 5,
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def shard_manifest(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic export-shard plan for a training-data dump: assign
+    every document ``shard = hash60(doc_id) % n_shards`` (content-
+    independent, so re-export after an edit keeps placement) and report
+    per shard the doc count, total characters, and whitespace-token
+    total — the manifest a 100 TB export job uses to verify balanced
+    writers BEFORE shuffling anything, and the receiving trainer uses
+    as a checksum.
+
+    Scale: one scan, one map-side-combinable agg on the shard key;
+    hash-mod placement is uniform so the manifest doubles as a skew
+    alarm (a shard far off corpus_size/n_shards means doc_id keys are
+    degenerate).
+    """
+    from dygiepp_spark.functions.hashing import hash60
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(n_shards))
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.length("text").alias("_chars"),
+            toks.alias("_toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").cast("bigint").alias("n_chars"),
+            F.sum("_toks").cast("bigint").alias("n_tokens"),
+        )
+    )

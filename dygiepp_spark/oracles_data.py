@@ -1570,3 +1570,19 @@ ranked AS (
     FROM scored
 )
 SELECT a, b, c_ab, c_a, c_b, pmi_q FROM ranked WHERE rn <= {k}"""
+
+
+def shard_manifest_oracle(n_shards: int = 16) -> str:
+    """Twin of functions.text.shard_manifest: hash60(doc_id) % n_shards
+    placement, per-shard doc/char/token totals."""
+    from dygiepp_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT {h} % {n_shards} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+            AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1"""

@@ -778,3 +778,16 @@ def test_mention_contexts_windows_and_normalization(spark):
     assert r["start"] == 2 and r["entity_id"] == "E1"
     assert r["left_ctx"] == "alpha"          # empty raw token dropped
     assert r["right_ctx"] == ". beta gamma"  # '/.' normalized
+
+
+def test_shard_manifest_is_exhaustive_and_deterministic(spark, sf_dir):
+    from dygiepp_spark.functions.text import shard_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = shard_manifest(docs, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in m) == docs.count()
+    assert {r["shard"] for r in m} <= set(range(8))
+    # placement is a pure function of doc_id: a repartitioned rerun
+    # produces the identical manifest
+    again = shard_manifest(docs.repartition(13), n_shards=8).collect()
+    assert sorted(map(tuple, m)) == sorted(map(tuple, again))
