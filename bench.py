@@ -157,6 +157,10 @@ BENCH_QUERIES = {
     "pack_sequences",
     "dsir_weights",
     "lpa_communities",
+    # closing-session wave (new lines, not in any prior sum)
+    "random_walks",
+    "entity_pmi",
+    "mention_contexts",
 }
 
 if __name__ == "__main__":

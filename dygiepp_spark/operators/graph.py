@@ -910,7 +910,14 @@ def entity_pmi(
         raise ValueError("min_count >= 1 and max_conv_entities >= 2 required")
     mentions = detect_mentions(turns)
     linked = link_mentions(mentions, entity_dict)
-    presence = linked.select("conv_id", "entity_id").distinct()
+    # presence feeds THREE consumers (singles, the cap filter, and both
+    # sides of the pair join) — pin it so the mention->link->distinct
+    # chain runs once, same discipline as the minhash signature pin
+    presence = (
+        linked.select("conv_id", "entity_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     singles = presence.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("c")
     )
