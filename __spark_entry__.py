@@ -1402,6 +1402,13 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_predicate_reciprocity(spark, sf_dir):
+    """Per-predicate reverse-edge rate — the symmetric-relation
+    detector for KG schema induction."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.predicate_reciprocity(edges)
+
+
 def q_shard_manifest(spark, sf_dir):
     """Deterministic export-shard plan over documents: hash-mod
     placement + per-shard doc/char/token manifest."""
@@ -1718,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_funnel": q_conv_funnel,
         "mention_contexts": q_mention_contexts,
         "shard_manifest": q_shard_manifest,
+        "predicate_reciprocity": q_predicate_reciprocity,
     }
 
 
@@ -1887,4 +1895,5 @@ def oracle_sql() -> dict[str, str]:
         "conv_funnel": oracles.conv_funnel_oracle(),
         "mention_contexts": oracles_kg.mention_contexts_oracle(k=3),
         "shard_manifest": oracles_data.shard_manifest_oracle(n_shards=16),
+        "predicate_reciprocity": oracles_kg.predicate_reciprocity_oracle(),
     }

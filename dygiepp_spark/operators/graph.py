@@ -1005,3 +1005,50 @@ def assortativity(edges: DataFrame) -> DataFrame:
         "n_ends", "sum_x", "sum_xy", "sum_xx",
         F.when(den != 0, num.cast("double") / den.cast("double")).alias("r"),
     )
+
+
+def predicate_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-predicate reciprocity of the directed KG: for each predicate,
+    how many of its distinct (subj, obj) edges also hold in reverse
+    under the SAME predicate — the schema-induction signal that a
+    relation is symmetric (reciprocity ~1: mark it symmetric and store
+    one canonical direction; ~0: keep direction, it carries meaning).
+
+    Output: ``(pred, n_edges, n_recip, reciprocity)`` with the ratio a
+    single exact-integer division.
+
+    Scale: one distinct-edge dedup, one self-semi-join keyed on the full
+    (pred, subj, obj) triple (hash join, no fan-out — semi joins emit at
+    most the probe side), one map-side-combinable rollup per predicate.
+    """
+    e = (
+        edges.select("subj_id", "pred", "obj_id")
+        .filter(F.col("subj_id") != F.col("obj_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select(
+        F.col("obj_id").alias("subj_id"),
+        "pred",
+        F.col("subj_id").alias("obj_id"),
+    )
+    recip = e.join(rev, ["subj_id", "pred", "obj_id"], "left_semi")
+    n_all = e.groupBy("pred").agg(F.count(F.lit(1)).alias("n_edges"))
+    n_rec = recip.groupBy("pred").agg(F.count(F.lit(1)).alias("n_recip"))
+    return (
+        n_all.join(n_rec, "pred", "left")
+        .select(
+            "pred",
+            "n_edges",
+            F.coalesce(F.col("n_recip"), F.lit(0).cast("bigint")).alias(
+                "n_recip"
+            ),
+        )
+        .select(
+            "pred", "n_edges", "n_recip",
+            (
+                F.col("n_recip").cast("double")
+                / F.col("n_edges").cast("double")
+            ).alias("reciprocity"),
+        )
+    )

@@ -2303,3 +2303,31 @@ SELECT l.conv_id, l.turn_idx, l.start, l.surface, l.entity_id,
        COALESCE(array_to_string({right}, ' '), '') AS right_ctx
 FROM linked l
 JOIN turns t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx"""
+
+
+def predicate_reciprocity_oracle() -> str:
+    """Twin of graph.predicate_reciprocity: distinct directed edges,
+    reverse-edge semi-join per predicate, exact-integer ratio."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+e AS (
+    SELECT DISTINCT subj_id, pred, obj_id FROM edges
+    WHERE subj_id <> obj_id
+),
+rec AS (
+    SELECT a.pred, CAST(count(*) AS BIGINT) AS n_recip
+    FROM e a
+    WHERE EXISTS (
+        SELECT 1 FROM e b
+        WHERE b.subj_id = a.obj_id AND b.pred = a.pred
+          AND b.obj_id = a.subj_id
+    )
+    GROUP BY a.pred
+),
+alln AS (
+    SELECT pred, CAST(count(*) AS BIGINT) AS n_edges FROM e GROUP BY pred
+)
+SELECT alln.pred, alln.n_edges,
+       COALESCE(rec.n_recip, 0) AS n_recip,
+       CAST(COALESCE(rec.n_recip, 0) AS DOUBLE)
+           / CAST(alln.n_edges AS DOUBLE) AS reciprocity
+FROM alln LEFT JOIN rec ON alln.pred = rec.pred"""

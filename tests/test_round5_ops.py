@@ -791,3 +791,26 @@ def test_shard_manifest_is_exhaustive_and_deterministic(spark, sf_dir):
     # produces the identical manifest
     again = shard_manifest(docs.repartition(13), n_shards=8).collect()
     assert sorted(map(tuple, m)) == sorted(map(tuple, again))
+
+
+def test_predicate_reciprocity_same_pred_only(spark):
+    from dygiepp_spark.operators.graph import predicate_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            # 'knows': both directions -> 2/2 reciprocal
+            ("a", "knows", "b", "c1"), ("b", "knows", "a", "c1"),
+            # 'uses': reverse exists only under a DIFFERENT pred -> 0/1
+            ("a", "uses", "b", "c1"), ("b", "likes", "a", "c1"),
+            # duplicates collapse before counting
+            ("a", "knows", "b", "c2"),
+        ],
+        "subj_id string, pred string, obj_id string, conv_id string",
+    )
+    out = {r["pred"]: (r["n_edges"], r["n_recip"], r["reciprocity"])
+           for r in predicate_reciprocity(edges).collect()}
+    assert out == {
+        "knows": (2, 2, 1.0),
+        "uses": (1, 0, 0.0),
+        "likes": (1, 0, 0.0),
+    }
