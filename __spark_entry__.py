@@ -1425,10 +1425,12 @@ def q_mention_contexts(spark, sf_dir):
 
 def q_conv_funnel(spark, sf_dir):
     """Pipeline yield funnel: total convs -> tooled -> mentioned ->
-    tripled, with exact-integer yield ratios."""
+    tripled, with exact-integer yield ratios (synthetic tool
+    augmentation applied here, at the query layer, like the other
+    tool queries)."""
     from dygiepp_spark.operators import transcript as TR
 
-    return TR.conv_funnel(_turns(spark, sf_dir))
+    return TR.conv_funnel(TR.with_synthetic_tools(_turns(spark, sf_dir)))
 
 
 def q_assortativity(spark, sf_dir):
@@ -1544,11 +1546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (d) rows — event_f1_4way, baseline_srl, csv_ingest, json_ingest,
     conv_stats, sessions, streaming_dedup, ie_errors, decontam,
     repetition, stratified_sample, frame_samples, pii_scrub — to the
-    top of the tail); (e) eight operators added in the closing session
-    (link_prediction, random_walks, walk_skipgrams, calibration_bins,
-    schema_profile, tool_chains, hot_entities, streaming_tool_usage)
-    sit at the VERY END of the tail — each parity-gated at sf0.001 AND
-    sf0.01 individually at commit time, plus unit/property tests;
+    top of the tail); (e) fourteen operators added in the closing
+    session (link_prediction through predicate_reciprocity — every key
+    after url_filter, in commit order) sit at the VERY END of the tail
+    — each parity-gated at sf0.001 AND sf0.01 individually at commit
+    time, plus unit/property tests;
     (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE

@@ -644,9 +644,13 @@ def link_prediction(
     * ``cn`` — common-neighbor count (through non-hub centers, see below),
     * ``deg_a`` / ``deg_b`` — endpoint degrees,
     * ``pref_attach`` — preferential attachment ``deg_a * deg_b``,
-    * ``jaccard_den`` — ``deg_a + deg_b - cn`` (the neighbor-union size,
-      so downstream ranks by the exact fraction cn/jaccard_den without
-      this frame carrying a float).
+    * ``jaccard_den`` — ``deg_a + deg_b - cn``. NOTE: degrees count ALL
+      neighbors but ``cn`` only counts non-hub common neighbors (see
+      the cap below), so when a pair shares an excluded hub this is an
+      UPPER bound on the neighbor-union size, not the exact union —
+      cn/jaccard_den then under-states Jaccard on hub-connected pairs
+      twice (smaller numerator, larger denominator). Exact whenever no
+      common neighbor was capped.
 
     All columns are BIGINT — bit-portable across engines, no float
     summation anywhere.
@@ -971,19 +975,10 @@ def assortativity(edges: DataFrame) -> DataFrame:
     Degenerate regular graphs (every degree equal) have a zero
     denominator — r is NULL there, by construction, in both engines.
     """
-    und = (
-        edges.select(
-            F.least("subj_id", "obj_id").alias("lo"),
-            F.greatest("subj_id", "obj_id").alias("hi"),
-        )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("lo").alias("v"))
-        .unionByName(und.select(F.col("hi").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    sym = _sym_edges(edges)  # pinned: und feeds deg twice + the end join
+    und = sym.filter(F.col("lo") < F.col("hi"))
+    deg = sym.groupBy(F.col("lo").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
     d_lo = deg.select(F.col("v").alias("lo"), F.col("deg").alias("dlo"))
     d_hi = deg.select(F.col("v").alias("hi"), F.col("deg").alias("dhi"))

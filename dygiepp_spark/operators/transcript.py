@@ -293,6 +293,11 @@ def conv_funnel(turns: DataFrame) -> DataFrame:
     >= 1 entity mention, >= 1 relation triple, plus the stage yields)
     that says where the corpus thins out before KG construction.
 
+    The ``tool`` column is read AS-IS — callers on a synthetic corpus
+    augment first (``conv_funnel(with_synthetic_tools(turns))``, the
+    same layering as tool_usage / tool_transitions / tool_chains), so
+    real tool calls are never silently overwritten.
+
     Scale: four distinct-conv counts, each one map-side-combinable agg
     over a frame the pipeline already computes; the yields are exact
     integer divisions. The four counts are independent jobs on purpose
@@ -304,8 +309,7 @@ def conv_funnel(turns: DataFrame) -> DataFrame:
 
     n_convs = turns.select("conv_id").distinct().count()
     n_tooled = (
-        with_synthetic_tools(turns)
-        .filter(F.col("tool").isNotNull())
+        turns.filter(F.col("tool").isNotNull())
         .select("conv_id")
         .distinct()
         .count()

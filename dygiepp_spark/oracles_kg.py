@@ -2148,7 +2148,7 @@ def walk_skipgrams_oracle(
     (node_id, walk_id)-keyed self-join bounded by the step window."""
     base = random_walks_oracle(length=length, walks_per_node=walks_per_node)
     return f"""WITH walks AS (
-{base.replace("WITH ", "WITH ", 1)}
+{base}
 )
 SELECT a.visit AS center, b.visit AS context,
        CAST(count(*) AS BIGINT) AS n
