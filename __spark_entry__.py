@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix via document fingerprints —
+    which sources mirror each other, with containment ratios."""
+    return TX.source_overlap(_docs(spark, sf_dir))
+
+
 def q_predicate_reciprocity(spark, sf_dir):
     """Per-predicate reverse-edge rate — the symmetric-relation
     detector for KG schema induction."""
@@ -1728,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_contexts": q_mention_contexts,
         "shard_manifest": q_shard_manifest,
         "predicate_reciprocity": q_predicate_reciprocity,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -1898,4 +1905,5 @@ def oracle_sql() -> dict[str, str]:
         "mention_contexts": oracles_kg.mention_contexts_oracle(k=3),
         "shard_manifest": oracles_data.shard_manifest_oracle(n_shards=16),
         "predicate_reciprocity": oracles_kg.predicate_reciprocity_oracle(),
+        "source_overlap": oracles_data.source_overlap_oracle(),
     }

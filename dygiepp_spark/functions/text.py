@@ -1043,3 +1043,48 @@ def shard_manifest(docs: DataFrame, n_shards: int = 16) -> DataFrame:
             F.sum("_toks").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix — which corpus sources copy each
+    other: for every source pair, how many distinct document
+    fingerprints (minhash ``fp_0`` of :func:`fingerprint`) appear in
+    BOTH, plus each side's distinct-fingerprint count and the
+    containment ratio ``n_shared / min(n_a, n_b)``. The table that
+    decides source-level dedup order before a mixing run (drop the
+    contained mirror, keep the superset).
+
+    Scale: the pair join runs on the DEDUPED (source, fp) frame, so
+    fan-out per fingerprint is bounded by the source-dimension
+    cardinality squared — never by document count; both count aggs are
+    map-side combinable; the ratio is one exact-integer division.
+    """
+    fps = fingerprint(docs)
+    sf = (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp_0")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per = sf.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sf.select(F.col("source").alias("source_a"), "fp_0")
+    b = sf.select(F.col("source").alias("source_b"), "fp_0")
+    shared = (
+        a.join(b, "fp_0")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

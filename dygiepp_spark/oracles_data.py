@@ -1586,3 +1586,40 @@ SELECT {h} % {n_shards} AS shard,
             AS BIGINT) AS n_tokens
 FROM documents
 GROUP BY 1"""
+
+
+def source_overlap_oracle() -> str:
+    """Twin of functions.text.source_overlap: fp_0 from the fingerprint
+    chain, deduped (source, fp) pair join, containment ratio."""
+    return f"""
+WITH norm AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, greatest(length(nt) - 4, 1) + 1),
+                                 i -> substr(nt, CAST(i AS INT), 5))) AS shingle
+    FROM norm
+),
+hashed AS (SELECT doc_id, source, {hash60_sql('shingle')} AS h FROM sh),
+fps AS (
+    SELECT doc_id, source, min({hash_family_from_sql('h', 0)}) AS fp_0
+    FROM hashed GROUP BY doc_id, source
+),
+sf AS (SELECT DISTINCT source, fp_0 FROM fps),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sf GROUP BY 1),
+shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sf a JOIN sf b ON a.fp_0 = b.fp_0 AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       pa.n AS n_a, pb.n AS n_b,
+       CAST(s.n_shared AS DOUBLE) / CAST(least(pa.n, pb.n) AS DOUBLE)
+           AS containment
+FROM shared s
+JOIN per pa ON s.source_a = pa.source
+JOIN per pb ON s.source_b = pb.source"""

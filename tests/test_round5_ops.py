@@ -814,3 +814,27 @@ def test_predicate_reciprocity_same_pred_only(spark):
         "uses": (1, 0, 0.0),
         "likes": (1, 0, 0.0),
     }
+
+
+def test_source_overlap_shared_fingerprints_and_containment(spark):
+    from dygiepp_spark.functions.text import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # s1 doc 1 is copied verbatim into s2 (identical fingerprint);
+            # s1 doc 2 and s2 doc 4 are unrelated; s3 has one unique doc
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s1", 0),
+            (2, "completely different text body number two here", "en", "s1", 0),
+            (3, "the quick brown fox jumps over the lazy dog", "en", "s2", 0),
+            # shingle-DISJOINT from every other doc (fp_0 is a min over
+            # shared 5-grams, so any common shingle can collide sources)
+            (4, "zzzzz yyyyy xxxxx wwwww vvvvv uuuuu", "en", "s2", 0),
+            (5, "11111 22222 33333 44444 55555 66666", "en", "s3", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {(r["source_a"], r["source_b"]): (r["n_shared"], r["n_a"], r["n_b"],
+                                            r["containment"])
+           for r in source_overlap(docs).collect()}
+    assert out[("s1", "s2")] == (1, 2, 2, 0.5)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
