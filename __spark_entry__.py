@@ -1402,6 +1402,13 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_kg_novelty(spark, sf_dir):
+    """Per-conversation KG contribution: occurrences, distinct triples
+    touched, triples owned (first asserter), novelty ratio."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.kg_novelty(edges)
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix via document fingerprints —
     which sources mirror each other, with containment ratios."""
@@ -1735,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "predicate_reciprocity": q_predicate_reciprocity,
         "source_overlap": q_source_overlap,
+        "kg_novelty": q_kg_novelty,
     }
 
 
@@ -1906,4 +1914,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": oracles_data.shard_manifest_oracle(n_shards=16),
         "predicate_reciprocity": oracles_kg.predicate_reciprocity_oracle(),
         "source_overlap": oracles_data.source_overlap_oracle(),
+        "kg_novelty": oracles_kg.kg_novelty_oracle(),
     }

@@ -1047,3 +1047,50 @@ def predicate_reciprocity(edges: DataFrame) -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+def kg_novelty(edges: DataFrame) -> DataFrame:
+    """Per-conversation KG contribution report: how many edge
+    occurrences each conversation produced, how many DISTINCT (subj,
+    pred, obj) triples it touched, and how many of those it OWNS — i.e.
+    it is the lexicographically-first conversation asserting that
+    triple (the deterministic stand-in for ingestion order at test
+    scale; swap the min key for an ingestion timestamp in production).
+    The marginal-value signal for corpus acquisition: a source whose
+    conversations own nothing new is already covered.
+
+    Scale: one (s, p, o)-keyed min agg for ownership, one conv-keyed
+    rollup each for occurrences and owned triples — all map-side
+    combinable; the ownership join keys on the full triple (no
+    fan-out).
+    """
+    occ = edges.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    trip = edges.select("subj_id", "pred", "obj_id", "conv_id").distinct()
+    touched = trip.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    owner = trip.groupBy("subj_id", "pred", "obj_id").agg(
+        F.min("conv_id").alias("conv_id")
+    )
+    owned = owner.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_owned")
+    )
+    return (
+        occ.join(touched, "conv_id")
+        .join(owned, "conv_id", "left")
+        .select(
+            "conv_id", "n_occurrences", "n_triples",
+            F.coalesce(F.col("n_owned"), F.lit(0).cast("bigint")).alias(
+                "n_owned"
+            ),
+        )
+        .select(
+            "*",
+            (
+                F.col("n_owned").cast("double")
+                / F.col("n_triples").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -2331,3 +2331,33 @@ SELECT alln.pred, alln.n_edges,
        CAST(COALESCE(rec.n_recip, 0) AS DOUBLE)
            / CAST(alln.n_edges AS DOUBLE) AS reciprocity
 FROM alln LEFT JOIN rec ON alln.pred = rec.pred"""
+
+
+def kg_novelty_oracle() -> str:
+    """Twin of graph.kg_novelty: occurrence rollup, distinct-triple
+    touch counts, min-conv ownership, exact-integer novelty ratio."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+occ AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM edges GROUP BY 1
+),
+trip AS (SELECT DISTINCT subj_id, pred, obj_id, conv_id FROM edges),
+touched AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triples
+    FROM trip GROUP BY 1
+),
+owner AS (
+    SELECT subj_id, pred, obj_id, min(conv_id) AS conv_id
+    FROM trip GROUP BY 1, 2, 3
+),
+owned AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_owned
+    FROM owner GROUP BY 1
+)
+SELECT o.conv_id, o.n_occurrences, t.n_triples,
+       COALESCE(w.n_owned, 0) AS n_owned,
+       CAST(COALESCE(w.n_owned, 0) AS DOUBLE)
+           / CAST(t.n_triples AS DOUBLE) AS novelty
+FROM occ o
+JOIN touched t ON o.conv_id = t.conv_id
+LEFT JOIN owned w ON o.conv_id = w.conv_id"""

@@ -838,3 +838,24 @@ def test_source_overlap_shared_fingerprints_and_containment(spark):
            for r in source_overlap(docs).collect()}
     assert out[("s1", "s2")] == (1, 2, 2, 0.5)
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_kg_novelty_ownership_and_ratios(spark):
+    from dygiepp_spark.operators.graph import kg_novelty
+
+    edges = spark.createDataFrame(
+        [
+            # triple T1 asserted by c1 (owner) and c2; T2 only by c2;
+            # c1 repeats T1 twice (occurrences != triples)
+            ("a", "p", "b", "c1"), ("a", "p", "b", "c1"),
+            ("a", "p", "b", "c2"), ("x", "q", "y", "c2"),
+        ],
+        "subj_id string, pred string, obj_id string, conv_id string",
+    )
+    out = {r["conv_id"]: (r["n_occurrences"], r["n_triples"], r["n_owned"],
+                          r["novelty"])
+           for r in kg_novelty(edges).collect()}
+    assert out == {
+        "c1": (2, 1, 1, 1.0),   # owns T1 (lexicographically first)
+        "c2": (2, 2, 1, 0.5),   # touches T1+T2, owns only T2
+    }
