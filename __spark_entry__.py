@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_length_curriculum(spark, sf_dir):
+    """Curriculum stages from exact length tertiles — shortest-first
+    schedule assignment, no sketch error, no corpus sort."""
+    return TX.length_curriculum(_docs(spark, sf_dir))
+
+
 def q_kg_novelty(spark, sf_dir):
     """Per-conversation KG contribution: occurrences, distinct triples
     touched, triples owned (first asserter), novelty ratio."""
@@ -1743,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_reciprocity": q_predicate_reciprocity,
         "source_overlap": q_source_overlap,
         "kg_novelty": q_kg_novelty,
+        "length_curriculum": q_length_curriculum,
     }
 
 
@@ -1915,4 +1922,5 @@ def oracle_sql() -> dict[str, str]:
         "predicate_reciprocity": oracles_kg.predicate_reciprocity_oracle(),
         "source_overlap": oracles_data.source_overlap_oracle(),
         "kg_novelty": oracles_kg.kg_novelty_oracle(),
+        "length_curriculum": oracles_data.length_curriculum_oracle(),
     }

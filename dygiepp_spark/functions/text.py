@@ -1088,3 +1088,37 @@ def source_overlap(docs: DataFrame) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+def length_curriculum(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Curriculum-stage assignment by token length: every document gets
+    ``stage`` 0/1/2 by the EXACT corpus length tertiles (from
+    :func:`length_quantiles`' integer-domain trick — no sketch error,
+    no corpus sort), the standard shortest-first schedule for LM
+    curriculum training. Boundary docs (n_tok == a tertile value) land
+    in the lower stage, so stages are reproducible set partitions.
+
+    Scale: the tertile thresholds are a 2-row broadcast (derived from
+    the (length, count) agg); the assignment is one codegen'd
+    projection over the corpus — no per-doc shuffle at all.
+    """
+    thr = (
+        length_quantiles(df, text_col=text_col, qs=(1 / 3, 2 / 3))
+        .agg(
+            F.min(F.when(F.col("q") < 0.5, F.col("n_tok"))).alias("t1"),
+            F.min(F.when(F.col("q") > 0.5, F.col("n_tok"))).alias("t2"),
+        )
+    )
+    lens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).alias("n_tok"),
+    )
+    return lens.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "n_tok",
+        F.when(F.col("n_tok") <= F.col("t1"), F.lit(0))
+        .when(F.col("n_tok") <= F.col("t2"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("stage"),
+    )

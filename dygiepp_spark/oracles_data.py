@@ -1623,3 +1623,39 @@ SELECT s.source_a, s.source_b, s.n_shared,
 FROM shared s
 JOIN per pa ON s.source_a = pa.source
 JOIN per pb ON s.source_b = pb.source"""
+
+
+def length_curriculum_oracle() -> str:
+    """Twin of text.length_curriculum: exact tertiles from the
+    integer-domain quantile chain, boundary docs to the lower stage."""
+    q1, q2 = 1 / 3, 2 / 3
+    return f"""WITH lens AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS INT) AS n_tok
+    FROM documents
+),
+counts AS (SELECT n_tok, count(*) AS cnt FROM lens GROUP BY n_tok),
+cum AS (
+    SELECT n_tok,
+           sum(cnt) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) AS cum
+    FROM counts
+),
+total AS (SELECT sum(cnt) AS _n FROM counts),
+qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES ({q1!r}), ({q2!r})) AS t(q)),
+quant AS (
+    SELECT q, min(n_tok) AS n_tok
+    FROM cum, total, qv
+    WHERE cum >= floor(q * (_n - 1)) + 1
+    GROUP BY q
+),
+thr AS (
+    SELECT min(CASE WHEN q < 0.5 THEN n_tok END) AS t1,
+           min(CASE WHEN q > 0.5 THEN n_tok END) AS t2
+    FROM quant
+)
+SELECT l.doc_id, l.n_tok,
+       CAST(CASE WHEN l.n_tok <= thr.t1 THEN 0
+                 WHEN l.n_tok <= thr.t2 THEN 1
+                 ELSE 2 END AS INT) AS stage
+FROM lens l, thr"""

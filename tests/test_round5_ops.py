@@ -859,3 +859,16 @@ def test_kg_novelty_ownership_and_ratios(spark):
         "c1": (2, 1, 1, 1.0),   # owns T1 (lexicographically first)
         "c2": (2, 2, 1, 0.5),   # touches T1+T2, owns only T2
     }
+
+
+def test_length_curriculum_tertile_partition(spark):
+    from dygiepp_spark.functions.text import length_curriculum
+
+    # lengths 1..9: tertiles at rank floor(q*(N-1))+1 -> t1=3, t2=6
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i), "en", "s", 0) for i in range(1, 10)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r["doc_id"]: r["stage"]
+           for r in length_curriculum(docs).collect()}
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
