@@ -1402,6 +1402,17 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination pre-pass: benchmark grams folded to
+    <= m bit positions, corpus grams probed relationally."""
+    from dygiepp_spark.operators import decontam as DC
+
+    docs = _doc_text(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return DC.bloom_decontam(corpus, benchmark, n=3, m=4096, k=3)
+
+
 def q_length_curriculum(spark, sf_dir):
     """Curriculum stages from exact length tertiles — shortest-first
     schedule assignment, no sketch error, no corpus sort."""
@@ -1750,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "kg_novelty": q_kg_novelty,
         "length_curriculum": q_length_curriculum,
+        "bloom_decontam": q_bloom_decontam,
     }
 
 
@@ -1923,4 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": oracles_data.source_overlap_oracle(),
         "kg_novelty": oracles_kg.kg_novelty_oracle(),
         "length_curriculum": oracles_data.length_curriculum_oracle(),
+        "bloom_decontam": oracles_data.bloom_decontam_oracle(
+            n=3, mod=97, m=4096, k=3
+        ),
     }

@@ -89,3 +89,86 @@ def decontaminate(
         ).otherwise(F.lit(0.0)).alias("contam_frac"),
         (n_hit > 0).alias("contaminated"),
     )
+
+
+def bloom_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = NGRAM_N,
+    m: int = 4096,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination — the bits-not-strings scale path:
+    the benchmark's distinct n-grams are folded into <= ``m`` set bit
+    positions (``k`` 2-universal hashes each), and a corpus gram is a
+    MAYBE-hit iff all ``k`` of its positions are set. Same report shape
+    as :func:`decontaminate` with ``n_maybe_grams`` in place of exact
+    hits: every true hit is flagged (no false negatives) plus a
+    deterministic, engine-identical false-positive set whose expected
+    rate is (1 - e^{-kG/m})^k for G benchmark grams.
+
+    Why it matters at 100 TB: exact decontamination broadcasts the gram
+    STRINGS (gigabytes for a large benchmark suite); the bloom side is
+    <= m integers regardless of benchmark size — the filter a first
+    pass applies before the exact join confirms survivors.
+
+    Scale: the bit table is one bounded agg (<= m rows, broadcast);
+    probing is a corpus-gram explode joined to it with a per-(doc,
+    gram) count — map-side combinable, no corpus shuffle beyond the
+    hit rollup.
+    """
+    from dygiepp_spark.functions.hashing import hash60, hash_family_from
+
+    if m < 2 or k < 1:
+        raise ValueError("m >= 2 and k >= 1 required")
+    bg = doc_ngrams(benchmark, n, id_col, text_col).select("gram").distinct()
+    bh = bg.select(hash60(F.col("gram")).alias("_h"))
+    bits = (
+        bh.select(
+            F.explode(
+                F.array(
+                    *[(hash_family_from(F.col("_h"), i) % m).alias(f"p{i}")
+                      for i in range(k)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    cg = doc_ngrams(corpus, n, id_col, text_col).withColumn(
+        "_h", hash60(F.col("gram"))
+    )
+    probe = cg.select(
+        id_col, "gram",
+        F.explode(
+            F.array(*[(hash_family_from(F.col("_h"), i) % m) for i in range(k)])
+        ).alias("pos"),
+    ).distinct()  # a gram may map 2 hashes to one position — count set POSITIONS
+    hit_pos = probe.join(broadcast(bits), "pos")
+    n_pos = probe.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("_need")
+    )
+    n_set = hit_pos.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("_have")
+    )
+    maybe = (
+        n_pos.join(n_set, [id_col, "gram"])
+        .filter(F.col("_have") == F.col("_need"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe_grams"))
+    )
+    per_doc = cg.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_grams")
+    )
+    base = corpus.select(F.col(id_col)).join(per_doc, id_col, "left").join(
+        maybe, id_col, "left"
+    )
+    n_g = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    n_mb = F.coalesce(F.col("n_maybe_grams"), F.lit(0)).cast("bigint")
+    return base.select(
+        id_col,
+        n_g.alias("n_grams"),
+        n_mb.alias("n_maybe_grams"),
+        (n_mb > 0).alias("flagged"),
+    )

@@ -1659,3 +1659,69 @@ SELECT l.doc_id, l.n_tok,
                  WHEN l.n_tok <= thr.t2 THEN 1
                  ELSE 2 END AS INT) AS stage
 FROM lens l, thr"""
+
+
+def bloom_decontam_oracle(
+    n: int = 3, mod: int = 97, m: int = 4096, k: int = 3
+) -> str:
+    """Twin of decontam.bloom_decontam: same gram chain as
+    decontam_oracle, k-position bloom bits, all-positions-set probe."""
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n)).replace(
+        "toks[i + 0]", "toks[i]"
+    )
+    rng = f"range(1, len(toks) - {n - 2})"
+    grams = f"unnest(list_distinct(list_transform({rng}, i -> {gram})))"
+    fam = ", ".join(
+        f"({hash_family_from_sql('_h', i)}) % {m}" for i in range(k)
+    )
+    return f"""
+WITH corpus AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+    WHERE CAST(doc_id AS BIGINT) % {mod} <> 0
+),
+bench AS (
+    SELECT text FROM documents WHERE CAST(doc_id AS BIGINT) % {mod} = 0
+),
+ct AS (SELECT doc_id, {_DTOKS} AS toks FROM corpus),
+cg AS (
+    SELECT doc_id, {grams} AS gram FROM ct WHERE len(toks) >= {n}
+),
+bt AS (SELECT {_DTOKS} AS toks FROM bench),
+bg AS (
+    SELECT DISTINCT {grams} AS gram FROM bt WHERE len(toks) >= {n}
+),
+bh AS (SELECT {hash60_sql('gram')} AS _h FROM bg),
+bits AS (
+    SELECT DISTINCT pos FROM (SELECT unnest([{fam}]) AS pos FROM bh)
+),
+ch AS (SELECT doc_id, gram, {hash60_sql('gram')} AS _h FROM cg),
+probe AS (
+    SELECT DISTINCT doc_id, gram, pos FROM (
+        SELECT doc_id, gram, unnest([{fam}]) AS pos FROM ch
+    )
+),
+need AS (
+    SELECT doc_id, gram, count(*) AS _need FROM probe GROUP BY 1, 2
+),
+have AS (
+    SELECT p.doc_id, p.gram, count(*) AS _have
+    FROM probe p JOIN bits b ON p.pos = b.pos
+    GROUP BY 1, 2
+),
+maybe AS (
+    SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+    FROM need n JOIN have h ON n.doc_id = h.doc_id AND n.gram = h.gram
+    WHERE h._have = n._need
+    GROUP BY 1
+),
+perdoc AS (
+    SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+    FROM cg GROUP BY 1
+)
+SELECT c.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(mb.n_maybe, 0) AS n_maybe_grams,
+       coalesce(mb.n_maybe, 0) > 0 AS flagged
+FROM corpus c
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN maybe mb USING (doc_id)"""

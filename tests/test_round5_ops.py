@@ -872,3 +872,24 @@ def test_length_curriculum_tertile_partition(spark):
     out = {r["doc_id"]: r["stage"]
            for r in length_curriculum(docs).collect()}
     assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
+
+
+def test_bloom_decontam_never_misses_exact_hits(spark, sf_dir):
+    from dygiepp_spark.operators.decontam import bloom_decontam, decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {r["doc_id"]: r["n_hit_grams"]
+             for r in decontaminate(corpus, benchmark, n=3).collect()}
+    bloom = {r["doc_id"]: (r["n_maybe_grams"], r["flagged"])
+             for r in bloom_decontam(corpus, benchmark, n=3).collect()}
+    assert set(exact) == set(bloom)
+    for doc_id, n_hit in exact.items():
+        n_maybe, flagged = bloom[doc_id]
+        # bloom filters have no false negatives: maybe-set >= true-set
+        assert n_maybe >= n_hit
+        if n_hit > 0:
+            assert flagged
