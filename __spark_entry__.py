@@ -1402,6 +1402,22 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_ngram_coverage(spark, sf_dir):
+    """Zipf head-weight: share of token occurrences covered by the
+    top-10 unigram types (tie-inclusive distributed threshold cut).
+    k=10 < the 30-type synthetic vocabulary, so the threshold path
+    (not the all-types fallback) is what parity exercises."""
+    return TX.ngram_coverage(_docs(spark, sf_dir), k=10)
+
+
+def q_turn_length_drift(spark, sf_dir):
+    """Per-turn-position survival + mean token length — the
+    conversation-dynamics curve behind truncation budgets."""
+    from dygiepp_spark.operators import transcript as TR
+
+    return TR.turn_length_drift(_turns(spark, sf_dir))
+
+
 def q_bloom_decontam(spark, sf_dir):
     """Bloom-filter decontamination pre-pass: benchmark grams folded to
     <= m bit positions, corpus grams probed relationally."""
@@ -1762,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_novelty": q_kg_novelty,
         "length_curriculum": q_length_curriculum,
         "bloom_decontam": q_bloom_decontam,
+        "turn_length_drift": q_turn_length_drift,
+        "ngram_coverage": q_ngram_coverage,
     }
 
 
@@ -1938,4 +1956,6 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontam": oracles_data.bloom_decontam_oracle(
             n=3, mod=97, m=4096, k=3
         ),
+        "turn_length_drift": oracles.turn_length_drift_oracle(),
+        "ngram_coverage": oracles_data.ngram_coverage_oracle(k=10),
     }

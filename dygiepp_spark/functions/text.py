@@ -1122,3 +1122,53 @@ def length_curriculum(df: DataFrame, text_col: str = "text",
         .cast("int")
         .alias("stage"),
     )
+
+
+def ngram_coverage(df: DataFrame, k: int = 100,
+                   text_col: str = "text") -> DataFrame:
+    """Vocabulary-concentration report: what share of all token
+    OCCURRENCES the top-``k`` unigram types cover (rank ties included,
+    so the cut is deterministic) — the Zipf head-weight number that
+    sizes subword vocabularies and decides whether a frequency-based
+    filter is even worth running.
+
+    Output, one row: ``(n_top_types, covered, total, coverage)``;
+    ``coverage`` is a single exact-integer division.
+
+    Scale: unigram counts are one map-side-combinable agg; the top-k
+    cut reuses the distributed k-th-score threshold (no unpartitioned
+    window over the vocabulary); the final fold is a 1-row agg.
+    """
+    from dygiepp_spark.operators.pruning import kth_score_threshold
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    uni = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)
+    thr = kth_score_threshold(uni, "c", k)
+    return (
+        uni.crossJoin(F.broadcast(thr))
+        .agg(
+            F.sum(F.when(F.col("c") >= F.col("_thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top_types"),
+            F.sum(F.when(F.col("c") >= F.col("_thr"), F.col("c")))
+            .cast("bigint")
+            .alias("covered"),
+            F.sum("c").cast("bigint").alias("total"),
+        )
+        .select(
+            "n_top_types",
+            F.coalesce(F.col("covered"), F.lit(0).cast("bigint")).alias(
+                "covered"
+            ),
+            "total",
+            (
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.greatest(F.col("total"), F.lit(1)).cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -327,3 +327,32 @@ def conv_funnel(turns: DataFrame) -> DataFrame:
         (F.col("n_mentioned").cast("double") / safe).alias("mention_yield"),
         (F.col("n_tripled").cast("double") / safe).alias("triple_yield"),
     )
+
+
+def turn_length_drift(turns: DataFrame) -> DataFrame:
+    """Conversation-dynamics report: per turn position, how many
+    conversations are still alive and the mean token length of that
+    turn — the do-conversations-get-longer (or die) curve that informs
+    both truncation budgets and the max-turn cap in sessionization.
+
+    Scale: one row-local token count + one map-side-combinable agg on
+    the tiny turn_idx domain; the mean is an exact-integer division.
+    """
+    from dygiepp_spark.functions.text import tokens_col
+
+    lens = turns.select(
+        "turn_idx", F.size(tokens_col(F.col("text"))).alias("_n")
+    )
+    return (
+        lens.groupBy("turn_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("_n").cast("bigint")).alias("_tok"),
+        )
+        .select(
+            "turn_idx", "n_turns",
+            (
+                F.col("_tok").cast("double") / F.col("n_turns").cast("double")
+            ).alias("mean_tokens"),
+        )
+    )

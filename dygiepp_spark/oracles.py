@@ -739,3 +739,18 @@ SELECT CAST(n_convs AS BIGINT) AS n_convs,
        CAST(n_tripled AS DOUBLE)
            / CAST(greatest(n_convs, 1) AS DOUBLE) AS triple_yield
 FROM counts"""
+
+
+def turn_length_drift_oracle() -> str:
+    """Twin of transcript.turn_length_drift."""
+    return f"""WITH {TURNS_SQL.strip()},
+lens AS (
+    SELECT turn_idx,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '')) AS _n
+    FROM turns
+)
+SELECT turn_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(_n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
+FROM lens GROUP BY turn_idx"""

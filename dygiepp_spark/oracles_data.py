@@ -1725,3 +1725,29 @@ SELECT c.doc_id,
 FROM corpus c
 LEFT JOIN perdoc p USING (doc_id)
 LEFT JOIN maybe mb USING (doc_id)"""
+
+
+def ngram_coverage_oracle(k: int = 100) -> str:
+    """Twin of text.ngram_coverage: k-th-largest-count threshold with
+    tie inclusion, 1-row coverage fold."""
+    return f"""
+WITH uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_DTOKS}) AS w FROM documents
+    ) GROUP BY 1
+),
+thr AS (
+    SELECT c AS _thr FROM uni ORDER BY c DESC OFFSET {k - 1} LIMIT 1
+),
+thr2 AS (
+    -- fewer than k types: threshold falls back to the minimum count
+    SELECT COALESCE((SELECT _thr FROM thr), (SELECT min(c) FROM uni)) AS _thr
+)
+SELECT CAST(sum(CASE WHEN c >= _thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_top_types,
+       CAST(COALESCE(sum(CASE WHEN c >= _thr THEN c END), 0) AS BIGINT)
+           AS covered,
+       CAST(sum(c) AS BIGINT) AS total,
+       CAST(COALESCE(sum(CASE WHEN c >= _thr THEN c END), 0) AS DOUBLE)
+           / CAST(greatest(sum(c), 1) AS DOUBLE) AS coverage
+FROM uni, thr2"""

@@ -893,3 +893,32 @@ def test_bloom_decontam_never_misses_exact_hits(spark, sf_dir):
         assert n_maybe >= n_hit
         if n_hit > 0:
             assert flagged
+
+
+def test_turn_length_drift_exact_means(spark):
+    from dygiepp_spark.operators.transcript import turn_length_drift
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a b c", None), ("c2", 0, "user", "a", None),
+         ("c1", 1, "assistant", "x y", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    out = {r["turn_idx"]: (r["n_turns"], r["mean_tokens"])
+           for r in turn_length_drift(turns).collect()}
+    assert out == {0: (2, 2.0), 1: (1, 2.0)}
+
+
+def test_ngram_coverage_tie_inclusive_cut(spark):
+    from dygiepp_spark.functions.text import ngram_coverage
+
+    # counts: a=4, b=2, c=2, d=1 -> k=2 threshold is 2, ties included
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c c d", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = ngram_coverage(docs, k=2).collect()[0]
+    assert (r["n_top_types"], r["covered"], r["total"]) == (3, 8, 9)
+    assert r["coverage"] == 8 / 9
+    # k beyond the vocabulary: everything covered
+    r2 = ngram_coverage(docs, k=50).collect()[0]
+    assert (r2["n_top_types"], r2["coverage"]) == (4, 1.0)
