@@ -1402,6 +1402,15 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_ntriples_roundtrip(spark, sf_dir):
+    """N-Triples KG export + scan round-trip: the re-parsed (s, p, o)
+    set must hash identically to the distinct edge set."""
+    base = f"/root/repo/.tmp/nt_{uuid.uuid4().hex[:8]}"
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    JS.write_edges_ntriples(edges, base)
+    return _consume_and_remove(JS.read_edges_ntriples(spark, base), base)
+
+
 def q_ngram_coverage(spark, sf_dir):
     """Zipf head-weight: share of token occurrences covered by the
     top-10 unigram types (tie-inclusive distributed threshold cut).
@@ -1592,11 +1601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (d) rows — event_f1_4way, baseline_srl, csv_ingest, json_ingest,
     conv_stats, sessions, streaming_dedup, ie_errors, decontam,
     repetition, stratified_sample, frame_samples, pii_scrub — to the
-    top of the tail); (e) fourteen operators added in the closing
-    session (link_prediction through predicate_reciprocity — every key
-    after url_filter, in commit order) sit at the VERY END of the tail
-    — each parity-gated at sf0.001 AND sf0.01 individually at commit
-    time, plus unit/property tests;
+    top of the tail); (e) the closing-session operators (every key
+    after url_filter, in commit order — link_prediction onward) sit at
+    the VERY END of the tail — each parity-gated at sf0.001 AND sf0.01
+    individually at commit time, plus unit/property tests;
     (c) the 3 queries whose chains changed this round (eval_grid
     gained the 'partial' metric column, grid_best_cell consumes it, and
     method_accept_rate's oracle was refactored onto the shared preds CTE
@@ -1780,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "turn_length_drift": q_turn_length_drift,
         "ngram_coverage": q_ngram_coverage,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
     }
 
 
@@ -1958,4 +1967,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "turn_length_drift": oracles.turn_length_drift_oracle(),
         "ngram_coverage": oracles_data.ngram_coverage_oracle(k=10),
+        "ntriples_roundtrip": oracles_kg.ntriples_roundtrip_oracle(),
     }

@@ -2361,3 +2361,11 @@ SELECT o.conv_id, o.n_occurrences, t.n_triples,
 FROM occ o
 JOIN touched t ON o.conv_id = t.conv_id
 LEFT JOIN owned w ON o.conv_id = w.conv_id"""
+
+
+def ntriples_roundtrip_oracle() -> str:
+    """Oracle for the N-Triples roundtrip: the distinct (s, p, o) set —
+    the serialization and re-parse are the Spark side's extra work,
+    like the TSV/CSV roundtrip oracles."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()}
+SELECT DISTINCT subj_id, pred, obj_id FROM edges"""

@@ -25,6 +25,7 @@ import json
 from typing import Iterator
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TURN_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -442,4 +443,42 @@ def write_triples_orc(df: DataFrame, path: str) -> None:
 def read_triples_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path).select(
         "conv_id", "sent_text", "arg0", "arg1", "label", "conf"
+    )
+
+
+def write_edges_ntriples(edges: DataFrame, path: str) -> None:
+    """N-Triples KG export — the interchange format a downstream triple
+    store (Jena, Virtuoso, RDFox) loads directly: one canonical
+    ``<urn:kg:e/S> <urn:kg:p/P> <urn:kg:e/O> .`` line per distinct
+    (subj, pred, obj). The synthetic id vocabulary is URI-safe
+    (alnum/colon/underscore); a percent-encoding hook belongs here the
+    day ids carry arbitrary bytes.
+
+    One distinct shuffle, then a row-local concat — the text files
+    shard with the dataframe's partitioning like every other sink.
+    """
+    lines = (
+        edges.select("subj_id", "pred", "obj_id")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("<urn:kg:e/"), F.col("subj_id"),
+                F.lit("> <urn:kg:p/"), F.col("pred"),
+                F.lit("> <urn:kg:e/"), F.col("obj_id"),
+                F.lit("> ."),
+            ).alias("value")
+        )
+    )
+    lines.write.mode("overwrite").text(path)
+
+
+def read_edges_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the N-Triples export back to (subj_id, pred, obj_id) — one
+    regexp per line, all JVM-side."""
+    pat = r"^<urn:kg:e/(.*)> <urn:kg:p/(.*)> <urn:kg:e/(.*)> \.$"
+    t = spark.read.text(path)
+    return t.select(
+        F.regexp_extract("value", pat, 1).alias("subj_id"),
+        F.regexp_extract("value", pat, 2).alias("pred"),
+        F.regexp_extract("value", pat, 3).alias("obj_id"),
     )

@@ -922,3 +922,22 @@ def test_ngram_coverage_tie_inclusive_cut(spark):
     # k beyond the vocabulary: everything covered
     r2 = ngram_coverage(docs, k=50).collect()[0]
     assert (r2["n_top_types"], r2["coverage"]) == (4, 1.0)
+
+
+def test_ntriples_roundtrip_preserves_edge_set(spark, tmp_path):
+    from dygiepp_spark.sources.jsonl import (
+        read_edges_ntriples, write_edges_ntriples,
+    )
+
+    edges = spark.createDataFrame(
+        [("S:a", "uses", "E1", "c1"), ("S:a", "uses", "E1", "c2"),
+         ("E2", "made_by", "S:b", "c1")],
+        "subj_id string, pred string, obj_id string, conv_id string",
+    )
+    path = str(tmp_path / "nt")
+    write_edges_ntriples(edges, path)
+    lines = {r["value"] for r in spark.read.text(path).collect()}
+    assert "<urn:kg:e/S:a> <urn:kg:p/uses> <urn:kg:e/E1> ." in lines
+    assert len(lines) == 2  # occurrences deduped to the distinct set
+    back = {tuple(r) for r in read_edges_ntriples(spark, path).collect()}
+    assert back == {("S:a", "uses", "E1"), ("E2", "made_by", "S:b")}
