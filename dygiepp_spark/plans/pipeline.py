@@ -290,4 +290,28 @@ def build_kg_pipeline(
         # propagates until labels stop changing
         return GR.lpa_fixpoint(ctx["kg_edges"])
 
+    @p.stage("kg_health", enabled=with_analytics)
+    def _health(ctx):
+        # the one-stop graph-shape report the run summary carries:
+        # degree histogram + assortativity + per-predicate reciprocity,
+        # unioned into a tall (metric, key, value) frame so a single
+        # checkpointed output feeds dashboards
+        edges = ctx["kg_edges"]
+        hist = GR.degree_hist(edges).select(
+            F.lit("degree_hist").alias("metric"),
+            F.col("deg").cast("string").alias("key"),
+            F.col("n_nodes").cast("double").alias("value"),
+        )
+        asrt = GR.assortativity(edges).select(
+            F.lit("assortativity").alias("metric"),
+            F.lit("r").alias("key"),
+            F.col("r").alias("value"),
+        )
+        recip = GR.predicate_reciprocity(edges).select(
+            F.lit("reciprocity").alias("metric"),
+            F.col("pred").alias("key"),
+            F.col("reciprocity").alias("value"),
+        )
+        return hist.unionByName(asrt).unionByName(recip)
+
     return p

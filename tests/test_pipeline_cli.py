@@ -145,7 +145,7 @@ def test_cli_analytics_phase_appends_graph_tables(spark, sf_dir, tmp_path, capsy
     assert list(stages) == [
         "turns", "mentions", "triples", "kg_edges", "kg_edges_agg",
         "kg_pagerank", "kg_triangles", "kg_negatives", "kg_kcore",
-        "kg_communities",
+        "kg_communities", "kg_health",
     ]
     assert stages["kg_pagerank"]["rows"] > 0
     assert stages["kg_negatives"]["rows"] > 0
@@ -161,6 +161,11 @@ def test_cli_analytics_phase_appends_graph_tables(spark, sf_dir, tmp_path, capsy
     assert set(lc.columns) == {"node_id", "label"}
     nodes = {r["node_id"] for r in lc.collect()}
     assert {r["label"] for r in lc.collect()} <= nodes
+    # graph-health report: tall (metric, key, value), all three sections
+    hl = spark.read.parquet(os.path.join(wh, "kg_health", "data"))
+    assert set(hl.columns) == {"metric", "key", "value"}
+    metrics = {r["metric"] for r in hl.collect()}
+    assert metrics == {"degree_hist", "assortativity", "reciprocity"}
 
     assert rp.main(args) == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
