@@ -1059,7 +1059,7 @@ def source_overlap(docs: DataFrame) -> DataFrame:
     cardinality squared — never by document count; both count aggs are
     map-side combinable; the ratio is one exact-integer division.
     """
-    fps = fingerprint(docs)
+    fps = fingerprint(docs, k=1)  # only fp_0 is consumed
     sf = (
         fps.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "fp_0")

@@ -136,15 +136,19 @@ def bloom_decontam(
         )
         .distinct()
     )
+    # cg feeds probe + per_doc, probe feeds hit_pos + n_pos — pin both
+    # so the corpus gram explode and its md5s run once
     cg = doc_ngrams(corpus, n, id_col, text_col).withColumn(
         "_h", hash60(F.col("gram"))
-    )
+    ).localCheckpoint(eager=False)
     probe = cg.select(
         id_col, "gram",
         F.explode(
             F.array(*[(hash_family_from(F.col("_h"), i) % m) for i in range(k)])
         ).alias("pos"),
-    ).distinct()  # a gram may map 2 hashes to one position — count set POSITIONS
+    ).distinct().localCheckpoint(  # a gram may map 2 hashes to one
+        eager=False                # position — count set POSITIONS
+    )
     hit_pos = probe.join(broadcast(bits), "pos")
     n_pos = probe.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("_need")
@@ -158,8 +162,10 @@ def bloom_decontam(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_maybe_grams"))
     )
+    # doc_ngrams already emits per-doc DISTINCT grams — plain count,
+    # same as the exact path
     per_doc = cg.groupBy(id_col).agg(
-        F.count_distinct("gram").alias("n_grams")
+        F.count(F.lit(1)).alias("n_grams")
     )
     base = corpus.select(F.col(id_col)).join(per_doc, id_col, "left").join(
         maybe, id_col, "left"

@@ -1064,10 +1064,15 @@ def kg_novelty(edges: DataFrame) -> DataFrame:
     combinable; the ownership join keys on the full triple (no
     fan-out).
     """
-    occ = edges.groupBy("conv_id").agg(
+    # the edge chain feeds occ + trip, and trip feeds touched + owner —
+    # pin both (the entity_pmi/assortativity multi-consumer discipline)
+    base = edges.select(
+        "subj_id", "pred", "obj_id", "conv_id"
+    ).localCheckpoint(eager=False)
+    occ = base.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
-    trip = edges.select("subj_id", "pred", "obj_id", "conv_id").distinct()
+    trip = base.distinct().localCheckpoint(eager=False)
     touched = trip.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_triples")
     )

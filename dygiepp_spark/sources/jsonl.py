@@ -474,9 +474,13 @@ def write_edges_ntriples(edges: DataFrame, path: str) -> None:
 
 def read_edges_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Scan the N-Triples export back to (subj_id, pred, obj_id) — one
-    regexp per line, all JVM-side."""
+    JVM regexp per line. Lines that do not match the urn-triple grammar
+    (blank lines, '#' comments — both legal N-Triples — or foreign/
+    malformed triples) are REJECTED by an explicit rlike filter rather
+    than silently parsed to empty strings; a loader that must account
+    for every line should diff counts against ``spark.read.text``."""
     pat = r"^<urn:kg:e/(.*)> <urn:kg:p/(.*)> <urn:kg:e/(.*)> \.$"
-    t = spark.read.text(path)
+    t = spark.read.text(path).filter(F.col("value").rlike(pat))
     return t.select(
         F.regexp_extract("value", pat, 1).alias("subj_id"),
         F.regexp_extract("value", pat, 2).alias("pred"),
