@@ -1402,6 +1402,14 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Per-source curation yield of the full near-dup pass — which feed
+    is mostly mirrors."""
+    from dygiepp_spark.operators import compaction as CP
+
+    return CP.dedup_rate_by_source(_docs(spark, sf_dir))
+
+
 def q_ntriples_roundtrip(spark, sf_dir):
     """N-Triples KG export + scan round-trip: the re-parsed (s, p, o)
     set must hash identically to the distinct edge set."""
@@ -1789,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_length_drift": q_turn_length_drift,
         "ngram_coverage": q_ngram_coverage,
         "ntriples_roundtrip": q_ntriples_roundtrip,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
     }
 
 
@@ -1968,4 +1977,5 @@ def oracle_sql() -> dict[str, str]:
         "turn_length_drift": oracles.turn_length_drift_oracle(),
         "ngram_coverage": oracles_data.ngram_coverage_oracle(k=10),
         "ntriples_roundtrip": oracles_kg.ntriples_roundtrip_oracle(),
+        "dedup_rate_by_source": oracles_data.dedup_rate_by_source_oracle(),
     }

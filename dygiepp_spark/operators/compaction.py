@@ -114,3 +114,44 @@ def compact_corpus(groups: DataFrame) -> DataFrame:
             (F.col("id") == F.col("group_id")).alias("is_keeper"),
         )
     )
+
+
+def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source curation yield of a full near-dup pass: run the
+    chunk -> MinHash-LSH pairs -> connected components -> keeper
+    pipeline and roll the drops up by corpus source —
+    ``(source, n_chunks, n_dropped, drop_rate)``, the number that tells
+    an acquisition team which feed is mostly mirrors BEFORE anyone
+    mixes it into a training run.
+
+    Scale: everything upstream is the existing bucketed dedup chain
+    (no new shuffle shapes); the rollup adds one doc-keyed broadcast
+    join to the source dim and one map-side-combinable agg; the rate is
+    a single exact-integer division.
+    """
+    from dygiepp_spark.operators.dedup import doc_chunks, near_dups_minhash
+
+    chunks = doc_chunks(docs)
+    pairs = near_dups_minhash(chunks).select("id_a", "id_b")
+    nodes = chunks.select(F.col("chunk_id").alias("id"))
+    comp = compact_corpus(near_dup_groups(pairs, nodes))
+    j = comp.select(
+        F.expr("id div 2").alias("doc_id"),
+        F.col("is_keeper"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .select(
+            "source", "n_chunks", "n_dropped",
+            (
+                F.col("n_dropped").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("drop_rate"),
+        )
+    )

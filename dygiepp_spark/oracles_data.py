@@ -1751,3 +1751,22 @@ SELECT CAST(sum(CASE WHEN c >= _thr THEN 1 ELSE 0 END) AS BIGINT)
        CAST(COALESCE(sum(CASE WHEN c >= _thr THEN c END), 0) AS DOUBLE)
            / CAST(greatest(sum(c), 1) AS DOUBLE) AS coverage
 FROM uni, thr2"""
+
+
+def dedup_rate_by_source_oracle() -> str:
+    """Twin of compaction.dedup_rate_by_source: the full dedup_groups
+    recursive chain wrapped as a CTE, chunk -> doc -> source rollup."""
+    base = dedup_groups_oracle()
+    return f"""WITH comp AS (
+{base}
+),
+src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
+j AS (SELECT id // 2 AS doc_id, is_keeper FROM comp)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN NOT j.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(sum(CASE WHEN NOT j.is_keeper THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS drop_rate
+FROM j JOIN src s ON j.doc_id = s.doc_id
+GROUP BY 1"""

@@ -941,3 +941,23 @@ def test_ntriples_roundtrip_preserves_edge_set(spark, tmp_path):
     assert len(lines) == 2  # occurrences deduped to the distinct set
     back = {tuple(r) for r in read_edges_ntriples(spark, path).collect()}
     assert back == {("S:a", "uses", "E1"), ("E2", "made_by", "S:b")}
+
+
+def test_dedup_rate_by_source_counts_align_with_compaction(spark, sf_dir):
+    from dygiepp_spark.operators import compaction as CP
+    from dygiepp_spark.operators.dedup import doc_chunks, near_dups_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = CP.dedup_rate_by_source(docs).collect()
+    assert out
+    # chunk totals must add up to 2 chunks per doc, drops to the
+    # non-keeper count of the underlying compaction
+    chunks = doc_chunks(docs)
+    pairs = near_dups_minhash(chunks).select("id_a", "id_b")
+    nodes = chunks.select(F.col("chunk_id").alias("id"))
+    comp = CP.compact_corpus(CP.near_dup_groups(pairs, nodes))
+    assert sum(r["n_chunks"] for r in out) == 2 * docs.count()
+    assert (sum(r["n_dropped"] for r in out)
+            == comp.filter(~F.col("is_keeper")).count())
+    for r in out:
+        assert 0.0 <= r["drop_rate"] <= 1.0
