@@ -1402,6 +1402,15 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_embedding_stats(spark, sf_dir):
+    """Vector-hygiene pre-flight: dims spread, zero vectors, quantized
+    norm range over the embeddings table."""
+    from dygiepp_spark.operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SM.embedding_stats(emb)
+
+
 def q_dedup_rate_by_source(spark, sf_dir):
     """Per-source curation yield of the full near-dup pass — which feed
     is mostly mirrors."""
@@ -1798,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage": q_ngram_coverage,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "embedding_stats": q_embedding_stats,
     }
 
 
@@ -1978,4 +1988,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_coverage": oracles_data.ngram_coverage_oracle(k=10),
         "ntriples_roundtrip": oracles_kg.ntriples_roundtrip_oracle(),
         "dedup_rate_by_source": oracles_data.dedup_rate_by_source_oracle(),
+        "embedding_stats": oracles_data.embedding_stats_oracle(),
     }

@@ -497,3 +497,35 @@ def kmeans_train(
     return cents.select(F.col("cent_id").alias("cell"), "cq").join(
         sizes, "cell"
     ).select("cell", "size", "cq")
+
+
+def embedding_stats(emb: DataFrame) -> DataFrame:
+    """Vector-hygiene pre-flight over an embedding column — the one-row
+    report an ANN/semantic-dedup job reads before trusting its input:
+    vector count, dimensionality spread (min/max — a mismatch means a
+    broken encoder batch), zero-vector count (cosine is undefined on
+    them), and the quantized-squared-norm range + mean (norm outliers
+    break IVF cell balance).
+
+    All counts/extrema are exact integers on the milli-unit
+    quantization every similarity operator here shares; the mean is one
+    exact-integer division. One map-side-combinable pass, no shuffle
+    beyond the 1-row fold.
+    """
+    qz = quantized(emb)
+    return qz.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(F.size("q")).cast("bigint").alias("min_dims"),
+        F.max(F.size("q")).cast("bigint").alias("max_dims"),
+        F.sum(F.when(F.col("nq") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.min("nq").alias("min_nq"),
+        F.max("nq").alias("max_nq"),
+        F.sum("nq").alias("_sum_nq"),
+    ).select(
+        "n_vectors", "min_dims", "max_dims", "n_zero", "min_nq", "max_nq",
+        (
+            F.col("_sum_nq").cast("double") / F.col("n_vectors").cast("double")
+        ).alias("mean_nq"),
+    )

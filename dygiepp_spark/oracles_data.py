@@ -1770,3 +1770,17 @@ SELECT s.source,
            / CAST(count(*) AS DOUBLE) AS drop_rate
 FROM j JOIN src s ON j.doc_id = s.doc_id
 GROUP BY 1"""
+
+
+def embedding_stats_oracle() -> str:
+    """Twin of similarity.embedding_stats over the shared milli-unit
+    quantization chain."""
+    return f"""WITH {_QZ_SQL.strip()}
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(len(q)) AS BIGINT) AS min_dims,
+       CAST(max(len(q)) AS BIGINT) AS max_dims,
+       CAST(sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(min(nq) AS BIGINT) AS min_nq,
+       CAST(max(nq) AS BIGINT) AS max_nq,
+       CAST(sum(nq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_nq
+FROM qn"""

@@ -961,3 +961,19 @@ def test_dedup_rate_by_source_counts_align_with_compaction(spark, sf_dir):
             == comp.filter(~F.col("is_keeper")).count())
     for r in out:
         assert 0.0 <= r["drop_rate"] <= 1.0
+
+
+def test_embedding_stats_flags_zero_and_dim_mismatch(spark):
+    from dygiepp_spark.operators.similarity import embedding_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 0.0], "b"), (3, [0.5, 0.5, 0.5], "c")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    r = embedding_stats(emb).collect()[0]
+    assert (r["n_vectors"], r["min_dims"], r["max_dims"], r["n_zero"]) == (
+        3, 2, 3, 1,
+    )
+    # milli-quantized norms: [1e6, 0, 3*250000]
+    assert (r["min_nq"], r["max_nq"]) == (0, 1_000_000)
+    assert r["mean_nq"] == (1_000_000 + 0 + 750_000) / 3
