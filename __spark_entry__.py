@@ -1402,6 +1402,13 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_cluster_size_hist(spark, sf_dir):
+    """Coref chain-length distribution — the anaphora-density report."""
+    return CO.cluster_size_hist(
+        CO.coref_clusters(EX.detect_mentions(_turns(spark, sf_dir)))
+    )
+
+
 def q_embedding_stats(spark, sf_dir):
     """Vector-hygiene pre-flight: dims spread, zero vectors, quantized
     norm range over the embeddings table."""
@@ -1808,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "embedding_stats": q_embedding_stats,
+        "cluster_size_hist": q_cluster_size_hist,
     }
 
 
@@ -1989,4 +1997,5 @@ def oracle_sql() -> dict[str, str]:
         "ntriples_roundtrip": oracles_kg.ntriples_roundtrip_oracle(),
         "dedup_rate_by_source": oracles_data.dedup_rate_by_source_oracle(),
         "embedding_stats": oracles_data.embedding_stats_oracle(),
+        "cluster_size_hist": oracles_kg.cluster_size_hist_oracle(),
     }

@@ -513,3 +513,29 @@ def canonicalize_clusters(clustered: DataFrame) -> DataFrame:
         F.max_by(F.col("surface"), pref).alias("exemplar_text"),
         F.count(F.lit(1)).cast("int").alias("n_members"),
     )
+
+
+def cluster_size_hist(clusters: DataFrame) -> DataFrame:
+    """Coreference-chain length distribution — one row per cluster size
+    with the cluster count and the total mentions that size accounts
+    for: the anaphora-density report that says whether coref
+    propagation is worth its cost on a corpus (all-singletons -> skip
+    the stage) and flags degenerate giant chains (a surface-form
+    collision melting conversations together).
+
+    Scale: one (conv, cluster) count then one agg over the tiny
+    size domain — both map-side combinable.
+    """
+    per = clusters.groupBy("conv_id", "cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        per.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "size", "n_clusters",
+            (F.col("size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_mentions"),
+        )
+    )

@@ -2369,3 +2369,15 @@ def ntriples_roundtrip_oracle() -> str:
     like the TSV/CSV roundtrip oracles."""
     return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()}
 SELECT DISTINCT subj_id, pred, obj_id FROM edges"""
+
+
+def cluster_size_hist_oracle() -> str:
+    """Twin of coref.cluster_size_hist over the shared cluster CTEs."""
+    return f"""{_BASE} , {_COREF_CTES.strip()},
+per AS (
+    SELECT conv_id, cluster_id, CAST(count(*) AS BIGINT) AS size
+    FROM clusters GROUP BY 1, 2
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(size * count(*) AS BIGINT) AS n_mentions
+FROM per GROUP BY size"""

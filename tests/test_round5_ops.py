@@ -977,3 +977,18 @@ def test_embedding_stats_flags_zero_and_dim_mismatch(spark):
     # milli-quantized norms: [1e6, 0, 3*250000]
     assert (r["min_nq"], r["max_nq"]) == (0, 1_000_000)
     assert r["mean_nq"] == (1_000_000 + 0 + 750_000) / 3
+
+
+def test_cluster_size_hist_counts(spark):
+    from dygiepp_spark.operators.coref import cluster_size_hist
+
+    clusters = spark.createDataFrame(
+        # c1: one 3-chain + one singleton; c2: one 2-chain; cluster ids
+        # only unique WITHIN a conv — the (conv, cluster) key matters
+        [("c1", 0, "A"), ("c1", 1, "A"), ("c1", 2, "A"), ("c1", 3, "B"),
+         ("c2", 0, "A"), ("c2", 1, "A")],
+        "conv_id string, mention_ix int, cluster_id string",
+    )
+    out = {r["size"]: (r["n_clusters"], r["n_mentions"])
+           for r in cluster_size_hist(clusters).collect()}
+    assert out == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
