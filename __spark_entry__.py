@@ -1402,6 +1402,14 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_ivf_cell_balance(spark, sf_dir):
+    """IVF partition-balance report — the ANN hot-shard alarm."""
+    from dygiepp_spark.operators import similarity as SM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SM.ivf_cell_balance(emb)
+
+
 def q_cluster_size_hist(spark, sf_dir):
     """Coref chain-length distribution — the anaphora-density report."""
     return CO.cluster_size_hist(
@@ -1816,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "embedding_stats": q_embedding_stats,
         "cluster_size_hist": q_cluster_size_hist,
+        "ivf_cell_balance": q_ivf_cell_balance,
     }
 
 
@@ -1998,4 +2007,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": oracles_data.dedup_rate_by_source_oracle(),
         "embedding_stats": oracles_data.embedding_stats_oracle(),
         "cluster_size_hist": oracles_kg.cluster_size_hist_oracle(),
+        "ivf_cell_balance": oracles_data.ivf_cell_balance_oracle(),
     }

@@ -529,3 +529,24 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
             F.col("_sum_nq").cast("double") / F.col("n_vectors").cast("double")
         ).alias("mean_nq"),
     )
+
+
+def ivf_cell_balance(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF partition-balance report: per cell, its vector count and
+    corpus share — the skew alarm an ANN serving layer reads before
+    trusting the index (one melted cell = one hot probe shard; the
+    fix is re-training centroids or splitting the cell).
+
+    Scale: the assignment is the existing broadcast-centroid argmax
+    (one corpus scan); the report is one map-side-combinable agg over
+    the centroid-count domain; share is one exact-integer division.
+    """
+    cells = assign_cells(emb, n_centroids).select("vec_id", "cell")
+    per = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = per.agg(F.sum("n_vectors").alias("_t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "cell", "n_vectors",
+        (
+            F.col("n_vectors").cast("double") / F.col("_t").cast("double")
+        ).alias("share"),
+    )

@@ -1784,3 +1784,40 @@ SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(max(nq) AS BIGINT) AS max_nq,
        CAST(sum(nq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_nq
 FROM qn"""
+
+
+def ivf_cell_balance_oracle(n_centroids: int = N_CENTROIDS) -> str:
+    """Twin of similarity.ivf_cell_balance over the shared cell
+    assignment CTEs."""
+    return f"""WITH {_QZ_SQL.strip()},
+ce AS (
+    SELECT vec_id AS cent_id, unnest(q) AS cv, generate_subscripts(q, 1) AS i
+    FROM qn WHERE vec_id < {n_centroids}
+),
+cdots AS (
+    SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+    FROM qe e JOIN ce c ON e.i = c.i
+    GROUP BY 1, 2
+),
+cscore AS (
+    SELECT d.vec_id, d.cent_id,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nq * cn.nq AS DOUBLE)) AS ccos
+    FROM cdots d
+    JOIN qn n ON n.vec_id = d.vec_id
+    JOIN qn cn ON cn.vec_id = d.cent_id
+),
+cells AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rn
+        FROM cscore
+    ) WHERE rn = 1
+),
+per AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM cells GROUP BY 1
+),
+total AS (SELECT sum(n_vectors) AS _t FROM per)
+SELECT cell, n_vectors,
+       CAST(n_vectors AS DOUBLE) / CAST(_t AS DOUBLE) AS share
+FROM per, total"""

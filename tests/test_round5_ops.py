@@ -992,3 +992,13 @@ def test_cluster_size_hist_counts(spark):
     out = {r["size"]: (r["n_clusters"], r["n_mentions"])
            for r in cluster_size_hist(clusters).collect()}
     assert out == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
+
+
+def test_ivf_cell_balance_shares_sum_to_one(spark, sf_dir):
+    from dygiepp_spark.operators.similarity import ivf_cell_balance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_cell_balance(emb).collect()
+    assert sum(r["n_vectors"] for r in out) == emb.count()
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
+    assert {r["cell"] for r in out} <= {0, 1, 2, 3}
