@@ -1402,6 +1402,17 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_gap_hist(spark, sf_dir):
+    """Inter-turn gap histogram (power-of-two bins) over the synthetic
+    gap-ful clock — the empirical sessionization-threshold picker."""
+    from dygiepp_spark.operators import transcript as TR
+
+    with_ts = _turns(spark, sf_dir).withColumn(
+        "ts_sec", F.expr("turn_idx * 2 + (turn_idx div 4) * 60")
+    )
+    return TR.gap_hist(with_ts)
+
+
 def q_ivf_cell_balance(spark, sf_dir):
     """IVF partition-balance report — the ANN hot-shard alarm."""
     from dygiepp_spark.operators import similarity as SM
@@ -1825,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "cluster_size_hist": q_cluster_size_hist,
         "ivf_cell_balance": q_ivf_cell_balance,
+        "gap_hist": q_gap_hist,
     }
 
 
@@ -2008,4 +2020,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": oracles_data.embedding_stats_oracle(),
         "cluster_size_hist": oracles_kg.cluster_size_hist_oracle(),
         "ivf_cell_balance": oracles_data.ivf_cell_balance_oracle(),
+        "gap_hist": oracles.gap_hist_oracle(),
     }

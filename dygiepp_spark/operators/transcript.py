@@ -356,3 +356,35 @@ def turn_length_drift(turns: DataFrame) -> DataFrame:
             ).alias("mean_tokens"),
         )
     )
+
+
+def gap_hist(turns: DataFrame, ts_col: str = "ts_sec") -> DataFrame:
+    """Inter-turn gap distribution in power-of-two buckets — the report
+    that picks the sessionization ``gap_sec`` threshold empirically (a
+    bimodal histogram's valley IS the threshold) instead of guessing:
+    ``(log2_bin, n_gaps, min_gap, max_gap)`` over every within-
+    conversation consecutive-turn gap; zero gaps land in bin -1.
+
+    Scale: one conv-partitioned lag window (zero extra shuffle on the
+    bucketed layout) + one map-side-combinable agg over the tiny bin
+    domain; the floor-log2 uses the engine-portable length(bin(x))-1.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        turns.select(
+            "conv_id", "turn_idx",
+            (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    b = F.when(
+        F.col("gap") > 0,
+        (F.length(F.bin(F.col("gap"))) - 1).cast("bigint"),
+    ).otherwise(F.lit(-1).cast("bigint"))
+    return gaps.groupBy(b.alias("log2_bin")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+    )

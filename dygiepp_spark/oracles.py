@@ -754,3 +754,27 @@ SELECT turn_idx,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(_n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
 FROM lens GROUP BY turn_idx"""
+
+
+def gap_hist_oracle() -> str:
+    """Twin of transcript.gap_hist over the synthetic gap-ful clock the
+    sessions query uses."""
+    return f"""WITH {TURNS_SQL.strip()},
+clocked AS (
+    SELECT conv_id, turn_idx,
+           turn_idx * 2 + (turn_idx // 4) * 60 AS ts_sec
+    FROM turns
+),
+gaps AS (
+    SELECT conv_id,
+           ts_sec - lag(ts_sec) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx) AS gap
+    FROM clocked
+)
+SELECT CASE WHEN gap > 0 THEN CAST(length(bin(gap)) - 1 AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS log2_bin,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(max(gap) AS BIGINT) AS max_gap
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY 1"""

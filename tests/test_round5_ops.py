@@ -1002,3 +1002,24 @@ def test_ivf_cell_balance_shares_sum_to_one(spark, sf_dir):
     assert sum(r["n_vectors"] for r in out) == emb.count()
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
     assert {r["cell"] for r in out} <= {0, 1, 2, 3}
+
+
+def test_gap_hist_bins_and_zero_gap(spark):
+    from dygiepp_spark.operators.transcript import gap_hist
+
+    turns = spark.createDataFrame(
+        # gaps within c1: 1, 3, 60; c2: 0 (same-second turns -> bin -1)
+        [("c1", 0, "user", "x", None, 0), ("c1", 1, "assistant", "x", None, 1),
+         ("c1", 2, "user", "x", None, 4), ("c1", 3, "user", "x", None, 64),
+         ("c2", 0, "user", "x", None, 9), ("c2", 1, "user", "x", None, 9)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts_sec long",
+    )
+    out = {r["log2_bin"]: (r["n_gaps"], r["min_gap"], r["max_gap"])
+           for r in gap_hist(turns).collect()}
+    assert out == {
+        0: (1, 1, 1),    # gap 1
+        1: (1, 3, 3),    # gap 3 -> floor(log2)=1
+        5: (1, 60, 60),  # gap 60 -> 5
+        -1: (1, 0, 0),   # zero gap
+    }
