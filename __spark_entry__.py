@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_minhash_error_hist(spark, sf_dir):
+    """MinHash estimator-vs-exact error histogram over verified pairs —
+    the band/row self-calibration check."""
+    return DD.minhash_error_hist(DD.doc_chunks(_docs(spark, sf_dir)))
+
+
 def q_gap_hist(spark, sf_dir):
     """Inter-turn gap histogram (power-of-two bins) over the synthetic
     gap-ful clock — the empirical sessionization-threshold picker."""
@@ -1837,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_size_hist": q_cluster_size_hist,
         "ivf_cell_balance": q_ivf_cell_balance,
         "gap_hist": q_gap_hist,
+        "minhash_error_hist": q_minhash_error_hist,
     }
 
 
@@ -2021,4 +2028,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_size_hist": oracles_kg.cluster_size_hist_oracle(),
         "ivf_cell_balance": oracles_data.ivf_cell_balance_oracle(),
         "gap_hist": oracles.gap_hist_oracle(),
+        "minhash_error_hist": oracles_data.minhash_error_hist_oracle(),
     }

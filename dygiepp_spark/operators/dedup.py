@@ -671,3 +671,53 @@ def intra_doc_dedup(df: DataFrame, block: int = 8,
             ).alias("text_dedup"),
         )
     )
+
+
+def minhash_error_hist(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
+    """MinHash estimator-quality report: for every VERIFIED near-dup
+    pair, compare the signature-agreement estimate (matching components
+    / N_HASHES — the unbiased Jaccard estimator LSH banding is built
+    on) against the exact shingle Jaccard, and histogram the absolute
+    error in tenths: ``(err_bin, n_pairs)``. A fat tail here means the
+    band/row configuration is mistuned for the corpus' similarity
+    profile (the ~1/sqrt(k) standard error is the expected width) —
+    the self-calibration check a dedup rollout runs once per corpus
+    family.
+
+    Scale: everything upstream is the pinned LSH chain; the estimate
+    adds ONE join of the (id, 32-longs) signature frame onto the
+    verified pairs (bounded output) and a row-local equality fold.
+    """
+    sh = shingles(chunks).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sh).localCheckpoint(eager=False)
+    counts = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
+    ver = jaccard_verify(
+        lsh_candidates(lsh_buckets(sigs)), sh, thresh, counts=counts
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = matches.cast("double") / F.lit(float(N_HASHES))
+    err = F.abs(est - F.col("jaccard"))
+    b = F.least(
+        F.floor(err * 10).cast("bigint"), F.lit(9).cast("bigint")
+    )
+    return (
+        ver.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(b.alias("err_bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1821,3 +1821,67 @@ total AS (SELECT sum(n_vectors) AS _t FROM per)
 SELECT cell, n_vectors,
        CAST(n_vectors AS DOUBLE) / CAST(_t AS DOUBLE) AS share
 FROM per, total"""
+
+
+def minhash_error_hist_oracle(
+    thresh: float = 0.25, max_bucket: int = 1000
+) -> str:
+    """Twin of dedup.minhash_error_hist: the near-dup chain plus a
+    32-component signature-agreement estimate per verified pair."""
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT id, {b} AS band, '{b}:' || CAST(mh_{b * ROWS_PER_BAND} AS VARCHAR)"
+        f" || ':' || CAST(mh_{b * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM sigs"
+        for b in range(N_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return f"""{_DEDUP_BASE},
+hashed AS (SELECT id, {hash60_sql('shingle')} AS h0,
+                  {hash60_sql("'b:' || shingle")} AS h1 FROM shingled),
+sigs AS (
+    SELECT id,
+           {_minhash_aggs()}
+    FROM hashed GROUP BY id
+),
+buckets AS (
+    {bands}
+),
+bcounts AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
+ok AS (
+    SELECT b.* FROM buckets b JOIN bcounts c USING (band, bucket)
+    WHERE c.n <= {max_bucket}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.id < b.id
+),
+sets AS (
+    SELECT id, list_sort(list_distinct(list(shingle))) AS sh
+    FROM shingled GROUP BY id
+),
+ver AS (
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                 AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b
+    )
+    WHERE jaccard >= {thresh}
+),
+est AS (
+    SELECT v.id_a, v.id_b, v.jaccard,
+           CAST({match_sum} AS DOUBLE) / {float(N_HASHES)} AS est
+    FROM ver v
+    JOIN sigs sa ON sa.id = v.id_a
+    JOIN sigs sb ON sb.id = v.id_b
+)
+SELECT least(CAST(floor(abs(est - jaccard) * 10) AS BIGINT),
+             CAST(9 AS BIGINT)) AS err_bin,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM est GROUP BY 1"""

@@ -1023,3 +1023,21 @@ def test_gap_hist_bins_and_zero_gap(spark):
         5: (1, 60, 60),  # gap 60 -> 5
         -1: (1, 0, 0),   # zero gap
     }
+
+
+def test_minhash_error_hist_mass_matches_verified_pairs(spark, sf_dir):
+    from dygiepp_spark.operators.dedup import (
+        doc_chunks, minhash_error_hist, near_dups_minhash,
+    )
+
+    chunks = doc_chunks(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    hist = minhash_error_hist(chunks).collect()
+    assert hist
+    # every verified pair lands in exactly one bin, bins are deciles
+    assert sum(r["n_pairs"] for r in hist) == near_dups_minhash(chunks).count()
+    assert all(0 <= r["err_bin"] <= 9 for r in hist)
+    # a sane 16x2 configuration concentrates mass at small error
+    low = sum(r["n_pairs"] for r in hist if r["err_bin"] <= 2)
+    assert low >= 0.5 * sum(r["n_pairs"] for r in hist)
