@@ -1402,6 +1402,11 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_pack_efficiency(spark, sf_dir):
+    """Packing-utilization one-rower over the token-budget packer."""
+    return TX.pack_efficiency(_docs(spark, sf_dir), budget=2048)
+
+
 def q_minhash_error_hist(spark, sf_dir):
     """MinHash estimator-vs-exact error histogram over verified pairs —
     the band/row self-calibration check."""
@@ -1844,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_balance": q_ivf_cell_balance,
         "gap_hist": q_gap_hist,
         "minhash_error_hist": q_minhash_error_hist,
+        "pack_efficiency": q_pack_efficiency,
     }
 
 
@@ -2029,4 +2035,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cell_balance": oracles_data.ivf_cell_balance_oracle(),
         "gap_hist": oracles.gap_hist_oracle(),
         "minhash_error_hist": oracles_data.minhash_error_hist_oracle(),
+        "pack_efficiency": oracles_data.pack_efficiency_oracle(budget=2048),
     }

@@ -1172,3 +1172,39 @@ def ngram_coverage(df: DataFrame, k: int = 100,
             ).alias("coverage"),
         )
     )
+
+
+def pack_efficiency(df: DataFrame, budget: int = 2048,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Packing-utilization report over :func:`pack_sequences` output —
+    the loader-throughput number a packing config is judged by: per
+    pack, how many docs start in it and how many tokens they carry;
+    rolled up to one row of ``(n_packs, n_docs, total_tokens,
+    mean_docs_per_pack, mean_fill)`` where ``mean_fill`` is mean
+    start-attributed tokens per pack over the budget (straddling docs
+    attribute to their start pack, matching the packer's contract).
+
+    Scale: one agg on pack_id over the packer's output + a 1-row fold;
+    both divisions exact-integer.
+    """
+    packed = pack_sequences(df, budget=budget, text_col=text_col,
+                            id_col=id_col)
+    per = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("toks"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+    ).select(
+        "n_packs", "n_docs", "total_tokens",
+        (
+            F.col("n_docs").cast("double") / F.col("n_packs").cast("double")
+        ).alias("mean_docs_per_pack"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs") * budget).cast("double")
+        ).alias("mean_fill"),
+    )

@@ -1885,3 +1885,25 @@ SELECT least(CAST(floor(abs(est - jaccard) * 10) AS BIGINT),
              CAST(9 AS BIGINT)) AS err_bin,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM est GROUP BY 1"""
+
+
+def pack_efficiency_oracle(budget: int = 2048, n_buckets: int = 1024) -> str:
+    """Twin of functions.text.pack_efficiency: the pack_sequences chain
+    wrapped as a CTE, per-pack rollup, 1-row utilization fold."""
+    base = pack_sequences_oracle(budget=budget, n_buckets=n_buckets)
+    return f"""WITH packed AS (
+{base}
+),
+per AS (
+    SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS toks
+    FROM packed GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_docs) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_docs_per_pack,
+       CAST(sum(toks) AS DOUBLE)
+           / CAST(count(*) * {budget} AS DOUBLE) AS mean_fill
+FROM per"""

@@ -1041,3 +1041,20 @@ def test_minhash_error_hist_mass_matches_verified_pairs(spark, sf_dir):
     # a sane 16x2 configuration concentrates mass at small error
     low = sum(r["n_pairs"] for r in hist if r["err_bin"] <= 2)
     assert low >= 0.5 * sum(r["n_pairs"] for r in hist)
+
+
+def test_pack_efficiency_accounts_every_doc_and_token(spark, sf_dir):
+    from dygiepp_spark.functions.text import (
+        pack_efficiency, pack_sequences, word_token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = pack_efficiency(docs, budget=2048).collect()[0]
+    assert r["n_docs"] == docs.count()
+    total = word_token_count(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    assert r["total_tokens"] == total
+    # packs are contiguous budget windows over the running offset, so
+    # every pack except possibly the last is start-attributed near full
+    assert r["n_packs"] == pack_sequences(docs, budget=2048).agg(
+        F.count_distinct("pack_id")).collect()[0][0]
+    assert 0 < r["mean_fill"] <= 2.0  # straddlers attribute to start pack
