@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_source_language_mix(spark, sf_dir):
+    """Per-source language composition over the langid heuristic —
+    the multilingual mixing-table input."""
+    return TX.source_language_mix(_docs(spark, sf_dir))
+
+
 def q_pack_efficiency(spark, sf_dir):
     """Packing-utilization one-rower over the token-budget packer."""
     return TX.pack_efficiency(_docs(spark, sf_dir), budget=2048)
@@ -1850,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_hist": q_gap_hist,
         "minhash_error_hist": q_minhash_error_hist,
         "pack_efficiency": q_pack_efficiency,
+        "source_language_mix": q_source_language_mix,
     }
 
 
@@ -2036,4 +2043,5 @@ def oracle_sql() -> dict[str, str]:
         "gap_hist": oracles.gap_hist_oracle(),
         "minhash_error_hist": oracles_data.minhash_error_hist_oracle(),
         "pack_efficiency": oracles_data.pack_efficiency_oracle(budget=2048),
+        "source_language_mix": oracles_data.source_language_mix_oracle(),
     }

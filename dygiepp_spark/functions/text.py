@@ -1208,3 +1208,26 @@ def pack_efficiency(df: DataFrame, budget: int = 2048,
             / (F.col("n_packs") * budget).cast("double")
         ).alias("mean_fill"),
     )
+
+
+def source_language_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source language composition: (source, pred_lang, n_docs,
+    share) over the stopword-heuristic language ID — the mixing-table
+    input a multilingual run reads per feed (a feed whose declared
+    language disagrees with its predicted mix is mislabeled upstream).
+
+    Scale: langid is row-local; the rollup is one map-side-combinable
+    agg on (source, lang) plus a broadcast of the per-source totals;
+    share is one exact-integer division.
+    """
+    pred = langid(df, text_col=text_col).select("source", "pred_lang")
+    per = pred.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("_t"))
+    return per.join(F.broadcast(tot), "source").select(
+        "source", "pred_lang", "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.col("_t").cast("double")
+        ).alias("share"),
+    )

@@ -1907,3 +1907,36 @@ SELECT CAST(count(*) AS BIGINT) AS n_packs,
        CAST(sum(toks) AS DOUBLE)
            / CAST(count(*) * {budget} AS DOUBLE) AS mean_fill
 FROM per"""
+
+
+def source_language_mix_oracle() -> str:
+    """Twin of text.source_language_mix over the langid chain."""
+    langs = list(LANG_STOPWORDS)
+    ltoks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    hits = ",\n       ".join(
+        f"len(list_filter(ltoks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS h_{lg}"
+        for lg, ws in LANG_STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN h_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+WITH lt AS (SELECT source, {ltoks} AS ltoks FROM documents),
+hits AS (
+    SELECT source,
+       {hits}
+    FROM lt
+),
+withmax AS (SELECT *, {best} AS m FROM hits),
+pred AS (
+    SELECT source,
+           CASE WHEN m > 0 THEN (CASE {case} END) ELSE 'und' END AS pred_lang
+    FROM withmax
+),
+per AS (
+    SELECT source, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS _t FROM per GROUP BY 1)
+SELECT p.source, p.pred_lang, p.n_docs,
+       CAST(p.n_docs AS DOUBLE) / CAST(t._t AS DOUBLE) AS share
+FROM per p JOIN tot t ON p.source = t.source"""

@@ -1058,3 +1058,19 @@ def test_pack_efficiency_accounts_every_doc_and_token(spark, sf_dir):
     assert r["n_packs"] == pack_sequences(docs, budget=2048).agg(
         F.count_distinct("pack_id")).collect()[0][0]
     assert 0 < r["mean_fill"] <= 2.0  # straddlers attribute to start pack
+
+
+def test_source_language_mix_shares(spark):
+    from dygiepp_spark.functions.text import source_language_mix
+
+    docs = spark.createDataFrame(
+        [(1, "the of and is a", "en", "s1", 0),
+         (2, "el la de y es", "es", "s1", 0),
+         (3, "qq ww ee", "en", "s2", 0)],  # no stopword hits -> und
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {(r["source"], r["pred_lang"]): (r["n_docs"], r["share"])
+           for r in source_language_mix(docs).collect()}
+    assert out[("s1", "en")] == (1, 0.5)
+    assert out[("s1", "es")] == (1, 0.5)
+    assert out[("s2", "und")] == (1, 1.0)
