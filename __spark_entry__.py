@@ -1402,6 +1402,14 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_role_vocab_divergence(spark, sf_dir):
+    """Role-conditional vocabulary shares (integer ppm) — the style-
+    audit / role-leak report over transcripts."""
+    from dygiepp_spark.operators import transcript as TR
+
+    return TR.role_vocab_divergence(_turns(spark, sf_dir))
+
+
 def q_source_language_mix(spark, sf_dir):
     """Per-source language composition over the langid heuristic —
     the multilingual mixing-table input."""
@@ -1857,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error_hist": q_minhash_error_hist,
         "pack_efficiency": q_pack_efficiency,
         "source_language_mix": q_source_language_mix,
+        "role_vocab_divergence": q_role_vocab_divergence,
     }
 
 
@@ -2044,4 +2053,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_error_hist": oracles_data.minhash_error_hist_oracle(),
         "pack_efficiency": oracles_data.pack_efficiency_oracle(budget=2048),
         "source_language_mix": oracles_data.source_language_mix_oracle(),
+        "role_vocab_divergence": oracles.role_vocab_divergence_oracle(),
     }

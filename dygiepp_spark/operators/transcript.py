@@ -388,3 +388,43 @@ def gap_hist(turns: DataFrame, ts_col: str = "ts_sec") -> DataFrame:
         F.min("gap").cast("bigint").alias("min_gap"),
         F.max("gap").cast("bigint").alias("max_gap"),
     )
+
+
+def role_vocab_divergence(
+    turns: DataFrame, min_count: int = 5, scale: int = 1_000_000
+) -> DataFrame:
+    """Role-conditional vocabulary table: per token (support >=
+    ``min_count``), its user/assistant occurrence counts and the
+    assistant share in integer ppm — the which-words-does-the-model-
+    overuse report behind style audits and role-leak detection (a
+    'user' token showing 100% assistant share in generated data is a
+    template artifact).
+
+    Scale: one token explode + ONE map-side-combinable conditional agg
+    keyed on the token; output is vocabulary-bounded. ppm is BIGINT
+    floor division — bit-portable.
+    """
+    from dygiepp_spark.functions.text import tokens_col
+
+    toks = turns.select(
+        "role", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_user"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_assistant"),
+        )
+        .filter(F.col("n_user") + F.col("n_assistant") >= min_count)
+        .select(
+            "token", "n_user", "n_assistant",
+            F.expr(
+                f"CAST(n_assistant * {scale}L div (n_user + n_assistant)"
+                " AS BIGINT)"
+            ).alias("assistant_ppm"),
+        )
+    )

@@ -778,3 +778,29 @@ SELECT CASE WHEN gap > 0 THEN CAST(length(bin(gap)) - 1 AS BIGINT)
        CAST(max(gap) AS BIGINT) AS max_gap
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY 1"""
+
+
+def role_vocab_divergence_oracle(
+    min_count: int = 5, scale: int = 1_000_000
+) -> str:
+    """Twin of transcript.role_vocab_divergence."""
+    return f"""WITH {TURNS_SQL.strip()},
+toks AS (
+    SELECT role,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS token
+    FROM turns
+),
+agg AS (
+    SELECT token,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_assistant
+    FROM toks GROUP BY token
+)
+SELECT token, n_user, n_assistant,
+       CAST(n_assistant * {scale} // (n_user + n_assistant) AS BIGINT)
+           AS assistant_ppm
+FROM agg
+WHERE n_user + n_assistant >= {min_count}"""

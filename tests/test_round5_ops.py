@@ -1074,3 +1074,18 @@ def test_source_language_mix_shares(spark):
     assert out[("s1", "en")] == (1, 0.5)
     assert out[("s1", "es")] == (1, 0.5)
     assert out[("s2", "und")] == (1, 1.0)
+
+
+def test_role_vocab_divergence_ppm_and_floor(spark):
+    from dygiepp_spark.operators.transcript import role_vocab_divergence
+
+    rows = [("user", "x x x"), ("assistant", "x y y y y y")]
+    turns = spark.createDataFrame(
+        [(f"c", i, r, t, None) for i, (r, t) in enumerate(rows)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    out = {r["token"]: (r["n_user"], r["n_assistant"], r["assistant_ppm"])
+           for r in role_vocab_divergence(turns, min_count=4).collect()}
+    # x: 3 user + 1 assistant = 4 total -> 1e6 div 4 = 250000
+    # y: 0 + 5 -> 1000000; min_count=4 keeps both
+    assert out == {"x": (3, 1, 250000), "y": (0, 5, 1000000)}
