@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_quality_decile_yield(spark, sf_dir):
+    """Rule-filter keep-rate per quality decile — the rules-vs-score
+    calibration table."""
+    return TX.quality_decile_yield(_doc_text(spark, sf_dir))
+
+
 def q_role_vocab_divergence(spark, sf_dir):
     """Role-conditional vocabulary shares (integer ppm) — the style-
     audit / role-leak report over transcripts."""
@@ -1866,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "source_language_mix": q_source_language_mix,
         "role_vocab_divergence": q_role_vocab_divergence,
+        "quality_decile_yield": q_quality_decile_yield,
     }
 
 
@@ -2054,4 +2061,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_efficiency": oracles_data.pack_efficiency_oracle(budget=2048),
         "source_language_mix": oracles_data.source_language_mix_oracle(),
         "role_vocab_divergence": oracles.role_vocab_divergence_oracle(),
+        "quality_decile_yield": oracles_data.quality_decile_yield_oracle(),
     }

@@ -1231,3 +1231,39 @@ def source_language_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_docs").cast("double") / F.col("_t").cast("double")
         ).alias("share"),
     )
+
+
+def quality_decile_yield(df: DataFrame) -> DataFrame:
+    """Filter-behavior-by-quality report: bin documents by composite
+    quality decile (top edge folded into bin 9) and count how many the
+    rule-based :func:`composite_filter` keeps per bin — the calibration
+    table that says whether the hard rules and the soft score agree
+    (a high keep-rate in the bottom decile means the rules miss what
+    the score catches, and vice versa).
+
+    Scale: both inputs are existing single-scan chains; the join keys
+    on doc_id and the rollup is one map-side-combinable agg over ten
+    bins; keep_rate is one exact-integer division.
+    """
+    q = quality_score(df).select("doc_id", "quality")
+    k = composite_filter(df).select("doc_id", "keep")
+    j = q.join(k, "doc_id")
+    b = F.least(
+        F.floor(F.col("quality") * 10).cast("bigint"),
+        F.lit(9).cast("bigint"),
+    )
+    return (
+        j.groupBy(b.alias("q_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "q_bin", "n_docs", "n_kept",
+            (
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+            ).alias("keep_rate"),
+        )
+    )

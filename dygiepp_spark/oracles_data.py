@@ -1940,3 +1940,22 @@ tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS _t FROM per GROUP BY 1)
 SELECT p.source, p.pred_lang, p.n_docs,
        CAST(p.n_docs AS DOUBLE) / CAST(t._t AS DOUBLE) AS share
 FROM per p JOIN tot t ON p.source = t.source"""
+
+
+def quality_decile_yield_oracle() -> str:
+    """Twin of text.quality_decile_yield: the quality and filter chains
+    nested as CTEs, decile join, keep-rate fold."""
+    return f"""WITH q AS (
+{quality_oracle()}
+),
+f AS (
+{quality_filter_oracle()}
+)
+SELECT least(CAST(floor(q.quality * 10) AS BIGINT), CAST(9 AS BIGINT))
+           AS q_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f.keep THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS keep_rate
+FROM q JOIN f ON q.doc_id = f.doc_id
+GROUP BY 1"""

@@ -1089,3 +1089,18 @@ def test_role_vocab_divergence_ppm_and_floor(spark):
     # x: 3 user + 1 assistant = 4 total -> 1e6 div 4 = 250000
     # y: 0 + 5 -> 1000000; min_count=4 keeps both
     assert out == {"x": (3, 1, 250000), "y": (0, 5, 1000000)}
+
+
+def test_quality_decile_yield_conserves_and_bins(spark, sf_dir):
+    from dygiepp_spark.functions.text import (
+        composite_filter, quality_decile_yield,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    out = quality_decile_yield(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    kept = composite_filter(docs).filter(F.col("keep")).count()
+    assert sum(r["n_kept"] for r in out) == kept
+    assert all(0 <= r["q_bin"] <= 9 for r in out)
