@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_simhash_hamming_hist(spark, sf_dir):
+    """SimHash Hamming-distance histogram over all banded candidates —
+    the empirical max_hamming threshold picker."""
+    return DD.simhash_hamming_hist(DD.doc_chunks(_docs(spark, sf_dir)))
+
+
 def q_quality_decile_yield(spark, sf_dir):
     """Rule-filter keep-rate per quality decile — the rules-vs-score
     calibration table."""
@@ -1873,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_language_mix": q_source_language_mix,
         "role_vocab_divergence": q_role_vocab_divergence,
         "quality_decile_yield": q_quality_decile_yield,
+        "simhash_hamming_hist": q_simhash_hamming_hist,
     }
 
 
@@ -2062,4 +2069,5 @@ def oracle_sql() -> dict[str, str]:
         "source_language_mix": oracles_data.source_language_mix_oracle(),
         "role_vocab_divergence": oracles.role_vocab_divergence_oracle(),
         "quality_decile_yield": oracles_data.quality_decile_yield_oracle(),
+        "simhash_hamming_hist": oracles_data.simhash_hamming_hist_oracle(),
     }

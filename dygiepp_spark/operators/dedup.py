@@ -721,3 +721,22 @@ def minhash_error_hist(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
         .groupBy(b.alias("err_bin"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def simhash_hamming_hist(
+    chunks: DataFrame, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash threshold-calibration report: the Hamming-distance
+    histogram over ALL banded candidate pairs (no max_hamming cut) —
+    ``(hamming, n_pairs)``. The valley between the near-dup mode and
+    the random-collision mode IS the right ``max_hamming`` for the
+    corpus; a missing valley means 32 bits under-resolve it.
+
+    Scale: identical chain to near_dups_simhash (banded self-join,
+    pinned signatures); the histogram is one map-side-combinable agg
+    over the 0..bits domain.
+    """
+    pairs = near_dups_simhash(chunks, max_hamming=bits, bits=bits)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

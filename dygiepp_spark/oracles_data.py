@@ -1959,3 +1959,14 @@ SELECT least(CAST(floor(q.quality * 10) AS BIGINT), CAST(9 AS BIGINT))
            / CAST(count(*) AS DOUBLE) AS keep_rate
 FROM q JOIN f ON q.doc_id = f.doc_id
 GROUP BY 1"""
+
+
+def simhash_hamming_hist_oracle(bits: int = SIMHASH_BITS) -> str:
+    """Twin of dedup.simhash_hamming_hist: the simhash pair chain with
+    the cut lifted to the full bit width, rolled to a histogram."""
+    base = near_dups_simhash_oracle(max_hamming=bits)
+    return f"""WITH p AS (
+{base}
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1"""

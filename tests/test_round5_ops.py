@@ -1104,3 +1104,17 @@ def test_quality_decile_yield_conserves_and_bins(spark, sf_dir):
     kept = composite_filter(docs).filter(F.col("keep")).count()
     assert sum(r["n_kept"] for r in out) == kept
     assert all(0 <= r["q_bin"] <= 9 for r in out)
+
+
+def test_simhash_hamming_hist_mass_and_threshold_cut(spark, sf_dir):
+    from dygiepp_spark.operators.dedup import (
+        doc_chunks, near_dups_simhash, simhash_hamming_hist,
+    )
+
+    chunks = doc_chunks(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    hist = {r["hamming"]: r["n_pairs"]
+            for r in simhash_hamming_hist(chunks).collect()}
+    assert hist
+    # the <= 6 cut of the histogram equals the production pair count
+    cut = sum(n for h, n in hist.items() if h <= 6)
+    assert cut == near_dups_simhash(chunks, max_hamming=6).count()
