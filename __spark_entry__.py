@@ -1402,6 +1402,19 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_decontam_rate_by_source(spark, sf_dir):
+    """Benchmark-contamination rate per feed (same corpus/benchmark
+    split as `decontam`)."""
+    from dygiepp_spark.operators import decontam as DC
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "source"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return DC.decontam_rate_by_source(corpus, benchmark, n=3)
+
+
 def q_simhash_hamming_hist(spark, sf_dir):
     """SimHash Hamming-distance histogram over all banded candidates —
     the empirical max_hamming threshold picker."""
@@ -1880,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_vocab_divergence": q_role_vocab_divergence,
         "quality_decile_yield": q_quality_decile_yield,
         "simhash_hamming_hist": q_simhash_hamming_hist,
+        "decontam_rate_by_source": q_decontam_rate_by_source,
     }
 
 
@@ -2070,4 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "role_vocab_divergence": oracles.role_vocab_divergence_oracle(),
         "quality_decile_yield": oracles_data.quality_decile_yield_oracle(),
         "simhash_hamming_hist": oracles_data.simhash_hamming_hist_oracle(),
+        "decontam_rate_by_source": oracles_data.decontam_rate_by_source_oracle(
+            n=3, mod=97
+        ),
     }

@@ -178,3 +178,41 @@ def bloom_decontam(
         n_mb.alias("n_maybe_grams"),
         (n_mb > 0).alias("flagged"),
     )
+
+
+def decontam_rate_by_source(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Per-source contamination report: roll the exact benchmark-overlap
+    verdicts up by corpus source — ``(source, n_docs, n_contaminated,
+    contam_rate)``, the feed-level view procurement needs (one feed
+    scraping benchmark sites poisons a mixture; this finds it before
+    the mix).
+
+    Requires a ``source`` column on the corpus frame. Scale: the
+    overlap chain is the existing broadcast-gram join; the rollup adds
+    one doc-keyed join to the source dim and one map-side-combinable
+    agg; the rate is one exact-integer division.
+    """
+    rep = decontaminate(
+        corpus.select("doc_id", "text"), benchmark, n=n
+    ).select("doc_id", "contaminated")
+    j = rep.join(corpus.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "source", "n_docs", "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("contam_rate"),
+        )
+    )

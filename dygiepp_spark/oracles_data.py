@@ -1970,3 +1970,24 @@ def simhash_hamming_hist_oracle(bits: int = SIMHASH_BITS) -> str:
 )
 SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
 FROM p GROUP BY 1"""
+
+
+def decontam_rate_by_source_oracle(n: int = 3, mod: int = 97) -> str:
+    """Twin of decontam.decontam_rate_by_source: the decontam chain
+    nested as a CTE, source rollup."""
+    base = decontam_oracle(n=n, mod=mod)
+    return f"""WITH rep AS (
+{base}
+),
+src AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+    WHERE CAST(doc_id AS BIGINT) % {mod} <> 0
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(sum(CASE WHEN r.contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS contam_rate
+FROM rep r JOIN src s ON r.doc_id = s.doc_id
+GROUP BY 1"""

@@ -1118,3 +1118,21 @@ def test_simhash_hamming_hist_mass_and_threshold_cut(spark, sf_dir):
     # the <= 6 cut of the histogram equals the production pair count
     cut = sum(n for h, n in hist.items() if h <= 6)
     assert cut == near_dups_simhash(chunks, max_hamming=6).count()
+
+
+def test_decontam_rate_by_source_ties_to_doc_verdicts(spark, sf_dir):
+    from dygiepp_spark.operators.decontam import (
+        decontam_rate_by_source, decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "source"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontam_rate_by_source(corpus, benchmark, n=3).collect()
+    assert sum(r["n_docs"] for r in out) == corpus.count()
+    total_contam = decontaminate(
+        corpus.select("doc_id", "text"), benchmark, n=3
+    ).filter(F.col("contaminated")).count()
+    assert sum(r["n_contaminated"] for r in out) == total_contam
