@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_event_schema_profile(spark, sf_dir):
+    """Event-ontology profile: (event_type, role) argument counts and
+    role shares — the event analog of schema_profile."""
+    return EX.event_schema_profile(EX.extract_events(_turns(spark, sf_dir)))
+
+
 def q_decontam_rate_by_source(spark, sf_dir):
     """Benchmark-contamination rate per feed (same corpus/benchmark
     split as `decontam`)."""
@@ -1894,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_decile_yield": q_quality_decile_yield,
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "decontam_rate_by_source": q_decontam_rate_by_source,
+        "event_schema_profile": q_event_schema_profile,
     }
 
 
@@ -2087,4 +2094,5 @@ def oracle_sql() -> dict[str, str]:
         "decontam_rate_by_source": oracles_data.decontam_rate_by_source_oracle(
             n=3, mod=97
         ),
+        "event_schema_profile": oracles.event_schema_profile_oracle(),
     }

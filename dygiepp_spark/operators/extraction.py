@@ -448,3 +448,28 @@ def events_binary_decode(events: DataFrame) -> DataFrame:
             F.col("a1.t").alias("arg1"), F.col("a1.s").alias("a1_start"),
         )
     )
+
+
+def event_schema_profile(events: DataFrame) -> DataFrame:
+    """Event-ontology profile: one row per (event_type, role) with the
+    argument count, distinct-conversation support, and the role's share
+    within its event type — the schema-induction table for the event
+    half of the KG (an event type whose role mix shifts between corpus
+    slices signals extractor drift, the event analog of
+    graph.schema_profile).
+
+    Scale: one map-side-combinable agg on the tiny type x role domain
+    plus a broadcast of per-type totals; share is one exact-integer
+    division.
+    """
+    per = events.groupBy("event_type", "role").agg(
+        F.count(F.lit(1)).alias("n_args"),
+        F.count_distinct("conv_id").alias("n_convs"),
+    )
+    tot = per.groupBy("event_type").agg(F.sum("n_args").alias("_t"))
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type", "role", "n_args", "n_convs",
+        (
+            F.col("n_args").cast("double") / F.col("_t").cast("double")
+        ).alias("role_share"),
+    )

@@ -804,3 +804,20 @@ SELECT token, n_user, n_assistant,
            AS assistant_ppm
 FROM agg
 WHERE n_user + n_assistant >= {min_count}"""
+
+
+def event_schema_profile_oracle() -> str:
+    """Twin of extraction.event_schema_profile over the events chain."""
+    return f"""WITH ev AS (
+{events_oracle()}
+),
+per AS (
+    SELECT event_type, role,
+           CAST(count(*) AS BIGINT) AS n_args,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM ev GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(sum(n_args) AS BIGINT) AS _t FROM per GROUP BY 1)
+SELECT p.event_type, p.role, p.n_args, p.n_convs,
+       CAST(p.n_args AS DOUBLE) / CAST(t._t AS DOUBLE) AS role_share
+FROM per p JOIN tot t ON p.event_type = t.event_type"""

@@ -1136,3 +1136,21 @@ def test_decontam_rate_by_source_ties_to_doc_verdicts(spark, sf_dir):
         corpus.select("doc_id", "text"), benchmark, n=3
     ).filter(F.col("contaminated")).count()
     assert sum(r["n_contaminated"] for r in out) == total_contam
+
+
+def test_event_schema_profile_role_shares(spark):
+    from dygiepp_spark.operators.extraction import event_schema_profile
+
+    events = spark.createDataFrame(
+        [("c1", "op_join", "arg0"), ("c1", "op_join", "arg0"),
+         ("c2", "op_join", "arg1"), ("c1", "op_scan", "arg1")],
+        "conv_id string, event_type string, role string",
+    )
+    out = {(r["event_type"], r["role"]):
+           (r["n_args"], r["n_convs"], r["role_share"])
+           for r in event_schema_profile(events).collect()}
+    assert out == {
+        ("op_join", "arg0"): (2, 1, 2 / 3),
+        ("op_join", "arg1"): (1, 1, 1 / 3),
+        ("op_scan", "arg1"): (1, 1, 1.0),
+    }
