@@ -161,6 +161,9 @@ BENCH_QUERIES = {
     "random_walks",
     "entity_pmi",
     "mention_contexts",
+    "bloom_decontam",
+    "link_prediction",
+    "source_overlap",
 }
 
 if __name__ == "__main__":
