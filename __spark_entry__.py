@@ -1471,10 +1471,7 @@ def q_gap_hist(spark, sf_dir):
 
 def q_ivf_cell_balance(spark, sf_dir):
     """IVF partition-balance report — the ANN hot-shard alarm."""
-    from dygiepp_spark.operators import similarity as SM
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SM.ivf_cell_balance(emb)
+    return SIM.ivf_cell_balance(_emb(spark, sf_dir))
 
 
 def q_cluster_size_hist(spark, sf_dir):
@@ -1487,10 +1484,7 @@ def q_cluster_size_hist(spark, sf_dir):
 def q_embedding_stats(spark, sf_dir):
     """Vector-hygiene pre-flight: dims spread, zero vectors, quantized
     norm range over the embeddings table."""
-    from dygiepp_spark.operators import similarity as SM
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SM.embedding_stats(emb)
+    return SIM.embedding_stats(_emb(spark, sf_dir))
 
 
 def q_dedup_rate_by_source(spark, sf_dir):

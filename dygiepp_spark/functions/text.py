@@ -228,7 +228,8 @@ FILTER_MAX_PUNCT_RATIO = 0.10
 
 
 def composite_filter(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    with_quality: bool = False,
 ) -> DataFrame:
     """Gopher/C4-style document filter: every rule is a bit in
     ``reason_bits`` so a curation run can report WHY each document was
@@ -265,12 +266,25 @@ def composite_filter(
     for i, rule in enumerate(rules):
         term = F.when(rule, F.lit(1 << i)).otherwise(F.lit(0))
         bits = term if bits is None else bits + term
-    return j.select(
+    out = [
         F.col(id_col),
         F.col("n_tokens"),
         bits.cast("int").alias("reason_bits"),
         (bits == 0).alias("keep"),
-    )
+    ]
+    if with_quality:
+        # the composite score from the SAME quality_features pass —
+        # callers correlating rules vs score (quality_decile_yield) get
+        # both from one corpus scan instead of two
+        score = (
+            F.least(F.col("n_tokens").cast("double") / F.lit(20.0), F.lit(1.0))
+            * 0.4
+            + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0)))
+            * 0.3
+            + F.least(F.col("stopword_ratio") * 10.0, F.lit(1.0)) * 0.3
+        )
+        out.append(F.round(score, 6).alias("quality"))
+    return j.select(*out)
 
 
 def stratified_sample(
@@ -1241,13 +1255,14 @@ def quality_decile_yield(df: DataFrame) -> DataFrame:
     (a high keep-rate in the bottom decile means the rules miss what
     the score catches, and vice versa).
 
-    Scale: both inputs are existing single-scan chains; the join keys
-    on doc_id and the rollup is one map-side-combinable agg over ten
-    bins; keep_rate is one exact-integer division.
+    Scale: ONE corpus scan — the score is derived inside
+    composite_filter's own quality_features pass (with_quality=True),
+    so nothing is computed twice; the rollup is one map-side-combinable
+    agg over ten bins; keep_rate is one exact-integer division.
     """
-    q = quality_score(df).select("doc_id", "quality")
-    k = composite_filter(df).select("doc_id", "keep")
-    j = q.join(k, "doc_id")
+    j = composite_filter(df, with_quality=True).select(
+        "doc_id", "keep", "quality"
+    )
     b = F.least(
         F.floor(F.col("quality") * 10).cast("bigint"),
         F.lit(9).cast("bigint"),

@@ -124,10 +124,14 @@ def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
     an acquisition team which feed is mostly mirrors BEFORE anyone
     mixes it into a training run.
 
-    Scale: everything upstream is the existing bucketed dedup chain
-    (no new shuffle shapes); the rollup adds one doc-keyed broadcast
-    join to the source dim and one map-side-combinable agg; the rate is
-    a single exact-integer division.
+    Every source gets a row: feeds whose documents are too short to
+    chunk (< 3 tokens — doc_chunks' floor) report 0 chunks / 0 drops
+    rather than silently vanishing, so absence can never be read as
+    clean. Scale: everything upstream is the existing bucketed dedup
+    chain (no new shuffle shapes); the rollup adds one doc-keyed join
+    to the narrow (doc_id, source) projection (corpus-width, so a
+    shuffle join — NOT a broadcast dim) and one map-side-combinable
+    agg; the rate is a single exact-integer division.
     """
     from dygiepp_spark.operators.dedup import doc_chunks, near_dups_minhash
 
@@ -139,19 +143,29 @@ def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
         F.expr("id div 2").alias("doc_id"),
         F.col("is_keeper"),
     ).join(docs.select("doc_id", "source"), "doc_id")
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+    all_sources = docs.select("source").distinct()
     return (
-        j.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dropped"),
+        all_sources.join(per, "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("n_chunks"), F.lit(0).cast("bigint")).alias(
+                "n_chunks"
+            ),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint")).alias(
+                "n_dropped"
+            ),
         )
         .select(
             "source", "n_chunks", "n_dropped",
             (
                 F.col("n_dropped").cast("double")
-                / F.col("n_chunks").cast("double")
+                / F.greatest(F.col("n_chunks"), F.lit(1)).cast("double")
             ).alias("drop_rate"),
         )
     )

@@ -320,6 +320,16 @@ def near_dups_minhash(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
     output bit-identical. Signature/count rows are k longs per doc —
     pinning them costs far less than one recompute at any scale.
     """
+    _, verified = _minhash_chain(chunks, thresh)
+    return verified
+
+
+def _minhash_chain(chunks: DataFrame, thresh: float = 0.25):
+    """The pinned shingle -> signature -> LSH -> verify chain, returned
+    as ``(sigs, verified)`` so near_dups_minhash (production) and
+    minhash_error_hist (calibration) measure the SAME pair set — any
+    future tuning of thresh / bucket caps / prefilters changes both
+    together by construction."""
     sh = shingles(chunks).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh).localCheckpoint(eager=False)
     counts = (
@@ -328,7 +338,7 @@ def near_dups_minhash(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cands = lsh_candidates(lsh_buckets(sigs))
-    return jaccard_verify(cands, sh, thresh, counts=counts)
+    return sigs, jaccard_verify(cands, sh, thresh, counts=counts)
 
 
 # --------------------------------------------------------------------------
@@ -688,16 +698,7 @@ def minhash_error_hist(chunks: DataFrame, thresh: float = 0.25) -> DataFrame:
     adds ONE join of the (id, 32-longs) signature frame onto the
     verified pairs (bounded output) and a row-local equality fold.
     """
-    sh = shingles(chunks).localCheckpoint(eager=False)
-    sigs = minhash_signatures(sh).localCheckpoint(eager=False)
-    counts = (
-        sh.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-        .localCheckpoint(eager=False)
-    )
-    ver = jaccard_verify(
-        lsh_candidates(lsh_buckets(sigs)), sh, thresh, counts=counts
-    )
+    sigs, ver = _minhash_chain(chunks, thresh)
     sa = sigs.select(
         F.col("id").alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(N_HASHES)],

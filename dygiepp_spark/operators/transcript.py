@@ -363,7 +363,10 @@ def gap_hist(turns: DataFrame, ts_col: str = "ts_sec") -> DataFrame:
     that picks the sessionization ``gap_sec`` threshold empirically (a
     bimodal histogram's valley IS the threshold) instead of guessing:
     ``(log2_bin, n_gaps, min_gap, max_gap)`` over every within-
-    conversation consecutive-turn gap; zero gaps land in bin -1.
+    conversation consecutive-turn gap; zero gaps land in bin -1 and
+    NEGATIVE gaps (out-of-order timestamps - merged logs, clock
+    regressions) land in bin -2 so ordering corruption surfaces in the
+    report instead of masquerading as same-second turns.
 
     Scale: one conv-partitioned lag window (zero extra shuffle on the
     bucketed layout) + one map-side-combinable agg over the tiny bin
@@ -379,10 +382,14 @@ def gap_hist(turns: DataFrame, ts_col: str = "ts_sec") -> DataFrame:
         )
         .filter(F.col("gap").isNotNull())
     )
-    b = F.when(
-        F.col("gap") > 0,
-        (F.length(F.bin(F.col("gap"))) - 1).cast("bigint"),
-    ).otherwise(F.lit(-1).cast("bigint"))
+    b = (
+        F.when(
+            F.col("gap") > 0,
+            (F.length(F.bin(F.col("gap"))) - 1).cast("bigint"),
+        )
+        .when(F.col("gap") == 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.lit(-2).cast("bigint"))
+    )
     return gaps.groupBy(b.alias("log2_bin")).agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.min("gap").cast("bigint").alias("min_gap"),

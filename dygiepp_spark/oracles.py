@@ -772,7 +772,8 @@ gaps AS (
     FROM clocked
 )
 SELECT CASE WHEN gap > 0 THEN CAST(length(bin(gap)) - 1 AS BIGINT)
-            ELSE CAST(-1 AS BIGINT) END AS log2_bin,
+            WHEN gap = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(-2 AS BIGINT) END AS log2_bin,
        CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(min(gap) AS BIGINT) AS min_gap,
        CAST(max(gap) AS BIGINT) AS max_gap

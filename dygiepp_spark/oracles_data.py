@@ -94,7 +94,10 @@ def _minhash_aggs() -> str:
     return ",\n           ".join(parts)
 
 
-def near_dups_minhash_oracle(thresh: float = 0.25, max_bucket: int = 1000) -> str:
+def _minhash_pairs_ctes(thresh: float = 0.25, max_bucket: int = 1000) -> str:
+    """The shared minhash CTE chain (hashed -> sigs -> buckets -> cand
+    -> sets -> ver) — single source for near_dups_minhash_oracle and
+    minhash_error_hist_oracle so the twins can never desynchronize."""
     bands = "\n    UNION ALL\n    ".join(
         f"SELECT id, {b} AS band, '{b}:' || CAST(mh_{b * ROWS_PER_BAND} AS VARCHAR)"
         f" || ':' || CAST(mh_{b * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM sigs"
@@ -124,17 +127,24 @@ cand AS (
 sets AS (
     SELECT id, list_sort(list_distinct(list(shingle))) AS sh
     FROM shingled GROUP BY id
-)
-SELECT id_a, id_b, jaccard FROM (
-    SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
-             AS jaccard
-    FROM cand c
-    JOIN sets sa ON sa.id = c.id_a
-    JOIN sets sb ON sb.id = c.id_b
-)
-WHERE jaccard >= {thresh}"""
+),
+ver AS (
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                 AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b
+    )
+    WHERE jaccard >= {thresh}
+)"""
+
+
+def near_dups_minhash_oracle(thresh: float = 0.25, max_bucket: int = 1000) -> str:
+    return f"""{_minhash_pairs_ctes(thresh, max_bucket)}
+SELECT id_a, id_b, jaccard FROM ver"""
 
 
 def near_dups_simhash_oracle(max_hamming: int = 6) -> str:
@@ -1761,15 +1771,23 @@ def dedup_rate_by_source_oracle() -> str:
 {base}
 ),
 src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
-j AS (SELECT id // 2 AS doc_id, is_keeper FROM comp)
-SELECT s.source,
-       CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(sum(CASE WHEN NOT j.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_dropped,
-       CAST(sum(CASE WHEN NOT j.is_keeper THEN 1 ELSE 0 END) AS DOUBLE)
-           / CAST(count(*) AS DOUBLE) AS drop_rate
-FROM j JOIN src s ON j.doc_id = s.doc_id
-GROUP BY 1"""
+j AS (SELECT id // 2 AS doc_id, is_keeper FROM comp),
+per AS (
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN NOT j.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM j JOIN src s ON j.doc_id = s.doc_id
+    GROUP BY 1
+),
+allsrc AS (SELECT DISTINCT source FROM documents)
+SELECT a.source,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(p.n_dropped, 0) AS n_dropped,
+       CAST(COALESCE(p.n_dropped, 0) AS DOUBLE)
+           / CAST(greatest(COALESCE(p.n_chunks, 0), 1) AS DOUBLE)
+           AS drop_rate
+FROM allsrc a LEFT JOIN per p ON a.source = p.source"""
 
 
 def embedding_stats_oracle() -> str:
@@ -1826,54 +1844,14 @@ FROM per, total"""
 def minhash_error_hist_oracle(
     thresh: float = 0.25, max_bucket: int = 1000
 ) -> str:
-    """Twin of dedup.minhash_error_hist: the near-dup chain plus a
-    32-component signature-agreement estimate per verified pair."""
-    bands = "\n    UNION ALL\n    ".join(
-        f"SELECT id, {b} AS band, '{b}:' || CAST(mh_{b * ROWS_PER_BAND} AS VARCHAR)"
-        f" || ':' || CAST(mh_{b * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM sigs"
-        for b in range(N_BANDS)
-    )
+    """Twin of dedup.minhash_error_hist: the SHARED near-dup CTE chain
+    (_minhash_pairs_ctes — same pair set as production by construction)
+    plus a 32-component signature-agreement estimate per verified pair."""
     match_sum = " + ".join(
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
         for i in range(N_HASHES)
     )
-    return f"""{_DEDUP_BASE},
-hashed AS (SELECT id, {hash60_sql('shingle')} AS h0,
-                  {hash60_sql("'b:' || shingle")} AS h1 FROM shingled),
-sigs AS (
-    SELECT id,
-           {_minhash_aggs()}
-    FROM hashed GROUP BY id
-),
-buckets AS (
-    {bands}
-),
-bcounts AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
-ok AS (
-    SELECT b.* FROM buckets b JOIN bcounts c USING (band, bucket)
-    WHERE c.n <= {max_bucket}
-),
-cand AS (
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
-                        AND a.id < b.id
-),
-sets AS (
-    SELECT id, list_sort(list_distinct(list(shingle))) AS sh
-    FROM shingled GROUP BY id
-),
-ver AS (
-    SELECT id_a, id_b, jaccard FROM (
-        SELECT c.id_a, c.id_b,
-               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
-                 AS jaccard
-        FROM cand c
-        JOIN sets sa ON sa.id = c.id_a
-        JOIN sets sb ON sb.id = c.id_b
-    )
-    WHERE jaccard >= {thresh}
-),
+    return f"""{_minhash_pairs_ctes(thresh, max_bucket)},
 est AS (
     SELECT v.id_a, v.id_b, v.jaccard,
            CAST({match_sum} AS DOUBLE) / {float(N_HASHES)} AS est

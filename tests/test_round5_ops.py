@@ -1008,20 +1008,23 @@ def test_gap_hist_bins_and_zero_gap(spark):
     from dygiepp_spark.operators.transcript import gap_hist
 
     turns = spark.createDataFrame(
-        # gaps within c1: 1, 3, 60; c2: 0 (same-second turns -> bin -1)
+        # gaps within c1: 1, 3, 60; c2: 0 (same-second -> bin -1) then
+        # -4 (clock regression -> bin -2, NOT the zero bucket)
         [("c1", 0, "user", "x", None, 0), ("c1", 1, "assistant", "x", None, 1),
          ("c1", 2, "user", "x", None, 4), ("c1", 3, "user", "x", None, 64),
-         ("c2", 0, "user", "x", None, 9), ("c2", 1, "user", "x", None, 9)],
+         ("c2", 0, "user", "x", None, 9), ("c2", 1, "user", "x", None, 9),
+         ("c2", 2, "user", "x", None, 5)],
         "conv_id string, turn_idx int, role string, text string,"
         " tool string, ts_sec long",
     )
     out = {r["log2_bin"]: (r["n_gaps"], r["min_gap"], r["max_gap"])
            for r in gap_hist(turns).collect()}
     assert out == {
-        0: (1, 1, 1),    # gap 1
-        1: (1, 3, 3),    # gap 3 -> floor(log2)=1
-        5: (1, 60, 60),  # gap 60 -> 5
-        -1: (1, 0, 0),   # zero gap
+        0: (1, 1, 1),      # gap 1
+        1: (1, 3, 3),      # gap 3 -> floor(log2)=1
+        5: (1, 60, 60),    # gap 60 -> 5
+        -1: (1, 0, 0),     # zero gap
+        -2: (1, -4, -4),   # negative gap: ordering corruption surfaced
     }
 
 
@@ -1057,7 +1060,9 @@ def test_pack_efficiency_accounts_every_doc_and_token(spark, sf_dir):
     # every pack except possibly the last is start-attributed near full
     assert r["n_packs"] == pack_sequences(docs, budget=2048).agg(
         F.count_distinct("pack_id")).collect()[0][0]
-    assert 0 < r["mean_fill"] <= 2.0  # straddlers attribute to start pack
+    # start-attribution means a doc longer than the budget inflates its
+    # start pack's fill — only positivity is an invariant
+    assert r["mean_fill"] > 0
 
 
 def test_source_language_mix_shares(spark):
