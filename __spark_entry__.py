@@ -1402,6 +1402,25 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_streaming_length_quantiles(spark, sf_dir):
+    """Streaming EXACT quantiles: per-batch (n_tok, cnt) partials in
+    the idempotent sink, folded + quantile-read on the read side —
+    same lower-rank semantics and SQL oracle as `length_quantiles`."""
+    base = f"/root/repo/.tmp/stream_lq_{uuid.uuid4().hex[:8]}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    _doc_text(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+        in_dir
+    )
+    ST.run_length_counts_stream(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=2
+    )
+    partials = spark.read.parquet(out_dir).select("n_tok", "cnt")
+    return _consume_and_remove(
+        ST.quantiles_from_length_partials(partials), base
+    )
+
+
 def q_event_schema_profile(spark, sf_dir):
     """Event-ontology profile: (event_type, role) argument counts and
     role shares — the event analog of schema_profile."""
@@ -1895,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "decontam_rate_by_source": q_decontam_rate_by_source,
         "event_schema_profile": q_event_schema_profile,
+        "streaming_length_quantiles": q_streaming_length_quantiles,
     }
 
 
@@ -2089,4 +2109,5 @@ def oracle_sql() -> dict[str, str]:
             n=3, mod=97
         ),
         "event_schema_profile": oracles.event_schema_profile_oracle(),
+        "streaming_length_quantiles": oracles_data.length_quantiles_oracle(),
     }

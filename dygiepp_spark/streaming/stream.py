@@ -754,3 +754,72 @@ def merge_tool_usage_partials(partials: DataFrame) -> DataFrame:
             ).alias("mean_turn_idx"),
         )
     )
+
+
+def run_length_counts_stream(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Streaming EXACT quantile state: each micro-batch lands per-batch
+    (n_tok, cnt) PARTIAL counts — the integer-domain sufficient
+    statistic behind functions.text.length_quantiles — in the shared
+    idempotent batch_id-partitioned sink contract. Counts over a small
+    value domain are the textbook mergeable summary: the fold is one
+    SUM per length, after which the EXACT quantile read costs a window
+    over distinct lengths only. This is how a 100 TB pipeline keeps a
+    live, exact length distribution without ever sorting the corpus or
+    accepting sketch error.
+    """
+    from dygiepp_spark.functions.text import tokens_col
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.size(tokens_col(F.col("text"))).alias("n_tok")
+            )
+            .groupBy("n_tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def quantiles_from_length_partials(
+    partials: DataFrame, qs: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0)
+) -> DataFrame:
+    """Fold per-batch (n_tok, cnt) partials and read exact quantiles —
+    identical semantics (lower-rank convention) to the batch
+    length_quantiles, so the same SQL oracle checks the drained
+    stream."""
+    from pyspark.sql import Window
+
+    counts = partials.groupBy("n_tok").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    total = counts.agg(F.sum("cnt").alias("_n"))
+    spark = partials.sparkSession
+    targets = cum.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(q,) for q in qs], "q double")
+        )
+    )
+    hit = targets.filter(
+        F.col("cum") >= F.floor(F.col("q") * (F.col("_n") - 1)) + 1
+    )
+    return hit.groupBy("q").agg(F.min("n_tok").alias("n_tok"))

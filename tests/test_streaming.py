@@ -290,3 +290,31 @@ def test_streaming_tool_usage_merges_partials_across_batches(
     batch = TR.tool_usage(TR.with_synthetic_tools(turns))
     assert merged.exceptAll(batch).count() == 0
     assert batch.exceptAll(merged).count() == 0
+
+
+def test_streaming_length_quantiles_merges_partials_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Multiple per-batch (n_tok, cnt) partial sets must fold to
+    exactly the batch length_quantiles output."""
+    from dygiepp_spark.functions.text import length_quantiles
+    from dygiepp_spark.streaming import stream as ST
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(4).write.parquet(in_dir)
+    ST.run_length_counts_stream(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=2
+    )
+    sink = spark.read.parquet(out_dir)
+    assert sink.select("batch_id").distinct().count() >= 2
+    merged = ST.quantiles_from_length_partials(
+        sink.select("n_tok", "cnt")
+    )
+    batch = length_quantiles(docs)
+    assert merged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(merged).count() == 0
