@@ -1402,6 +1402,13 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_edge_confidence_profile(spark, sf_dir):
+    """Per-predicate exact confidence mix — the P7 threshold-setting
+    table (the conf domain is enumerable, so no binning)."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.edge_confidence_profile(edges)
+
+
 def q_streaming_length_quantiles(spark, sf_dir):
     """Streaming EXACT quantiles: per-batch (n_tok, cnt) partials in
     the idempotent sink, folded + quantile-read on the read side —
@@ -1915,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_rate_by_source": q_decontam_rate_by_source,
         "event_schema_profile": q_event_schema_profile,
         "streaming_length_quantiles": q_streaming_length_quantiles,
+        "edge_confidence_profile": q_edge_confidence_profile,
     }
 
 
@@ -2110,4 +2118,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_schema_profile": oracles.event_schema_profile_oracle(),
         "streaming_length_quantiles": oracles_data.length_quantiles_oracle(),
+        "edge_confidence_profile": oracles_kg.edge_confidence_profile_oracle(),
     }

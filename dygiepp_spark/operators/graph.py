@@ -1099,3 +1099,28 @@ def kg_novelty(edges: DataFrame) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def edge_confidence_profile(edges: DataFrame) -> DataFrame:
+    """Per-predicate confidence mix: one row per (pred, conf) value
+    with its occurrence count and within-predicate share — the
+    threshold-setting table for the P7 confidence filter, exact
+    because the extractor's conf domain is tiny (1/(1+dist) over the
+    beam's integer distances), so the full distribution is enumerable
+    with no binning at all.
+
+    Scale: one map-side-combinable agg on (pred, conf) plus broadcast
+    per-pred totals; share is one exact-integer division. The conf
+    domain is bounded by the beam distance cap, so the output is a few
+    rows per predicate at ANY corpus size.
+    """
+    per = edges.groupBy("pred", "conf").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    tot = per.groupBy("pred").agg(F.sum("n_edges").alias("_t"))
+    return per.join(F.broadcast(tot), "pred").select(
+        "pred", "conf", "n_edges",
+        (
+            F.col("n_edges").cast("double") / F.col("_t").cast("double")
+        ).alias("share"),
+    )

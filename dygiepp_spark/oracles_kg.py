@@ -2381,3 +2381,16 @@ per AS (
 SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
        CAST(size * count(*) AS BIGINT) AS n_mentions
 FROM per GROUP BY size"""
+
+
+def edge_confidence_profile_oracle() -> str:
+    """Twin of graph.edge_confidence_profile over the edges chain."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+per AS (
+    SELECT pred, conf, CAST(count(*) AS BIGINT) AS n_edges
+    FROM edges GROUP BY 1, 2
+),
+tot AS (SELECT pred, CAST(sum(n_edges) AS BIGINT) AS _t FROM per GROUP BY 1)
+SELECT p.pred, p.conf, p.n_edges,
+       CAST(p.n_edges AS DOUBLE) / CAST(t._t AS DOUBLE) AS share
+FROM per p JOIN tot t ON p.pred = t.pred"""

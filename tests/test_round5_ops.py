@@ -1159,3 +1159,21 @@ def test_event_schema_profile_role_shares(spark):
         ("op_join", "arg1"): (1, 1, 1 / 3),
         ("op_scan", "arg1"): (1, 1, 1.0),
     }
+
+
+def test_edge_confidence_profile_shares(spark):
+    from dygiepp_spark.operators.graph import edge_confidence_profile
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b", "c1", 0.5), ("a", "p", "c", "c1", 0.5),
+         ("a", "p", "d", "c1", 0.25), ("x", "q", "y", "c2", 0.5)],
+        "subj_id string, pred string, obj_id string, conv_id string,"
+        " conf double",
+    )
+    out = {(r["pred"], r["conf"]): (r["n_edges"], r["share"])
+           for r in edge_confidence_profile(edges).collect()}
+    assert out == {
+        ("p", 0.5): (2, 2 / 3),
+        ("p", 0.25): (1, 1 / 3),
+        ("q", 0.5): (1, 1.0),
+    }
