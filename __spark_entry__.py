@@ -1402,6 +1402,13 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_provenance_integrity(spark, sf_dir):
+    """Lineage self-check: provenance strings parse back to their own
+    rows and span invariants hold — all-zero counters when healthy."""
+    edges = GR.build_edges(_turns(spark, sf_dir), TT.entity_dict(spark))
+    return GR.provenance_integrity(edges)
+
+
 def q_edge_confidence_profile(spark, sf_dir):
     """Per-predicate exact confidence mix — the P7 threshold-setting
     table (the conf domain is enumerable, so no binning)."""
@@ -1923,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_schema_profile": q_event_schema_profile,
         "streaming_length_quantiles": q_streaming_length_quantiles,
         "edge_confidence_profile": q_edge_confidence_profile,
+        "provenance_integrity": q_provenance_integrity,
     }
 
 
@@ -2119,4 +2127,5 @@ def oracle_sql() -> dict[str, str]:
         "event_schema_profile": oracles.event_schema_profile_oracle(),
         "streaming_length_quantiles": oracles_data.length_quantiles_oracle(),
         "edge_confidence_profile": oracles_kg.edge_confidence_profile_oracle(),
+        "provenance_integrity": oracles_kg.provenance_integrity_oracle(),
     }

@@ -1124,3 +1124,48 @@ def edge_confidence_profile(edges: DataFrame) -> DataFrame:
             F.col("n_edges").cast("double") / F.col("_t").cast("double")
         ).alias("share"),
     )
+
+
+def provenance_integrity(edges: DataFrame) -> DataFrame:
+    """Lineage self-check over the edge provenance strings — the P6-
+    family consistency gate a warehouse runs after every KG write: parse
+    ``extract:<conv>:<turn>:<s1>:<s2>`` back and verify (a) the embedded
+    conv/turn match the row's own columns, and (b) the span ordering
+    invariant s1 < s2 holds. One row: ``(n_edges, n_malformed,
+    n_mismatched, n_span_violations)`` — all zeros after a healthy
+    write, and a non-zero is an exact count of corrupted lineage rows.
+
+    Scale: row-local string splits + one 1-row fold; no shuffle at all
+    beyond the final aggregate.
+    """
+    parts = F.split(F.col("provenance"), ":")
+    # try_element_at: NULL (not an error) past the end — malformed rows
+    # must be COUNTED, never crash the check (DuckDB's p[i] agrees)
+    parsed = edges.select(
+        "conv_id", "turn_idx",
+        F.size(parts).alias("_n"),
+        F.try_element_at(parts, F.lit(1)).alias("_tag"),
+        F.try_element_at(parts, F.lit(2)).alias("_conv"),
+        F.try_element_at(parts, F.lit(3)).alias("_turn"),
+        F.try_element_at(parts, F.lit(4)).cast("bigint").alias("_s1"),
+        F.try_element_at(parts, F.lit(5)).cast("bigint").alias("_s2"),
+    )
+    well_formed = (F.col("_n") == 5) & (F.col("_tag") == "extract")
+    matches = (
+        well_formed
+        & (F.col("_conv") == F.col("conv_id"))
+        & (F.col("_turn") == F.col("turn_idx").cast("string"))
+    )
+    span_ok = well_formed & (F.col("_s1") < F.col("_s2"))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(~well_formed, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_malformed"),
+        F.sum(F.when(well_formed & ~matches, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.sum(F.when(well_formed & ~span_ok, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_span_violations"),
+    )

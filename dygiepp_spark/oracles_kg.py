@@ -2394,3 +2394,29 @@ tot AS (SELECT pred, CAST(sum(n_edges) AS BIGINT) AS _t FROM per GROUP BY 1)
 SELECT p.pred, p.conf, p.n_edges,
        CAST(p.n_edges AS DOUBLE) / CAST(t._t AS DOUBLE) AS share
 FROM per p JOIN tot t ON p.pred = t.pred"""
+
+
+def provenance_integrity_oracle() -> str:
+    """Twin of graph.provenance_integrity over the edges chain."""
+    return f"""{_BASE} , {ENTITY_DICT_SQL} , {_LINKED_CTE.strip()} , {_PAIRS_RAW_CTE.strip()} , {_EDGES_SQL.strip()},
+parsed AS (
+    SELECT conv_id, turn_idx,
+           string_split(provenance, ':') AS p
+    FROM edges
+),
+checked AS (
+    SELECT conv_id, turn_idx,
+           (len(p) = 5 AND p[1] = 'extract') AS wf,
+           p[2] AS pconv, p[3] AS pturn,
+           TRY_CAST(p[4] AS BIGINT) AS s1, TRY_CAST(p[5] AS BIGINT) AS s2
+    FROM parsed
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN NOT wf THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_malformed,
+       CAST(sum(CASE WHEN wf AND NOT (pconv = conv_id
+                 AND pturn = CAST(turn_idx AS VARCHAR)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(sum(CASE WHEN wf AND NOT (s1 < s2) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_span_violations
+FROM checked"""

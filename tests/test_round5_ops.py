@@ -1177,3 +1177,20 @@ def test_edge_confidence_profile_shares(spark):
         ("p", 0.25): (1, 1 / 3),
         ("q", 0.5): (1, 1.0),
     }
+
+
+def test_provenance_integrity_detects_each_corruption_class(spark):
+    from dygiepp_spark.operators.graph import provenance_integrity
+
+    edges = spark.createDataFrame(
+        [
+            ("c1", 1, "extract:c1:1:2:5"),     # healthy
+            ("c1", 1, "garbage"),              # malformed
+            ("c1", 1, "extract:OTHER:1:2:5"),  # conv mismatch
+            ("c1", 1, "extract:c1:1:5:2"),     # span violation
+        ],
+        "conv_id string, turn_idx int, provenance string",
+    )
+    r = provenance_integrity(edges).collect()[0]
+    assert (r["n_edges"], r["n_malformed"], r["n_mismatched"],
+            r["n_span_violations"]) == (4, 1, 1, 1)
