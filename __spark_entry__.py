@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_coverage_curve(spark, sf_dir):
+    """Zipf coverage at k in {1,5,10,20} from one pinned vocabulary
+    scan — the subword-vocab sizing table."""
+    return TX.coverage_curve(_docs(spark, sf_dir), ks=(1, 5, 10, 20))
+
+
 def q_provenance_integrity(spark, sf_dir):
     """Lineage self-check: provenance strings parse back to their own
     rows and span invariants hold — all-zero counters when healthy."""
@@ -1931,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_length_quantiles": q_streaming_length_quantiles,
         "edge_confidence_profile": q_edge_confidence_profile,
         "provenance_integrity": q_provenance_integrity,
+        "coverage_curve": q_coverage_curve,
     }
 
 
@@ -2128,4 +2135,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_length_quantiles": oracles_data.length_quantiles_oracle(),
         "edge_confidence_profile": oracles_kg.edge_confidence_profile_oracle(),
         "provenance_integrity": oracles_kg.provenance_integrity_oracle(),
+        "coverage_curve": oracles_data.coverage_curve_oracle(ks=(1, 5, 10, 20)),
     }

@@ -1282,3 +1282,56 @@ def quality_decile_yield(df: DataFrame) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+def coverage_curve(df: DataFrame, ks: tuple[int, ...] = (1, 5, 10, 20),
+                   text_col: str = "text") -> DataFrame:
+    """The Zipf coverage CURVE: :func:`ngram_coverage` at several ``k``
+    from ONE pinned vocabulary scan — the table that picks a subword
+    vocabulary size by reading where the curve flattens, instead of
+    probing k values one run at a time.
+
+    Scale: the corpus is scanned once (the unigram agg is pinned); each
+    k adds a distributed k-th-score threshold (no vocabulary window)
+    and a 1-row fold — len(ks) trivially-sized jobs over the
+    vocabulary-bounded frame.
+    """
+    from functools import reduce
+
+    from dygiepp_spark.operators.pruning import kth_score_threshold
+
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError("ks must be non-empty with every k >= 1")
+    uni = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)
+    frames = []
+    for k in ks:
+        thr = kth_score_threshold(uni, "c", k)
+        frames.append(
+            uni.crossJoin(F.broadcast(thr))
+            .agg(
+                F.sum(F.when(F.col("c") >= F.col("_thr"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_top_types"),
+                F.sum(F.when(F.col("c") >= F.col("_thr"), F.col("c")))
+                .cast("bigint")
+                .alias("covered"),
+                F.sum("c").cast("bigint").alias("total"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_top_types",
+                F.coalesce(F.col("covered"), F.lit(0).cast("bigint")).alias(
+                    "covered"
+                ),
+                "total",
+                (
+                    F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                    / F.greatest(F.col("total"), F.lit(1)).cast("double")
+                ).alias("coverage"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)

@@ -1969,3 +1969,14 @@ SELECT s.source,
            / CAST(count(*) AS DOUBLE) AS contam_rate
 FROM rep r JOIN src s ON r.doc_id = s.doc_id
 GROUP BY 1"""
+
+
+def coverage_curve_oracle(ks: tuple[int, ...] = (1, 5, 10, 20)) -> str:
+    """Twin of text.coverage_curve: the per-k ngram_coverage oracle
+    nested per union arm (the oracle re-derives uni per arm — the
+    Spark side shares one pinned scan; outputs identical)."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS k, * FROM (\n{ngram_coverage_oracle(k)}\n)"
+        for k in ks
+    )
+    return arms

@@ -1194,3 +1194,20 @@ def test_provenance_integrity_detects_each_corruption_class(spark):
     r = provenance_integrity(edges).collect()[0]
     assert (r["n_edges"], r["n_malformed"], r["n_mismatched"],
             r["n_span_violations"]) == (4, 1, 1, 1)
+
+
+def test_coverage_curve_monotone_and_matches_single_k(spark, sf_dir):
+    from dygiepp_spark.functions.text import coverage_curve, ngram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    curve = {r["k"]: (r["n_top_types"], r["covered"], r["total"],
+                      r["coverage"])
+             for r in coverage_curve(docs, ks=(1, 5, 10)).collect()}
+    assert list(curve) and len(curve) == 3
+    # coverage is monotone non-decreasing in k; totals constant
+    assert curve[1][3] <= curve[5][3] <= curve[10][3]
+    assert curve[1][2] == curve[5][2] == curve[10][2]
+    # each row equals the standalone single-k operator
+    single = ngram_coverage(docs, k=5).collect()[0]
+    assert curve[5] == (single["n_top_types"], single["covered"],
+                        single["total"], single["coverage"])
