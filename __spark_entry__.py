@@ -1402,6 +1402,12 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Measured IVF recall vs exact brute force per query — the ANN
+    speed/recall tradeoff, measured instead of asserted."""
+    return SIM.ivf_recall(_emb(spark, sf_dir))
+
+
 def q_coverage_curve(spark, sf_dir):
     """Zipf coverage at k in {1,5,10,20} from one pinned vocabulary
     scan — the subword-vocab sizing table."""
@@ -1938,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_confidence_profile": q_edge_confidence_profile,
         "provenance_integrity": q_provenance_integrity,
         "coverage_curve": q_coverage_curve,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -2136,4 +2143,5 @@ def oracle_sql() -> dict[str, str]:
         "edge_confidence_profile": oracles_kg.edge_confidence_profile_oracle(),
         "provenance_integrity": oracles_kg.provenance_integrity_oracle(),
         "coverage_curve": oracles_data.coverage_curve_oracle(ks=(1, 5, 10, 20)),
+        "ivf_recall": oracles_data.ivf_recall_oracle(),
     }

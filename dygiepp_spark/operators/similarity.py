@@ -550,3 +550,47 @@ def ivf_cell_balance(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFram
             F.col("n_vectors").cast("double") / F.col("_t").cast("double")
         ).alias("share"),
     )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """Measured recall of the IVF scale path against exact brute force —
+    per query, how many of the true top-``k`` neighbors the nprobe=1
+    cell search returned: ``(query_id, n_hit, recall)``. THE number the
+    documented IVF speed/recall tradeoff is judged by, measured instead
+    of asserted; a low-recall query sits near a cell boundary (raise
+    nprobe or re-train centroids).
+
+    Scale: both sides are the existing broadcast-query scans; the
+    overlap is a semi-join on (query_id, neighbor_id) over two
+    k*n_queries-row frames — trivially sized at any corpus scale — and
+    recall is one exact-integer division.
+    """
+    bf = brute_force_topk(emb, k, n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    iv = ivf_topk(emb, k, n_queries, n_centroids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
+    per = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = bf.select("query_id").distinct()
+    return (
+        base.join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            "query_id", "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(float(k))).alias(
+                "recall"
+            ),
+        )
+    )

@@ -1980,3 +1980,31 @@ def coverage_curve_oracle(ks: tuple[int, ...] = (1, 5, 10, 20)) -> str:
         for k in ks
     )
     return arms
+
+
+def ivf_recall_oracle(
+    k: int = TOP_K, n_queries: int = N_QUERIES, n_centroids: int = N_CENTROIDS
+) -> str:
+    """Twin of similarity.ivf_recall: the two ANN oracles nested as
+    CTEs, per-query overlap count, exact recall."""
+    return f"""WITH bf AS (
+{ann_brute_force_oracle(k, n_queries)}
+),
+iv AS (
+{ann_ivf_oracle(k, n_queries, n_centroids)}
+),
+hits AS (
+    SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM bf b
+    WHERE EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.query_id = b.query_id
+          AND iv.neighbor_id = b.neighbor_id
+    )
+    GROUP BY 1
+),
+base AS (SELECT DISTINCT query_id FROM bf)
+SELECT base.query_id,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {float(k)} AS recall
+FROM base LEFT JOIN hits h ON base.query_id = h.query_id"""

@@ -1211,3 +1211,16 @@ def test_coverage_curve_monotone_and_matches_single_k(spark, sf_dir):
     single = ngram_coverage(docs, k=5).collect()[0]
     assert curve[5] == (single["n_top_types"], single["covered"],
                         single["total"], single["coverage"])
+
+
+def test_ivf_recall_bounds_and_query_coverage(spark, sf_dir):
+    from dygiepp_spark.operators.similarity import N_QUERIES, ivf_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ivf_recall(emb).collect()
+    assert len(rows) == N_QUERIES  # every query reports, even at 0 hits
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["recall"] == r["n_hit"] / 5
+    # nprobe=1 on 4 cells should still find a meaningful share overall
+    assert sum(r["n_hit"] for r in rows) > 0
