@@ -1402,6 +1402,15 @@ def q_walk_skipgrams(spark, sf_dir):
     return GR.walk_skipgrams(edges, length=4, walks_per_node=2, window=2)
 
 
+def q_filter_rate_by_source(spark, sf_dir):
+    """Rule-filter keep rate per feed — completes the per-source
+    trilogy (dedup rate, contamination rate, filter rate)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "source"
+    )
+    return TX.filter_rate_by_source(docs)
+
+
 def q_ivf_recall(spark, sf_dir):
     """Measured IVF recall vs exact brute force per query — the ANN
     speed/recall tradeoff, measured instead of asserted."""
@@ -1945,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provenance_integrity": q_provenance_integrity,
         "coverage_curve": q_coverage_curve,
         "ivf_recall": q_ivf_recall,
+        "filter_rate_by_source": q_filter_rate_by_source,
     }
 
 
@@ -2144,4 +2154,5 @@ def oracle_sql() -> dict[str, str]:
         "provenance_integrity": oracles_kg.provenance_integrity_oracle(),
         "coverage_curve": oracles_data.coverage_curve_oracle(ks=(1, 5, 10, 20)),
         "ivf_recall": oracles_data.ivf_recall_oracle(),
+        "filter_rate_by_source": oracles_data.filter_rate_by_source_oracle(),
     }

@@ -1335,3 +1335,35 @@ def coverage_curve(df: DataFrame, ks: tuple[int, ...] = (1, 5, 10, 20),
             )
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def filter_rate_by_source(df: DataFrame) -> DataFrame:
+    """Per-source rule-filter yield — the third per-feed report next to
+    the dedup and contamination rates: ``(source, n_docs, n_kept,
+    keep_rate)`` from the Gopher/C4 composite filter. A feed whose keep
+    rate collapses is raw boilerplate; procurement reads this trilogy
+    before renewing it.
+
+    Scale: the filter is the existing single-scan chain; the rollup is
+    one doc-keyed join to the (doc_id, source) projection and one
+    map-side-combinable agg; keep_rate is one exact-integer division.
+    """
+    verdicts = composite_filter(
+        df.select("doc_id", "text")
+    ).select("doc_id", "keep")
+    j = verdicts.join(df.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", "n_kept",
+            (
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+            ).alias("keep_rate"),
+        )
+    )

@@ -2008,3 +2008,19 @@ SELECT base.query_id,
        COALESCE(h.n_hit, 0) AS n_hit,
        CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {float(k)} AS recall
 FROM base LEFT JOIN hits h ON base.query_id = h.query_id"""
+
+
+def filter_rate_by_source_oracle() -> str:
+    """Twin of text.filter_rate_by_source: the filter chain nested as a
+    CTE, source rollup."""
+    return f"""WITH f AS (
+{quality_filter_oracle()}
+),
+src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f.keep THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS keep_rate
+FROM f JOIN src s ON f.doc_id = s.doc_id
+GROUP BY 1"""

@@ -1224,3 +1224,19 @@ def test_ivf_recall_bounds_and_query_coverage(spark, sf_dir):
         assert r["recall"] == r["n_hit"] / 5
     # nprobe=1 on 4 cells should still find a meaningful share overall
     assert sum(r["n_hit"] for r in rows) > 0
+
+
+def test_filter_rate_by_source_conserves_verdicts(spark, sf_dir):
+    from dygiepp_spark.functions.text import (
+        composite_filter, filter_rate_by_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "source"
+    )
+    out = filter_rate_by_source(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    kept = composite_filter(docs.select("doc_id", "text")).filter(
+        F.col("keep")
+    ).count()
+    assert sum(r["n_kept"] for r in out) == kept
